@@ -1,0 +1,44 @@
+"""Deterministic ID minting as pure column expressions.
+
+Parity target: the reference mints internal ids from sequence numbers
+(`src/pipeline/steps.ts:202-212, 254-262`: ``ART-{decisionId}-{seq:03d}``,
+``ACT-``, ``DEC-``; party-id grammar ``PARTY-…-\\d{3}`` at
+`src/jobs/extract-comprehensive/config.ts:214-218`). The reference's
+arrival-order ``custom_id`` counter (`ConcurrentRunner.ts:506-511`) is a
+determinism trap we deliberately do NOT copy — every sequence here comes
+from ``row_number`` over an explicit sort key, never partition/arrival
+order (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def doc_uid(repo: Column, path: Column, commit: Column) -> Column:
+    """Stable 12-hex doc id: sha256('repo:path@commit') prefix (FIXTURES.md §0)."""
+    return F.substring(
+        F.sha2(F.concat_ws("", repo, F.lit(":"), path, F.lit("@"), commit), 256), 1, 12
+    )
+
+
+def minted_id(prefix: str, key: Column, seq: Column) -> Column:
+    """``{PREFIX}-{key}-{seq:03d}`` — reference grammar, column-native."""
+    return F.concat(F.lit(prefix + "-"), key, F.lit("-"), F.lpad(seq.cast("string"), 3, "0"))
+
+
+def dec_id(key: Column) -> Column:
+    """Decision/document node id ``DEC-{doc_uid}``."""
+    return F.concat(F.lit("DEC-"), key)
+
+
+def doc_uid_py(repo: str, path: str, commit: str) -> str:
+    """Python twin of :func:`doc_uid` for the generator / goldens."""
+    return hashlib.sha256(f"{repo}:{path}@{commit}".encode()).hexdigest()[:12]
+
+
+def minted_id_py(prefix: str, key: str, seq: int) -> str:
+    return f"{prefix}-{key}-{seq:03d}"

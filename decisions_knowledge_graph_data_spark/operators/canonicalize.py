@@ -1,0 +1,143 @@
+"""Canonicalization: iterative connected components over match edges.
+
+The reference's dedup is key-exact (`dedupe-provision-mapping-jsons.ts:118-151`)
+and match collapse is top-1-per-mention (`aggregate-decision-mappings.ts:65-82`);
+the north star (BASELINE.json:6) upgrades this to *transitive* duplicate
+resolution: connected components over the match-edge DataFrame, so chains
+A~B, B~C collapse to one canonical entity even with no direct A~C edge.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the published
+shuffle-efficient formulation. Each iteration is two groupBy/join rounds;
+``localCheckpoint`` truncates lineage every iteration so plans don't grow
+(SURVEY.md §7.3 note b). Converges in O(log n) iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_name
+from .linking import similarity_join
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    sym = _symmetrize(e)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.withColumn("m", F.least(F.col("_mn"), F.col("src"))).select("src", "m")
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each u: m = min(N(u) ∪ {u});
+    emit (v, m) for v ∈ N(u) ∪ {u}."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id.
+
+    Deterministic: component ids are data-derived (min id), never
+    partition-order-derived.
+    """
+    e = (
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a forest of stars (node → min). Label nodes:
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def registry_dup_edges(registry: DataFrame, score_gate: int = 80,
+                       sim_gate: float = 0.30) -> DataFrame:
+    """Near-duplicate registry entries via the LSH similarity self-join."""
+    reg = registry.select(
+        "entity_id", normalize_name(F.col("title")).alias("title_norm")
+    )
+    probes = reg
+    cands = reg.select(
+        F.col("entity_id").alias("entity_id_b"), F.col("title_norm").alias("title_norm_b")
+    )
+    pairs = similarity_join(
+        probes, cands, "entity_id", "title_norm", "entity_id_b", "title_norm_b",
+        sim_gate=sim_gate,
+    )
+    return (
+        pairs.filter(
+            (F.col("entity_id") < F.col("entity_id_b")) & (F.col("score") >= score_gate)
+        )
+        .select(F.col("entity_id").alias("src"), F.col("entity_id_b").alias("dst"))
+    )
+
+
+def canonical_map(registry: DataFrame) -> DataFrame:
+    """(entity_ref, canonical_id) for every registry entity — canonical id =
+    min id of its duplicate component; singletons map to themselves."""
+    comps = connected_components(registry_dup_edges(registry))
+    return (
+        registry.select(F.col("entity_id").alias("entity_ref"))
+        .join(comps, F.col("entity_ref") == F.col("node"), "left")
+        .select(
+            "entity_ref",
+            F.coalesce(F.col("component"), F.col("entity_ref")).alias("canonical_id"),
+        )
+    )
+
+
+def apply_canonical(matches: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite matched entity ids to canonical ids (broadcast map join)."""
+    return (
+        matches.join(
+            F.broadcast(canon), matches["entity_id"] == canon["entity_ref"], "left"
+        )
+        .withColumn("entity_id", F.coalesce(F.col("canonical_id"), F.col("entity_id")))
+        .drop("entity_ref", "canonical_id")
+    )

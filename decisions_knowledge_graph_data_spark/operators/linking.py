@@ -1,0 +1,229 @@
+"""Entity linking: the mapping-pipeline analog (`src/pipeline/mapping/steps.ts`).
+
+Plan shape (the north-star design, BASELINE.json:6):
+
+    rule mentions
+      ├─ DICT fast path: broadcast popular-entities exact join → score 100
+      │    (`mapping/steps.ts:302-322, 599-621`)
+      ├─ EXACT_ID fast path: entity-id equality → score 100
+      │    (ECLI-equality analog, `mapping/steps.ts:837-858`)
+      └─ remainder: MinHash/LSH blocking over character-trigram shingles
+           → Jaccard + edit-distance scorer → sim ≥ 0.15 gate, top-200 per
+           mention (`mapping/steps.ts:645-667` similarity(title) >= 0.15
+           ORDER BY sim DESC LIMIT 200) → temporal cutoff
+           valid_from <= doc_date (`mapping/steps.ts:452-454`) → top-1 with
+           score ≥ 80 (`aggregate-decision-mappings.ts:22, 65-82`)
+
+Scale notes:
+  - **Skew**: hub entities (popular titles cited by a large share of docs)
+    never reach the expensive path — the broadcast dictionary bypass IS the
+    skew mitigation, mirroring the reference's fast-path short-circuit.
+    The remainder is deduplicated to *distinct surface forms* before
+    scoring (the reference's memoize-per-distinct-name pattern,
+    `mapping/steps.ts:544-584`), so a title mentioned in 30% of all docs
+    is scored exactly once; the per-mention fan-back is an equi-join.
+  - **Everything JVM-side**: shingling, 32-permutation MinHash, banding,
+    Jaccard and Levenshtein are built-in higher-order functions / exprs —
+    whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_name
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows
+SIM_GATE = 0.15  # candidate gate (mapping/steps.ts:645-667)
+TOP_K_CANDIDATES = 200  # LIMIT 200 (mapping/steps.ts:336-338, 667)
+SCORE_GATE = 80  # aggregate-decision-mappings.ts:22
+SHINGLE_K = 3
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct character k-grams, JVM-side (sequence + transform)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    n = F.greatest(F.length(padded) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
+    """32-permutation MinHash signature: sig[s] = min over shingles of
+    xxhash64(shingle, s). Pure higher-order expressions."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(shingle_col, lambda x: F.xxhash64(x, s))
+        ),
+    )
+
+
+def band_hashes(sig_col: Column, n_bands: int = N_BANDS) -> Column:
+    """Band the signature: one hash per (band of 4 rows)."""
+    rows = N_HASHES // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.hash(F.slice(sig_col, b * rows + 1, rows), b),
+    )
+
+
+def _with_lsh(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach shingles + exploded (band_pos, band_hash) rows."""
+    out = df.withColumn("_sh", shingles(F.col(text_col)))
+    out = out.withColumn("_bands", band_hashes(minhash_signature(F.col("_sh"))))
+    return out.select(
+        *df.columns, "_sh", F.posexplode("_bands").alias("band_pos", "band_hash")
+    )
+
+
+def _score(a_norm: Column, a_sh: Column, b_norm: Column, b_sh: Column) -> dict[str, Column]:
+    """Combined trigram-Jaccard + edit-distance score in [0, 100]."""
+    inter = F.size(F.array_intersect(a_sh, b_sh))
+    union = F.size(F.array_union(a_sh, b_sh))
+    jac = inter / F.greatest(union, F.lit(1))
+    maxlen = F.greatest(F.length(a_norm), F.length(b_norm), F.lit(1))
+    edit = F.levenshtein(a_norm, b_norm)
+    score = F.round(100 * (0.5 * jac + 0.5 * (1 - edit / maxlen))).cast("int")
+    return {"jaccard": jac, "score": score}
+
+
+def similarity_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    probe_key: str,
+    probe_text: str,
+    cand_key: str,
+    cand_text: str,
+    sim_gate: float = SIM_GATE,
+    top_k: int = TOP_K_CANDIDATES,
+) -> DataFrame:
+    """Generic LSH-blocked similarity join: returns
+    (probe_key, cand_key, jaccard, score) with jaccard >= sim_gate,
+    top-k candidates per probe by similarity.
+
+    This is the reusable primitive behind entity linking, registry
+    self-dedup (canonicalization input) and MinHash near-dup detection.
+    """
+    p = _with_lsh(
+        probes.select(F.col(probe_key).alias("_pk"), F.col(probe_text).alias("_pt")),
+        "_pt",
+    ).withColumnRenamed("_sh", "_psh")
+    c = _with_lsh(
+        candidates.select(F.col(cand_key).alias("_ck"), F.col(cand_text).alias("_ct")),
+        "_ct",
+    ).withColumnRenamed("_sh", "_csh")
+
+    pairs = (
+        p.join(c, ["band_pos", "band_hash"])
+        .select("_pk", "_pt", "_psh", "_ck", "_ct", "_csh")
+        .dropDuplicates(["_pk", "_ck"])
+    )
+    sc = _score(F.col("_pt"), F.col("_psh"), F.col("_ct"), F.col("_csh"))
+    scored = (
+        pairs.withColumn("jaccard", sc["jaccard"])
+        .withColumn("score", sc["score"])
+        .filter(F.col("jaccard") >= sim_gate)
+    )
+    w = Window.partitionBy("_pk").orderBy(F.desc("jaccard"), F.desc("score"), F.col("_ck"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= top_k)
+        .select(
+            F.col("_pk").alias(probe_key),
+            F.col("_ck").alias(cand_key),
+            "jaccard",
+            "score",
+        )
+    )
+
+
+def link_rule_mentions(
+    mentions: DataFrame,
+    docs: DataFrame,
+    registry: DataFrame,
+    popular: DataFrame,
+) -> DataFrame:
+    """RULE mentions → best entity match per mention.
+
+    Returns (doc_id, lang, rule_seq, rule_num, surface_title, entity_id,
+    score, matched_on) with matched_on ∈ {DICT, EXACT_ID, SIMILARITY}.
+    """
+    w = Window.partitionBy("doc_id").orderBy("char_start")
+    rules = (
+        mentions.filter(F.col("mention_kind") == "RULE")
+        .withColumn("rule_seq", F.row_number().over(w))
+        .withColumn(
+            "rule_num",
+            F.regexp_extract("surface", r"rule (\d{1,3}) of ", 1).cast("int"),
+        )
+        .withColumn(
+            "surface_title", F.regexp_extract("surface", r"rule \d{1,3} of (.*)$", 1)
+        )
+        .withColumn("name_norm", normalize_name(F.col("surface_title")))
+        .select("doc_id", "lang", "rule_seq", "rule_num", "surface_title", "name_norm")
+    )
+
+    out_cols = ["doc_id", "lang", "rule_seq", "rule_num", "surface_title",
+                "entity_id", "score", "matched_on"]
+
+    # --- 1. DICT fast path (broadcast exact-normalized join, score 100)
+    pop = popular.select("name_norm", F.col("entity_id").alias("_dict_eid"))
+    dict_hits = (
+        rules.join(F.broadcast(pop), "name_norm")
+        .withColumn("entity_id", F.col("_dict_eid"))
+        .withColumn("score", F.lit(100))
+        .withColumn("matched_on", F.lit("DICT"))
+        .select(*out_cols)
+    )
+    rest = rules.join(F.broadcast(pop), "name_norm", "left_anti")
+
+    # --- 2. EXACT_ID fast path (id-equality, score 100)
+    is_id = F.col("name_norm").rlike(r"^e\d{4}x{0,2}$")
+    reg_ids = registry.select(F.col("entity_id").alias("_reg_eid"))
+    exact_hits = (
+        rest.filter(is_id)
+        .withColumn("_id_up", F.upper(F.col("name_norm")))
+        .join(reg_ids, F.col("_id_up") == F.col("_reg_eid"))
+        .withColumn("entity_id", F.col("_reg_eid"))
+        .withColumn("score", F.lit(100))
+        .withColumn("matched_on", F.lit("EXACT_ID"))
+        .select(*out_cols)
+    )
+    sim_input = rest.filter(~is_id)
+
+    # --- 3. similarity path: score each DISTINCT surface form once
+    distinct_names = sim_input.select("name_norm").distinct()
+    reg = registry.select(
+        "entity_id", normalize_name(F.col("title")).alias("title_norm"), "valid_from"
+    )
+    cand = similarity_join(
+        distinct_names, reg, "name_norm", "name_norm", "entity_id", "title_norm"
+    )
+    # fan back to mentions, apply the per-mention temporal cutoff, take top-1
+    reg_dates = registry.select("entity_id", "valid_from")
+    doc_dates = docs.select(
+        F.sha2(
+            F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"), F.lit("@"), F.col("commit")),
+            256,
+        ).substr(1, 12).alias("doc_id"),
+        "doc_date",
+    )
+    w1 = Window.partitionBy("doc_id", "rule_seq").orderBy(
+        F.desc("score"), F.desc("jaccard"), F.col("entity_id")
+    )
+    sim_hits = (
+        sim_input.join(cand, "name_norm")
+        .join(F.broadcast(reg_dates), "entity_id")
+        .join(doc_dates, "doc_id")
+        .filter(F.col("valid_from") <= F.col("doc_date"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter((F.col("_r") == 1) & (F.col("score") >= SCORE_GATE))
+        .withColumn("matched_on", F.lit("SIMILARITY"))
+        .select(*out_cols)
+    )
+
+    return dict_hits.unionByName(exact_hits).unionByName(sim_hits)

@@ -1,0 +1,175 @@
+"""The end-to-end KG construction pipeline (SURVEY.md §7.1):
+
+    src_table(repo,path,commit,lang,content)
+      → s0 ingest: sha256 invariant + length categorize + non-empty filter
+      → s1 extract: mention scan kernel (mapInPandas) + self-ref filter
+      → s2 references: pure-regex verified/extracted split
+      → s3 link: dict fast-path ∪ EXACT_ID ∪ LSH+scorer
+      → s4 canonicalize: connected components over registry dup edges
+      → s5 triples: cites / decided_by / party_of / applies_provision
+      → s6 materialize: nodes + edges + run_metrics + failures
+
+Each stage checkpoints to ``{workdir}/{stage}`` and resumes stage-level
+(completed stages are read, not recomputed) plus row-level for extraction
+(left_anti on (doc_id, lang) against a partial checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ids import doc_uid
+from ..functions.text import length_category
+from ..operators.canonicalize import apply_canonical, canonical_map
+from ..operators.extract import extract_mentions, filter_self_references
+from ..operators.linking import link_rule_mentions
+from ..operators.references import extract_references
+from ..operators.triples import (
+    applies_provision_triples,
+    cites_triples,
+    decided_by_triples,
+    party_of_triples,
+)
+from .checkpoint import (
+    append_metrics,
+    is_complete,
+    partition_metrics,
+    read_stage,
+    resume_filter,
+    stage_path,
+    write_stage,
+)
+
+
+class InvariantViolation(RuntimeError):
+    pass
+
+
+def ingest(docs: DataFrame, strict: bool = True) -> tuple[DataFrame, DataFrame]:
+    """s0: per-row sha256(content) invariant (BASELINE.json:15) + length
+    categorization + the non-empty filter. Returns (ok, failures)."""
+    with_id = docs.withColumn(
+        "doc_id", doc_uid(F.col("repo"), F.col("path"), F.col("commit"))
+    )
+    if "content_sha256" in docs.columns:
+        checked = with_id.withColumn(
+            "_sha_ok", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256) == F.col("content_sha256")
+        )
+    else:
+        checked = with_id.withColumn("_sha_ok", F.lit(True))
+    failures = checked.filter(~F.col("_sha_ok")).select(
+        "doc_id", "lang",
+        F.lit("Invariant Error").alias("reason"),
+        F.lit("content sha256 mismatch").alias("error"),
+    )
+    ok = (
+        checked.filter(
+            F.col("_sha_ok") & F.col("content").isNotNull() & (F.col("content") != "")
+        )
+        .withColumn("md_length", F.length("content"))
+        .withColumn("length_category", length_category(F.length("content")))
+        .drop("_sha_ok")
+    )
+    if strict:
+        n_bad = failures.limit(1).count()
+        if n_bad:
+            raise InvariantViolation("content sha256 invariant violated at read time")
+    return ok, failures
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    dicts: dict[str, DataFrame],
+    workdir: str,
+    resume: bool = True,
+    run_id: str | None = None,
+    strict_invariant: bool = True,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns stage output DataFrames.
+
+    ``dicts`` must provide: entity_registry, popular_entities, alias_map,
+    known_missing.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    os.makedirs(workdir, exist_ok=True)
+    out: dict[str, DataFrame] = {}
+
+    def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        if resume and is_complete(workdir, name):
+            df = read_stage(spark, workdir, name)
+        else:
+            df = write_stage(build(), workdir, name, partition_by)
+            append_metrics(partition_metrics(df, run_id, name), workdir)
+        out[name] = df
+        return df
+
+    # ---- s0 ingest
+    def _ingest():
+        ok, failures = ingest(docs, strict=strict_invariant)
+        failures.write.mode("append").parquet(os.path.join(workdir, "failures"))
+        return ok
+    s0 = stage("s0_ingest", _ingest)
+
+    # ---- s1 mentions (row-level resumable)
+    def _mentions():
+        src = s0
+        part = stage_path(workdir, "s1_mentions_partial")
+        if resume and os.path.isdir(part):
+            done = spark.read.parquet(part)
+            todo = resume_filter(src, done.select("doc_id", "lang"), ["doc_id", "lang"])
+            fresh = filter_self_references(extract_mentions(todo))
+            return done.unionByName(fresh)
+        return filter_self_references(extract_mentions(src))
+    s1 = stage("s1_mentions", _mentions)
+
+    # ---- s2 references (pure regex)
+    s2 = stage("s2_references", lambda: extract_references(s0))
+
+    # ---- s3 linking
+    s3 = stage(
+        "s3_matches",
+        lambda: link_rule_mentions(
+            s1, s0, dicts["entity_registry"], dicts["popular_entities"]
+        ),
+    )
+
+    # ---- s4 canonicalization
+    s4 = stage("s4_canonical_map", lambda: canonical_map(dicts["entity_registry"]))
+
+    # ---- s5 triples
+    def _triples():
+        canon_matches = apply_canonical(s3, s4)
+        return (
+            cites_triples(s1, s0)
+            .unionByName(decided_by_triples(s1, dicts["alias_map"], dicts["known_missing"]))
+            .unionByName(party_of_triples(s1))
+            .unionByName(applies_provision_triples(canon_matches))
+        )
+    s5 = stage("s5_triples", _triples)
+
+    # ---- s6 materialize nodes + edges
+    def _nodes():
+        subj = s5.select(F.col("subj").alias("id"))
+        obj = s5.select(F.col("obj").alias("id"))
+        return (
+            subj.unionByName(obj)
+            .distinct()
+            .withColumn(
+                "type",
+                F.when(F.col("id").startswith("DEC-"), "decision")
+                .when(F.col("id").startswith("ART-"), "provision")
+                .when(F.col("id").startswith("PARTY-"), "party")
+                .when(F.col("id").startswith("ORG-"), "org")
+                .otherwise("other"),
+            )
+        )
+    stage("s6_nodes", _nodes, partition_by=["type"])
+    stage("s6_edges", lambda: out["s5_triples"], partition_by=["pred"])
+
+    out["run_metrics"] = spark.read.parquet(os.path.join(workdir, "run_metrics"))
+    return out

@@ -1,0 +1,554 @@
+"""Deterministic synthetic corpus + goldens generator (FIXTURES.md).
+
+Generates the input table in the exact ``input_hint`` shape
+``(repo, path, commit, lang, content)`` plus ``content_sha256`` for the
+per-row invariant, an entity registry, broadcast dictionaries, and golden
+tables (``expected_mentions``, ``expected_triples``, ``expected_matches``,
+``expected_components``) — the analog of the reference's golden per-step
+state files (`src/pipeline/state/ECLI_BE_CASS_2026_ARR.20260116.1F.2_FR/`).
+
+Everything is a pure function of (seed, index) via sha256 — no ``random``
+module state, no clock — so content hashes and goldens are reproducible
+across runs and across Spark workers (FIXTURES.md §7). Small scales build
+goldens in pandas; bench scale generates documents distributedly with
+``mapInPandas`` over ``spark.range`` (see :func:`documents_df`).
+
+Planted pattern families mirror the reference regex families
+(SURVEY.md §2.7): identifier citations (ECLI analog,
+`regex-extractor.ts:240-243`), name+date triggers with FR/NL month names
+(`regex-extractor.ts:308-335`), provision snippets ("rule N of X",
+`provisionSnippetExtractor.ts:50-59`), parties, CELEX/NUMAC-style codes
+with deliberately-invalid checksum variants (`referenceExtractorN8N.ts:94-202`),
+valid/broken URLs, and planted self-references that extraction must filter
+(`regex-extractor.ts:252-255`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ..functions.ids import doc_uid_py
+from ..functions.text import length_category_py
+
+SEED = 42
+
+# ---------------------------------------------------------------- determinism
+
+
+def _h(*parts: object) -> int:
+    """Pure 64-bit hash of the parts (seeded); the only entropy source."""
+    key = ":".join(str(p) for p in (SEED, *parts))
+    return int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "big")
+
+
+def _pick(pool: list[str], *parts: object) -> str:
+    return pool[_h(*parts) % len(pool)]
+
+
+# ------------------------------------------------------------------ word pools
+
+FILLER = (
+    "scan filter join merge batch vector column row table index shard lease "
+    "commit branch module symbol token parse emit fold graph node edge probe "
+    "spill sort hash range lookup buffer stream stage plan task slot queue"
+).split()
+
+ADJ = "core shared stable legacy unified portable secure open internal public".split()
+NOUN = "runtime protocol storage schema registry kernel channel ledger matrix codec".split()
+
+ORG_STEMS = [
+    "Helios", "Borealis", "Meridian", "Atlas", "Vertex", "Quanta", "Nimbus",
+    "Aurora", "Zenith", "Strata", "Fennec", "Kestrel", "Lumen", "Cobalt",
+    "Argon", "Delta", "Echo", "Falcon", "Granite", "Harbor", "Iris",
+    "Juniper", "Krypton", "Larch", "Mistral",
+]
+ORG_SUFFIX = ["Council", "Board", "Chamber", "Tribunal", "Committee"]
+ALIAS_FORMS = [
+    "{stem} {suf}",
+    "{stem} {suf} ({abbr})",
+    "the {stem} {suf}",
+    "{abbr}",
+    "{stem}-{suf}",
+    "{stem} {suf} first chamber",
+    "{stem} {suf} second chamber",
+    "{stem} review {suf}",
+    "{stem} appeals {suf}",
+    "{stem} central {suf}",
+]
+
+PARTY_STEMS = [
+    "Alphatech", "Bravosoft", "Carmine", "Dorian", "Everest", "Fairline",
+    "Gallium", "Hyperion", "Ibexa", "Jovian", "Kelvin", "Lorentz",
+]
+PARTY_SUFFIX = ["Corp", "NV", "GmbH", "Ltd", "SA", "BV"]
+
+# FR/NL month names — the exact bilingual date-trigger family of
+# `regex-extractor.ts:308-335`.
+MONTHS_FR = [
+    "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+    "août", "septembre", "octobre", "novembre", "décembre",
+]
+MONTHS_NL = [
+    "januari", "februari", "maart", "april", "mei", "juni", "juli",
+    "augustus", "september", "oktober", "november", "december",
+]
+
+LANGS = ["py", "ts", "java", "go"]
+
+# ------------------------------------------------------------------- registry
+
+
+def _title(k: int) -> str:
+    return f"{_pick(ADJ, 'adj', k)} {_pick(NOUN, 'noun', k)} charter {k:03d}"
+
+
+def _mutate(title: str, n_edits: int, salt: int) -> str:
+    """Deterministically perturb letters (never the 'charter NNN' suffix)."""
+    head, _, tail = title.rpartition(" charter ")
+    chars = list(head)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    edits = 0
+    step = 0
+    while edits < n_edits and step < 50:
+        pos = _h("mut", salt, title, step) % len(chars)
+        if chars[pos].isalpha():
+            repl = alpha[_h("mutc", salt, title, step) % 26]
+            if repl != chars[pos]:
+                chars[pos] = repl
+                edits += 1
+        step += 1
+    return f"{''.join(chars)} charter {tail}"
+
+
+@dataclass
+class RegistryBundle:
+    entity_registry: pd.DataFrame
+    popular_entities: pd.DataFrame
+    family_map: pd.DataFrame
+    alias_map: pd.DataFrame
+    known_missing: pd.DataFrame
+    expected_components: pd.DataFrame
+    # lookup helpers for the corpus generator
+    titles: dict[str, str] = field(default_factory=dict)  # entity_id -> title
+    popular_ids: list[str] = field(default_factory=list)
+    plain_ids: list[str] = field(default_factory=list)
+    org_codes: list[str] = field(default_factory=list)
+    org_alias: dict[str, str] = field(default_factory=dict)  # alias -> code
+    dup_variant_of: dict[str, str] = field(default_factory=dict)
+
+
+def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle:
+    """Entity registry + broadcast dictionaries (FIXTURES.md §2-3)."""
+    rows = []
+    titles: dict[str, str] = {}
+    for k in range(n_canonical):
+        eid = f"E{k:04d}"
+        t = _title(k)
+        titles[eid] = t
+        # valid_from: most entities valid from 2000; every 9th is a decoy
+        # dated 2030 to exercise the temporal-cutoff predicate
+        # (`mapping/steps.ts:452-454`).
+        vf = "2030-01-01" if k % 9 == 8 else f"20{k % 10:02d}-01-01"
+        rows.append((eid, t, "charter", vf, f"rule-{k % 7}", f"member text for {t}"))
+
+    # Duplicate chains A-B-C (B close to A, C close to B, A-C farther) —
+    # exercises connected components beyond pairwise dedup (FIXTURES.md §5).
+    comp_rows = []
+    dup_variant_of: dict[str, str] = {}
+    for c in range(n_dup_chains):
+        base_k = 200 + c
+        a = f"E{base_k:04d}"
+        b = f"E{base_k:04d}X"
+        cc = f"E{base_k:04d}XX"
+        ta = _title(base_k)
+        tb = _mutate(ta, 2, 1)
+        tc = _mutate(tb, 2, 2)
+        for eid, t in ((a, ta), (b, tb), (cc, tc)):
+            titles[eid] = t
+            rows.append((eid, t, "charter", "2001-01-01", "rule-0", f"member text for {t}"))
+        for eid in (a, b, cc):
+            comp_rows.append((eid, a))  # canonical = min id in component
+            if eid != a:
+                dup_variant_of[eid] = a
+
+    entity_registry = pd.DataFrame(
+        rows,
+        columns=["entity_id", "title", "entity_type", "valid_from", "member_key", "member_text"],
+    )
+
+    # Popular dictionary: 64 exact lowercased titles (popular-laws analog,
+    # `mapping/steps.ts:30-44`). Matches emit score=100 (steps.ts:309-320).
+    popular_ids = [f"E{k:04d}" for k in range(0, 64) if k % 9 != 8]
+    popular_entities = pd.DataFrame(
+        [(titles[e].lower().strip(), e) for e in popular_ids],
+        columns=["name_norm", "entity_id"],
+    )
+
+    # Family map: 47 families, one hub family with 20 ids
+    # (code-mapping.json analog — `Code civil` -> 20 NUMACs, steps.ts:46-49).
+    fam_rows = []
+    for f_i in range(47):
+        if f_i == 0:
+            ids = [f"E{k:04d}" for k in range(20)]  # the hub
+        else:
+            ids = [f"E{(f_i * 3 + j) % n_canonical:04d}" for j in range(1 + f_i % 3)]
+        fam_rows.append((f"family-{f_i:02d}", ids))
+    family_map = pd.DataFrame(fam_rows, columns=["family", "entity_ids"])
+
+    # Alias map: 247 rows alias -> org code (court-mapping.csv analog).
+    org_codes = [f"ORG-{s.upper()}" for s in ORG_STEMS]
+    alias_rows = []
+    org_alias: dict[str, str] = {}
+    for i, stem in enumerate(ORG_STEMS):
+        suf = ORG_SUFFIX[i % len(ORG_SUFFIX)]
+        abbr = "".join(w[0] for w in (stem, suf)).upper() + str(i)
+        for form in ALIAS_FORMS:
+            alias = form.format(stem=stem, suf=suf, abbr=abbr)
+            alias_rows.append((alias, org_codes[i], f"{stem} {suf}"))
+            org_alias[alias.lower().strip()] = org_codes[i]
+            if len(alias_rows) == 247:
+                break
+        if len(alias_rows) == 247:
+            break
+    alias_map = pd.DataFrame(alias_rows, columns=["alias", "canonical_code", "official_name"])
+
+    known_missing = pd.DataFrame(
+        {"name_norm": ["obsolete accord", "withdrawn pact", "unknown consortium"]}
+    )
+    expected_components = pd.DataFrame(comp_rows, columns=["entity_ref", "canonical_id"])
+
+    plain_ids = [f"E{k:04d}" for k in range(64, n_canonical) if k % 9 != 8]
+    return RegistryBundle(
+        entity_registry=entity_registry,
+        popular_entities=popular_entities,
+        family_map=family_map,
+        alias_map=alias_map,
+        known_missing=known_missing,
+        expected_components=expected_components,
+        titles=titles,
+        popular_ids=popular_ids,
+        plain_ids=plain_ids,
+        org_codes=org_codes,
+        org_alias=org_alias,
+        dup_variant_of=dup_variant_of,
+    )
+
+
+# ------------------------------------------------------------------ documents
+
+
+def _doc_ident(j: int) -> str:
+    """The doc-identifier grammar (ECLI analog): ``DOC:rr:nnnnn``."""
+    return f"DOC:{j % 100:02d}:{j % 100000:05d}"
+
+
+def _date_str(i: int, k: int) -> str:
+    """A planted date in one of three formats: numeric, FR month, NL month."""
+    day = 1 + _h("dd", i, k) % 28
+    month = 1 + _h("dm", i, k) % 12
+    year = 2015 + _h("dy", i, k) % 10
+    form = _h("df", i, k) % 3
+    if form == 0:
+        return f"{day:02d}/{month:02d}/{year}"
+    if form == 1:
+        return f"{day} {MONTHS_FR[month - 1]} {year}"
+    return f"{day} {MONTHS_NL[month - 1]} {year}"
+
+
+def _filler(i: int, block: int, target_chars: int) -> str:
+    words = []
+    n = 0
+    w_i = 0
+    while n < target_chars:
+        w = FILLER[_h("fill", i, block, w_i) % len(FILLER)]
+        words.append(w)
+        n += len(w) + 1
+        w_i += 1
+    return " ".join(words)
+
+
+@dataclass
+class _DocBuild:
+    parts: list[str] = field(default_factory=list)
+    pos: int = 0
+    mentions: list[dict] = field(default_factory=list)
+
+    def filler(self, i: int, block: int, chars: int) -> None:
+        s = _filler(i, block, chars) + " "
+        self.parts.append(s)
+        self.pos += len(s)
+
+    def plant(self, kind: str, surface: str, lead: str = "", trail: str = " ", **extra):
+        self.parts.append(lead)
+        self.pos += len(lead)
+        start = self.pos
+        self.parts.append(surface)
+        self.pos += len(surface)
+        self.mentions.append(
+            {"mention_kind": kind, "surface": surface,
+             "char_start": start, "char_end": start + len(surface), **extra}
+        )
+        self.parts.append(trail)
+        self.pos += len(trail)
+
+
+CLUSTER_DISTANCE = 500  # `regex-extractor.ts:425`
+WINDOW_SIZE = 1200      # `regex-extractor.ts:481`
+
+_CLUSTERED_KINDS = {"IDENT", "NAME_DATE"}
+
+
+def assign_clusters(mentions: list[dict]) -> None:
+    """Gap-≤500 clustering over citation triggers (`regex-extractor.ts:425-475`).
+
+    Mutates each mention dict, adding ``cluster_id`` (-1 for kinds that do
+    not participate) and per-mention confidence.
+    """
+    cid = -1
+    last_end = None
+    for m in sorted(mentions, key=lambda m: m["char_start"]):
+        if m["mention_kind"] in _CLUSTERED_KINDS:
+            if last_end is None or m["char_start"] - last_end > CLUSTER_DISTANCE:
+                cid += 1
+            m["cluster_id"] = cid
+            last_end = m["char_end"]
+        else:
+            m["cluster_id"] = -1
+        m["confidence"] = {
+            "IDENT": "HIGH", "NAME_DATE": "MEDIUM",
+        }.get(m["mention_kind"], "LOW")
+
+
+def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list[dict], list[dict], list[dict]]:
+    """Build doc *i*: row dict, mentions goldens, triple goldens, match goldens."""
+    repo = f"org/proj-{i % 20:02d}"
+    lang = LANGS[i % len(LANGS)]
+    path = f"src/pkg{i // 50:03d}/mod_{i:05d}.{lang}"
+    commit = hashlib.sha256(f"{SEED}:commit:{i}".encode()).hexdigest()[:8]
+    uid = doc_uid_py(repo, path, commit)
+    doc_date = f"20{15 + i % 10:02d}-{1 + i % 12:02d}-{1 + i % 28:02d}"
+
+    b = _DocBuild()
+    triples: list[tuple[str, str, str]] = []
+    matches: list[dict] = []
+
+    b.filler(i, 0, 100 + _h("f0", i) % 300)
+
+    # -- parties (70% of docs) → PARTY mentions + party_of triples
+    if _h("haspar", i) % 10 < 7:
+        pa = f"{_pick(PARTY_STEMS, 'pa', i)} {_pick(PARTY_SUFFIX, 'pas', i)}"
+        pb = f"{_pick(PARTY_STEMS, 'pb', i, 1)} {_pick(PARTY_SUFFIX, 'pbs', i, 1)}"
+        if pb == pa:
+            pb = f"{PARTY_STEMS[(_h('pb2', i) % (len(PARTY_STEMS) - 1) + 1)]} Ltd"
+        b.plant("PARTY", f"PARTIES: {pa} vs {pb}", trail=". ")
+        for seq, _name in enumerate((pa, pb), start=1):
+            triples.append((f"PARTY-{uid}-{seq:03d}", "party_of", f"DEC-{uid}"))
+
+    b.filler(i, 1, 200 + _h("f1", i) % 200)
+
+    # -- citations: IDENT mentions → cites triples (self-cites filtered)
+    n_cites = _h("nc", i) % 4
+    own = _doc_ident(i)
+    for k in range(n_cites):
+        target = (i * 31 + k * 17 + 7) % n_docs
+        if target == i:
+            target = (target + 1) % n_docs
+        b.plant("IDENT", _doc_ident(target), lead="see ", trail=" ; ")
+        triples.append((f"DEC-{uid}", "cites", f"DEC-{doc_uid_of(target)}"))
+        # small gap (same cluster) or big gap (new cluster)
+        gap = 120 if _h("gap", i, k) % 2 == 0 else 700 + _h("gap2", i, k) % 500
+        b.filler(i, 10 + k, gap)
+    if _h("self", i) % 5 == 0:
+        # planted self-reference — must be extracted then filtered
+        # (`regex-extractor.ts:252-255`); no triple emitted.
+        b.plant("IDENT", own, lead="as held in ", trail=" . ", self_ref=True)
+        b.filler(i, 20, 150)
+
+    # -- name+date (decided_by): alias + date within one cluster window
+    alias_pool = list(reg.org_alias.keys())
+    alias_norm = alias_pool[_h("org", i) % len(alias_pool)]
+    alias_disp = reg.alias_map.iloc[
+        reg.alias_map["alias"].str.lower().str.strip().tolist().index(alias_norm)
+    ]["alias"]
+    org_code = reg.org_alias[alias_norm]
+    date_s = _date_str(i, 0)
+    b.plant("NAME_DATE", f"Reviewed by {alias_disp} on {date_s}", trail=". ",
+            org_code=org_code)
+    triples.append((f"DEC-{uid}", "decided_by", org_code))
+    matches.append({"mention_uid": f"{uid}:NAME_DATE:1", "entity_id": org_code,
+                    "matched_on": "DICT", "score": 100})
+
+    # occasionally a known-missing org (skip path, `mapping/steps.ts:100-103`)
+    if _h("miss", i) % 11 == 0:
+        b.plant("NAME_DATE", f"Reviewed by obsolete accord on {_date_str(i, 1)}",
+                trail=". ", org_code=None)
+
+    b.filler(i, 2, 600 + _h("f2", i) % 400)
+
+    # -- provisions: "rule N of <title>" → applies_provision triples.
+    # Path mix: DICT (popular exact) / EXACT_ID ("rule N of E0042") /
+    # SIMILARITY (edit-distance variant of a plain title) /
+    # DUP (variant entity id → canonicalization rewrites to chain head).
+    n_rules = _h("nr", i) % 3
+    rule_seq = 0
+    for k in range(n_rules):
+        rule_seq += 1
+        rn = 1 + _h("rn", i, k) % 120
+        path_kind = _h("rp", i, k) % 4
+        if path_kind == 0:
+            eid = reg.popular_ids[_h("re", i, k) % len(reg.popular_ids)]
+            surface_title = reg.titles[eid]
+            matched_on = "DICT"
+        elif path_kind == 1:
+            eid = reg.plain_ids[_h("re", i, k) % len(reg.plain_ids)]
+            surface_title = eid  # direct id citation — ECLI-equality analog
+            matched_on = "EXACT_ID"
+        elif path_kind == 2:
+            eid = reg.plain_ids[_h("re", i, k) % len(reg.plain_ids)]
+            surface_title = _mutate(reg.titles[eid], 1, 3)
+            matched_on = "SIMILARITY"
+        else:
+            dups = sorted(reg.dup_variant_of)
+            dup = dups[_h("re", i, k) % len(dups)]
+            eid = dup  # linking resolves to dup id; canonicalization rewrites
+            surface_title = reg.titles[dup]
+            matched_on = "SIMILARITY"  # exact title hit via the similarity path
+        b.plant("RULE", f"rule {rn} of {surface_title}", lead="as stated in ",
+                trail=", ", entity_id=eid, rule_num=rn)
+        canonical = reg.dup_variant_of.get(eid, eid)
+        triples.append((f"DEC-{uid}", "applies_provision", f"ART-{canonical}-{rn:03d}"))
+        matches.append({"mention_uid": f"{uid}:RULE:{rule_seq}", "entity_id": eid,
+                        "matched_on": matched_on, "score": -1})
+        b.filler(i, 30 + k, 150 + _h("f3", i, k) % 200)
+
+    # -- reference codes (agent-2B analog): valid + invalid variants
+    year_ok = 1990 + _h("cy", i) % 30
+    b.plant("REF", f"CELEX:3{year_ok}L{_h('cn', i) % 10000:04d}", ref_valid=True)
+    if _h("badc", i) % 3 == 0:
+        b.plant("REF", f"CELEX:3{2077}L{_h('cn2', i) % 10000:04d}", ref_valid=False)
+    month_ok = 1 + _h("nm", i) % 12
+    b.plant("REF", f"{2000 + _h('ny', i) % 25}{month_ok:02d}{_h('nn', i) % 10000:04d}",
+            lead="numac ", ref_valid=True)
+    if _h("badn", i) % 3 == 1:
+        # 10 digits but month=77 → extracted, fails validation
+        # (verified-vs-extracted split, referenceExtractorN8N.ts:94-202)
+        b.plant("REF", f"{2005}77{_h('nn2', i) % 10000:04d}", lead="numac ", ref_valid=False)
+    b.plant("REF", f"https://lex.example.eu/legal-content/{uid[:8]}", ref_valid=True)
+
+    # -- tail filler: size spread 2K–120K analog (most short, few long)
+    spread = _h("size", i) % 100
+    if spread < 70:
+        tail = 800 + _h("t", i) % 2000
+    elif spread < 95:
+        tail = 4000 + _h("t", i) % 8000
+    else:
+        tail = 20000 + _h("t", i) % 30000
+    b.filler(i, 99, tail)
+
+    content = "".join(b.parts)
+    assign_clusters(b.mentions)
+    for seq, m in enumerate(sorted(b.mentions, key=lambda m: m["char_start"]), start=1):
+        m["mention_seq"] = seq
+        m["doc_id"] = uid
+        m["lang"] = lang
+
+    row = {
+        "repo": repo, "path": path, "commit": commit, "lang": lang,
+        "content": content,
+        "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+        "doc_ident": own,
+        "doc_date": doc_date,
+        "md_length": len(content),
+        "length_category": length_category_py(len(content)),
+    }
+    t_rows = [{"subj": s, "pred": p, "obj": o} for s, p, o in triples]
+    return row, b.mentions, t_rows, matches
+
+
+# doc_uid depends only on (i) through repo/path/commit; precompute helper
+def doc_uid_of(i: int) -> str:
+    repo = f"org/proj-{i % 20:02d}"
+    lang = LANGS[i % len(LANGS)]
+    path = f"src/pkg{i // 50:03d}/mod_{i:05d}.{lang}"
+    commit = hashlib.sha256(f"{SEED}:commit:{i}".encode()).hexdigest()[:8]
+    return doc_uid_py(repo, path, commit)
+
+
+@dataclass
+class CorpusBundle:
+    documents: pd.DataFrame
+    expected_mentions: pd.DataFrame
+    expected_triples: pd.DataFrame
+    expected_matches: pd.DataFrame
+
+
+def gen_corpus(n_docs: int, reg: RegistryBundle | None = None) -> CorpusBundle:
+    reg = reg or gen_registry()
+    doc_rows, mention_rows, triple_rows, match_rows = [], [], [], []
+    for i in range(n_docs):
+        row, ms, ts, mas = build_document(i, n_docs, reg)
+        doc_rows.append(row)
+        mention_rows.extend(ms)
+        triple_rows.extend(ts)
+        match_rows.extend(mas)
+    mention_cols = ["doc_id", "lang", "mention_seq", "mention_kind", "surface",
+                    "char_start", "char_end", "cluster_id", "confidence"]
+    mentions = pd.DataFrame(mention_rows)
+    for c in mention_cols:
+        if c not in mentions.columns:
+            mentions[c] = None
+    return CorpusBundle(
+        documents=pd.DataFrame(doc_rows),
+        expected_mentions=mentions[mention_cols + [c for c in ("self_ref", "entity_id", "rule_num", "org_code", "ref_valid") if c in mentions.columns]],
+        expected_triples=pd.DataFrame(triple_rows).drop_duplicates(),
+        expected_matches=pd.DataFrame(match_rows),
+    )
+
+
+# ------------------------------------------------------------- Spark surfaces
+
+
+def corpus_tables(spark, n_docs: int, reg: RegistryBundle | None = None):
+    """Small-scale corpus + registry + goldens as Spark DataFrames."""
+    reg = reg or gen_registry()
+    bundle = gen_corpus(n_docs, reg)
+    out = {
+        "documents": spark.createDataFrame(bundle.documents),
+        "entity_registry": spark.createDataFrame(reg.entity_registry),
+        "popular_entities": spark.createDataFrame(reg.popular_entities),
+        "family_map": spark.createDataFrame(reg.family_map),
+        "alias_map": spark.createDataFrame(reg.alias_map),
+        "known_missing": spark.createDataFrame(reg.known_missing),
+        "expected_components": spark.createDataFrame(reg.expected_components),
+        "expected_triples": spark.createDataFrame(bundle.expected_triples),
+    }
+    return out, bundle, reg
+
+
+_DOC_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, "
+    "content_sha256 string, doc_ident string, doc_date string, md_length long, "
+    "length_category string"
+)
+
+
+def documents_df(spark, n_docs: int):
+    """Distributed deterministic corpus for bench scale.
+
+    ``spark.range`` partitions the index space; each worker builds its
+    documents purely from the index — no driver-side loop, no collected
+    goldens. Scales linearly: at 10^12 files this is just a wider range.
+    """
+    reg = gen_registry()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [build_document(int(i), n_docs, reg)[0] for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            yield out[["repo", "path", "commit", "lang", "content", "content_sha256",
+                       "doc_ident", "doc_date", "md_length", "length_category"]]
+
+    return spark.range(n_docs).repartition(64).mapInPandas(gen, schema=_DOC_SCHEMA)

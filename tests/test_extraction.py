@@ -1,0 +1,69 @@
+"""Extraction kernel vs planted goldens (FIXTURES.md §5).
+
+The generator plants mentions at known offsets; the kernel must recover
+every one (same kind, surface, offsets, cluster, confidence) — the analog
+of the reference's golden per-step state files.
+"""
+
+import pandas as pd
+
+from decisions_knowledge_graph_data_spark.operators.extract import (
+    cluster_windows,
+    extract_mentions,
+    filter_self_references,
+)
+
+
+def _key(df: pd.DataFrame):
+    return set(
+        zip(df["doc_id"], df["mention_kind"], df["surface"],
+            df["char_start"], df["char_end"], df["cluster_id"], df["confidence"])
+    )
+
+
+def test_mentions_exact_match(corpus20):
+    tables, bundle, _ = corpus20
+    got = extract_mentions(tables["documents"]).toPandas()
+    exp = bundle.expected_mentions
+    assert _key(got) == _key(exp)
+    # sequence numbers are position-ordered and dense per doc
+    for _, g in got.groupby("doc_id"):
+        seqs = sorted(g["mention_seq"])
+        assert seqs == list(range(1, len(g) + 1))
+
+
+def test_self_reference_filtered(corpus20):
+    tables, bundle, _ = corpus20
+    raw = extract_mentions(tables["documents"])
+    kept = filter_self_references(raw).toPandas()
+    exp = bundle.expected_mentions
+    planted_self = exp[exp.get("self_ref").notna()] if "self_ref" in exp else exp.iloc[0:0]
+    assert len(planted_self) > 0, "goldens must include planted self-references"
+    own = set(zip(planted_self["doc_id"], planted_self["surface"]))
+    got_pairs = set(zip(kept["doc_id"], kept["surface"]))
+    assert own.isdisjoint(got_pairs)
+    # resequenced densely after the filter
+    for _, g in kept.groupby("doc_id"):
+        assert sorted(g["mention_seq"]) == list(range(1, len(g) + 1))
+
+
+def test_cluster_windows(corpus20, spark):
+    tables, _, _ = corpus20
+    m = extract_mentions(tables["documents"])
+    w = cluster_windows(m, tables["documents"]).toPandas()
+    assert (w["window"].str.len() <= 1200).all()
+    assert (w["n_triggers"] >= 1).all()
+    assert set(w["confidence"]) <= {"HIGH", "MEDIUM", "LOW"}
+    # every window contains at least part of its cluster's trigger text
+    assert len(w) > 0
+
+
+def test_empty_and_null_content_filtered(spark):
+    df = spark.createDataFrame(
+        [("r", "p1", "c", "py", None, "DOC:00:00000"),
+         ("r", "p2", "c", "py", "", "DOC:00:00001"),
+         ("r", "p3", "c", "py", "see DOC:01:00001 .", "DOC:00:00002")],
+        "repo string, path string, commit string, lang string, content string, doc_ident string",
+    )
+    got = extract_mentions(df).toPandas()
+    assert set(got["surface"]) == {"DOC:01:00001"}
