@@ -1,38 +1,770 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: knowledge-graph materialization over the
+sf0.001 star schema (nodes/edges from customers/orders/parts/suppliers).
+``queries()`` — one entry per implemented operator family (SURVEY.md §2);
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+Non-SQL-expressible ops (LSH/minhash/simhash blocking, the full KG
+pipeline over the synthetic corpus) have no oracle → rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: relational → knowledge-graph edge table (sf0.001).
+
+    Mints typed node ids and emits one edges DataFrame across four
+    relations — the s6-materialize shape of the pipeline (SURVEY.md §7.1)
+    applied to the star schema.
+    """
+    sf = "/root/testdata/sf0.001"
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+
+    placed = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        F.concat(F.lit("CUST-"), "c_custkey").alias("subj"),
+        F.lit("placed").alias("pred"),
+        F.concat(F.lit("ORD-"), "o_orderkey").alias("obj"),
+    )
+    contains = lineitem.select(
+        F.concat(F.lit("ORD-"), "l_orderkey").alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("PART-"), "l_partkey").alias("obj"),
+    ).dropDuplicates(["subj", "pred", "obj"])
+    supplies = lineitem.select(
+        F.concat(F.lit("SUPP-"), "l_suppkey").alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("PART-"), "l_partkey").alias("obj"),
+    ).dropDuplicates(["subj", "pred", "obj"])
+    located = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.concat(F.lit("CUST-"), "c_custkey").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("NATION-"), "n_name").alias("obj"),
+    )
+    return placed.unionByName(contains).unionByName(supplies).unionByName(located)
+
+
+# ------------------------------------------------------------------- queries
+
+_SQL_STOP_EN = "('the','and','of','to','a','in','is','for','with','on')"
+_SQL_STOP_FR = "('le','la','de','et','un','une','des','du','que','pour')"
+_SQL_STOP_NL = "('de','het','een','en','van','is','dat','op','te','met')"
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_top1_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def q_seq_ids(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    w = Window.orderBy("o_orderkey")
+    return o.select("o_orderkey").withColumn(
+        "custom_id",
+        F.concat(F.lit("DEC-"), F.lpad(F.row_number().over(w).cast("string"), 6, "0")),
+    )
+
+
+def q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_nway_intersection(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("n_status"))
+        .filter(F.col("n_status") == 3)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def q_dimension_lookup(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(F.coalesce("r_name", F.lit("UNKNOWN")).alias("region_name"))
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+def q_error_taxonomy(spark, sf):
+    e = _t(spark, sf, "events")
+    cat = (
+        F.when(F.col("event_type").contains("click"), "interaction")
+        .when(F.col("event_type").contains("view"), "impression")
+        .when(F.col("event_type").contains("purchase"), "conversion")
+        .otherwise("other")
+    )
+    return e.groupBy(cat.alias("category")).agg(F.count("*").alias("n"))
+
+
+def q_freq_topn(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "p_brand")
+        .limit(20)
+    )
+
+
+def q_collect_list(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("o_orderpriority")), ",").alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_crosstab(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias("high"),
+        F.sum(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1).otherwise(0)).alias("medium"),
+        F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"), 1).otherwise(0)).alias("other"),
+    )
+
+
+def q_percentiles(spark, sf):
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return per_cust.agg(
+        F.min("n").alias("min_orders"),
+        F.max("n").alias("max_orders"),
+        F.round(F.avg("n"), 6).alias("avg_orders"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("median_orders"),
+    )
+
+
+def q_temporal_histogram(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("order_year")
+    )
+
+
+def q_score_histogram(spark, sf):
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "300k+")
+        .when(F.col("o_totalprice") >= 150000, "150k-300k")
+        .when(F.col("o_totalprice") >= 50000, "50k-150k")
+        .otherwise("<50k")
+    )
+    return o.groupBy(bucket.alias("price_bucket")).agg(F.count("*").alias("n"))
+
+
+def q_distinct_on(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_set_ops(spark, sf):
+    o = _t(spark, sf, "orders")
+    o_open = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    o_done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return o_open.exceptAll(o_done).select(F.col("o_custkey").alias("custkey"))
+
+
+def q_running_window(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (the SQL twin of trigger clustering,
+    regex-extractor.ts:425-475: new cluster when gap > threshold)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("n_events")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+def q_blocking_join_date(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    od = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    return (
+        li.withColumn("d", F.to_date("l_shipdate"))
+        .join(od, "d")
+        .groupBy("d")
+        .agg(F.count("*").alias("n_lineitems"))
+        .orderBy("d")
+    )
+
+
+# ----- documents / text operators
+
+
+def q_regex_scan(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\bspark\b"), 0)).alias("n_spark"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b(scan|filter|join)\b"), 0)).alias("n_ops"),
+    )
+
+
+def q_token_counts(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        token_count_bpe_ish, token_count_ws,
+    )
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def q_language_id(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import language_id
+    d = _t(spark, sf, "documents")
+    return d.groupBy(language_id(F.col("text")).alias("lang_id")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_quality_score(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import quality_score
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_length_buckets(spark, sf):
+    d = _t(spark, sf, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 300, "medium")
+        .when(F.col("n_chars") < 400, "long")
+        .otherwise("very_long")
+    )
+    return d.groupBy(bucket.alias("length_bucket")).agg(F.count("*").alias("n"))
+
+
+def q_exact_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    n = F.greatest(F.size(toks) - 2, F.lit(1))
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+        )
+    )
+    return d.select("doc_id", fp.alias("fingerprint_md5"))
+
+
+def q_embedding_topk(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.similarity import brute_force_topk
+    em = _t(spark, sf, "embeddings")
+    probes = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 3)
+    return brute_force_topk(
+        corpus, probes, "vec_id", "embedding", "probe_id", "probe_vec", k=5
+    )
+
+
+def q_embedding_dup_exact(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.dedup import cosine
+    em = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = em.select(F.col("vec_id").alias("key_a"), F.col("embedding").alias("_va"))
+    b = em.select(F.col("vec_id").alias("key_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= 0.8)
+        .select("key_a", "key_b", "cos")
+    )
+
+
+def q_events_windowed(spark, sf):
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+    e = _t(spark, sf, "events")
+    return windowed_event_counts(e).select(
+        "window_start", "event_type", "n", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+# ----- non-SQL-expressible (rows-only checks)
+
+
+def q_minhash_dups(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.dedup import minhash_dup_pairs
+    d = _t(spark, sf, "documents")
+    return minhash_dup_pairs(d, "doc_id", "text", jaccard_threshold=0.4)
+
+
+def q_simhash_pairs(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.dedup import simhash_dup_pairs
+    d = _t(spark, sf, "documents")
+    return simhash_dup_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+def q_ngram_jaccard(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3).select(
+        "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_embedding_dup_lsh(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.dedup import embedding_dup_pairs
+    em = _t(spark, sf, "embeddings")
+    return embedding_dup_pairs(em, "vec_id", "embedding", threshold=0.8)
+
+
+def q_ivf_topk(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.similarity import ivf_topk
+    em = _t(spark, sf, "embeddings")
+    probes = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 3)
+    return ivf_topk(corpus, probes, "vec_id", "embedding", "probe_id", "probe_vec",
+                    k=5, n_centroids=8, n_probe=3, dims=64)
+
+
+def q_kg_triples(spark, sf):
+    """Full KG pipeline on the deterministic synthetic corpus (goldens-backed
+    in tests/; rows-only here because the oracle tables don't carry it)."""
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
+    from decisions_knowledge_graph_data_spark.operators.extract import (
+        extract_mentions, filter_self_references,
+    )
+    from decisions_knowledge_graph_data_spark.operators.linking import link_rule_mentions
+    from decisions_knowledge_graph_data_spark.operators.canonicalize import (
+        apply_canonical, canonical_map,
+    )
+    from decisions_knowledge_graph_data_spark.operators.triples import (
+        applies_provision_triples, cites_triples, decided_by_triples, party_of_triples,
+    )
+    tables, _, _ = corpus_tables(spark, 40)
+    docs = tables["documents"]
+    mentions = filter_self_references(extract_mentions(docs))
+    matches = link_rule_mentions(
+        mentions, docs, tables["entity_registry"], tables["popular_entities"]
+    )
+    canon = canonical_map(tables["entity_registry"])
+    return (
+        cites_triples(mentions, docs)
+        .unionByName(decided_by_triples(mentions, tables["alias_map"], tables["known_missing"]))
+        .unionByName(party_of_triples(mentions))
+        .unionByName(applies_provision_triples(apply_canonical(matches, canon)))
+    )
+
+
+def q_kg_references(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.references import reference_counts
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
+    tables, _, _ = corpus_tables(spark, 40)
+    return reference_counts(tables["documents"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "top1_per_group": q_top1_per_group,
+        "seq_ids": q_seq_ids,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "nway_intersection": q_nway_intersection,
+        "dimension_lookup": q_dimension_lookup,
+        "error_taxonomy": q_error_taxonomy,
+        "freq_topn": q_freq_topn,
+        "collect_list": q_collect_list,
+        "crosstab": q_crosstab,
+        "percentiles": q_percentiles,
+        "temporal_histogram": q_temporal_histogram,
+        "score_histogram": q_score_histogram,
+        "distinct_on": q_distinct_on,
+        "set_ops": q_set_ops,
+        "running_window": q_running_window,
+        "sessionize": q_sessionize,
+        "blocking_join_date": q_blocking_join_date,
+        "regex_scan": q_regex_scan,
+        "token_counts": q_token_counts,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "length_buckets": q_length_buckets,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "embedding_dup_exact": q_embedding_dup_exact,
+        "events_windowed": q_events_windowed,
+        "minhash_dups": q_minhash_dups,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
+        "ivf_topk": q_ivf_topk,
+        "kg_triples": q_kg_triples,
+        "kg_references": q_kg_references,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "top1_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) = 1
+        """,
+        "seq_ids": """
+            SELECT o_orderkey,
+                   'DEC-' || lpad(CAST(row_number() OVER (ORDER BY o_orderkey) AS VARCHAR), 6, '0') AS custom_id
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "nway_intersection": """
+            SELECT o_custkey AS custkey FROM orders
+            GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) = 3
+        """,
+        "dimension_lookup": """
+            SELECT coalesce(r_name, 'UNKNOWN') AS region_name,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+                          LEFT JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "error_taxonomy": """
+            SELECT CASE WHEN event_type LIKE '%click%' THEN 'interaction'
+                        WHEN event_type LIKE '%view%' THEN 'impression'
+                        WHEN event_type LIKE '%purchase%' THEN 'conversion'
+                        ELSE 'other' END AS category,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "freq_topn": """
+            SELECT p_brand, count(*) AS occurrences
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY occurrences DESC, p_brand LIMIT 20
+        """,
+        "collect_list": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "crosstab": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS other
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "percentiles": """
+            WITH per_cust AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+            SELECT min(n) AS min_orders, max(n) AS max_orders,
+                   round(avg(n), 6) AS avg_orders,
+                   round(quantile_cont(n, 0.5), 6) AS median_orders
+            FROM per_cust
+        """,
+        "temporal_histogram": """
+            SELECT year(o_orderdate) AS order_year, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "score_histogram": """
+            SELECT CASE WHEN o_totalprice >= 300000 THEN '300k+'
+                        WHEN o_totalprice >= 150000 THEN '150k-300k'
+                        WHEN o_totalprice >= 50000 THEN '50k-150k'
+                        ELSE '<50k' END AS price_bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "distinct_on": """
+            SELECT user_id, event_id, event_type FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        """,
+        "set_ops": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "running_window": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 4) AS running_value
+            FROM events WHERE user_id < 50
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            ), counts AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT n_events, count(*) AS n_sessions FROM counts
+            GROUP BY n_events ORDER BY n_events
+        """,
+        "blocking_join_date": """
+            SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_lineitems
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) IN (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "regex_scan": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b(spark)\b')) AS n_spark,
+                   len(regexp_extract_all(text, '\b(scan|filter|join)\b')) AS n_ops
+            FROM documents
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]+')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "language_id": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       t -> regexp_replace(t, '[^a-zà-ÿ]', '', 'g')) AS tk
+              FROM documents
+            ), scores AS (
+              SELECT doc_id,
+                     len(list_filter(tk, t -> t IN {_SQL_STOP_EN})) AS s_en,
+                     len(list_filter(tk, t -> t IN {_SQL_STOP_FR})) AS s_fr,
+                     len(list_filter(tk, t -> t IN {_SQL_STOP_NL})) AS s_nl
+              FROM toks
+            )
+            SELECT CASE WHEN greatest(s_en, s_fr, s_nl) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_fr, s_nl) THEN 'en'
+                        WHEN s_fr = greatest(s_en, s_fr, s_nl) THEN 'fr'
+                        ELSE 'nl' END AS lang_id,
+                   count(*) AS n_docs
+            FROM scores GROUP BY 1
+        """,
+        "quality_score": r"""
+            WITH stats AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(0.25 * (CASE WHEN n BETWEEN 200 AND 200000 THEN 1.0 ELSE 0.3 END)
+                       + 0.25 * (n_alpha / greatest(n, 1)) * 1.25
+                       + 0.25 * (CASE WHEN n_punct / greatest(n_tokens, 1) <= 0.3 THEN 1.0 ELSE 0.5 END)
+                       + 0.25 * (CASE WHEN n_alpha / greatest(n_tokens, 1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.5 END),
+                     4) AS quality
+            FROM stats
+        """,
+        "length_buckets": """
+            SELECT CASE WHEN n_chars < 200 THEN 'short'
+                        WHEN n_chars < 300 THEN 'medium'
+                        WHEN n_chars < 400 THEN 'long'
+                        ELSE 'very_long' END AS length_bucket,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "exact_dedup": """
+            SELECT doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            ORDER BY doc_id
+        """,
+        "fingerprint": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(
+                     range(1, greatest(len(tk) - 2, 1) + 1),
+                     i -> md5(array_to_string(tk[i:i+2], ' ')))) AS fingerprint_md5
+            FROM toks
+        """,
+        "embedding_topk": """
+            WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
+                 corpus AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 3)
+            SELECT probe_id, vec_id,
+                   round(list_cosine_similarity(pv, cv), 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY list_cosine_similarity(pv, cv) DESC, vec_id) AS INT) AS rank
+            FROM probes, corpus
+            QUALIFY rank <= 5
+        """,
+        "embedding_dup_exact": """
+            SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -62,7 +62,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
     row = e.agg(
         F.count("*").alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -1,0 +1,95 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions (JVM-side), designed
+for 100 TB corpora: one scan, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny n-gram/stopword tables for the heuristic language ID
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"],
+    "fr": ["le", "la", "de", "et", "un", "une", "des", "du", "que", "pour"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "op", "te", "met"],
+}
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens_ws(col))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    with a single regex pass (the GPT-style pre-tokenizer shape)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]+"), 0)
+    )
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID over stopword frequencies: argmax of per-language
+    stopword hit counts among {en, fr, nl}; 'und' when nothing hits."""
+    toks = F.transform(tokens_ws(F.lower(col)), lambda t: F.regexp_replace(t, r"[^a-zà-ÿ]", ""))
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*_STOPWORDS[lang]))
+        )
+        for lang in _STOPWORDS
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic tie-break: en > fr > nl (fixed priority order)
+    for lang in ("nl", "fr", "en"):
+        out = F.when((best > 0) & (scores[lang] == best), lang).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0, 1]: length band + punctuation ratio +
+    mean word length band + alpha ratio. Deterministic, explainable."""
+    n = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-zÀ-ÿ]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    n_tokens = token_count_ws(col)
+    mean_wlen = n_alpha / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n >= 200) & (n <= 200_000), 1.0).otherwise(0.3)
+    alpha_ratio = n_alpha / F.greatest(n, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_tokens, F.lit(1))
+    punct_ok = F.when(punct_ratio <= 0.3, 1.0).otherwise(0.5)
+    wlen_ok = F.when((mean_wlen >= 2.5) & (mean_wlen <= 12), 1.0).otherwise(0.5)
+    return F.round(
+        0.25 * len_ok + 0.25 * alpha_ratio * 1.25 + 0.25 * punct_ok + 0.25 * wlen_ok, 4
+    )
+
+
+def fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling-hash over word
+    windows → stable 64-bit content fingerprint (robust to whitespace)."""
+    toks = tokens_ws(F.lower(col))
+    n = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.array_min(window_hashes)
+
+
+def text_profile(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """One-scan profile: all stats for every document."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(key_col),
+        F.length(c).alias("n_chars"),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe_ish(c).alias("n_tokens_bpe"),
+        language_id(c).alias("lang_id"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -101,8 +101,15 @@ LANGS = ["py", "ts", "java", "go"]
 # ------------------------------------------------------------------- registry
 
 
+def _slug(k: int) -> str:
+    """5-letter deterministic slug — keeps distinct entity titles textually
+    far apart so near-dup detection only fires on planted duplicates."""
+    v = _h("slug", k)
+    return "".join(chr(ord("a") + (v >> (5 * j)) % 26) for j in range(5))
+
+
 def _title(k: int) -> str:
-    return f"{_pick(ADJ, 'adj', k)} {_pick(NOUN, 'noun', k)} charter {k:03d}"
+    return f"{_pick(ADJ, 'adj', k)} {_pick(NOUN, 'noun', k)} {_slug(k)} charter {k:03d}"
 
 
 def _mutate(title: str, n_edits: int, salt: int) -> str:

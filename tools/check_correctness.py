@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run each queries()[name]
+on Spark at sf0.01 and its oracle_sql()[name] on DuckDB over the same
+parquet, compare row count + schema (column names) + order-insensitive
+value hash. Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main(names: list[str] | None = None):
+    import __spark_entry__ as entry_mod
+    from decisions_knowledge_graph_data_spark.session import get_spark
+
+    spark = get_spark("correctness-check", parallelism=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = names or list(qs)
+    failed = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            hs, ho = value_hash(srows, scols), value_hash(orows, ocols)
+            if hs != ho:
+                problems.append(f"value hash {hs} != {ho}")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                set_s = {"|".join(_norm_cell(r[i]) for i in order_s) for r in srows}
+                set_o = {"|".join(_norm_cell(r[i]) for i in order_o) for r in orows}
+                for x in sorted(set_s - set_o)[:3]:
+                    print(f"        spark-only: {x}")
+                for x in sorted(set_o - set_s)[:3]:
+                    print(f"        duck-only : {x}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(srows)} rows")
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
