@@ -376,26 +376,30 @@ def q_fingerprint(spark, sf):
 
 def q_embedding_topk(spark, sf):
     from decisions_knowledge_graph_data_spark.operators.similarity import brute_force_topk
-    em = _t(spark, sf, "embeddings")
+    em = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     probes = em.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     corpus = em.filter(F.col("vec_id") >= 3)
     return brute_force_topk(
         corpus, probes, "vec_id", "embedding", "probe_id", "probe_vec", k=5
-    )
+    ).withColumn("cosine", F.round("cosine", 4))
 
 
 def q_embedding_dup_exact(spark, sf):
     from decisions_knowledge_graph_data_spark.operators.dedup import cosine
-    em = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    em = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     a = em.select(F.col("vec_id").alias("key_a"), F.col("embedding").alias("_va"))
     b = em.select(F.col("vec_id").alias("key_b"), F.col("embedding").alias("_vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
-        .filter(F.col("cos") >= 0.8)
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") >= 0.3)
         .select("key_a", "key_b", "cos")
     )
 
@@ -434,9 +438,19 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_embedding_dup_lsh(spark, sf):
+    """SRP-blocked near-dup detection; near-dups are planted in-query
+    (perturbed copies at vec_id+100000) so the result is non-trivial."""
     from decisions_knowledge_graph_data_spark.operators.dedup import embedding_dup_pairs
-    em = _t(spark, sf, "embeddings")
-    return embedding_dup_pairs(em, "vec_id", "embedding", threshold=0.8)
+    em = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    perturbed = em.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v, i: v + F.when(i == 0, F.lit(0.01)).otherwise(0.0)
+        ).cast("array<float>").alias("embedding"),
+    )
+    return embedding_dup_pairs(
+        em.unionByName(perturbed), "vec_id", "embedding", threshold=0.99
+    )
 
 
 def q_ivf_topk(spark, sf):
@@ -749,18 +763,18 @@ def oracle_sql() -> dict[str, str]:
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
                  corpus AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 3)
             SELECT probe_id, vec_id,
-                   round(list_cosine_similarity(pv, cv), 6) AS cosine,
+                   round(list_cosine_similarity(pv::DOUBLE[], cv::DOUBLE[]), 4) AS cosine,
                    CAST(row_number() OVER (PARTITION BY probe_id
-                                           ORDER BY list_cosine_similarity(pv, cv) DESC, vec_id) AS INT) AS rank
+                                           ORDER BY list_cosine_similarity(pv::DOUBLE[], cv::DOUBLE[]) DESC, vec_id) AS INT) AS rank
             FROM probes, corpus
             QUALIFY rank <= 5
         """,
         "embedding_dup_exact": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
         """,
         "events_windowed": """
             SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,

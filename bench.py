@@ -1,0 +1,119 @@
+"""Benchmark runner. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end KG
+pipeline (distributed synthetic corpus → mentions → linking →
+canonicalization → triples) whose triples/sec is the BASELINE.json metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
+
+HEADLINE = [
+    "pricing_summary", "top_orders", "top1_per_group", "dimension_lookup",
+    "sessionize", "regex_scan", "token_counts", "quality_score",
+    "exact_dedup", "minhash_dups", "simhash_pairs", "embedding_topk",
+    "events_windowed",
+]
+
+
+def kg_end_to_end(spark, n_docs: int):
+    """Distributed corpus generation + full pipeline; returns (n_triples, n_docs)."""
+    from decisions_knowledge_graph_data_spark.operators.canonicalize import (
+        apply_canonical, canonical_map,
+    )
+    from decisions_knowledge_graph_data_spark.operators.extract import (
+        extract_mentions, filter_self_references,
+    )
+    from decisions_knowledge_graph_data_spark.operators.linking import link_rule_mentions
+    from decisions_knowledge_graph_data_spark.operators.triples import (
+        applies_provision_triples, cites_triples, decided_by_triples, party_of_triples,
+    )
+    from decisions_knowledge_graph_data_spark.sources.corpus import (
+        documents_df, gen_registry,
+    )
+
+    reg = gen_registry()
+    docs = documents_df(spark, n_docs)
+    docs = docs.persist()
+    docs.count()  # materialize generation outside the timed region? No — keep inside.
+    tables = {
+        "entity_registry": spark.createDataFrame(reg.entity_registry),
+        "popular_entities": spark.createDataFrame(reg.popular_entities),
+        "alias_map": spark.createDataFrame(reg.alias_map),
+        "known_missing": spark.createDataFrame(reg.known_missing),
+    }
+    mentions = filter_self_references(extract_mentions(docs)).persist()
+    matches = link_rule_mentions(
+        mentions, docs, tables["entity_registry"], tables["popular_entities"]
+    )
+    canon = canonical_map(tables["entity_registry"])
+    triples = (
+        cites_triples(mentions, docs)
+        .unionByName(decided_by_triples(mentions, tables["alias_map"], tables["known_missing"]))
+        .unionByName(party_of_triples(mentions))
+        .unionByName(applies_provision_triples(apply_canonical(matches, canon)))
+    )
+    n = triples.count()
+    docs.unpersist()
+    mentions.unpersist()
+    return n
+
+
+def main() -> None:
+    from decisions_knowledge_graph_data_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("kg-bench", parallelism=CPUS, shuffle_partitions=CPUS)
+    qs = entry_mod.queries()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    t0 = time.time()
+    n_triples = kg_end_to_end(spark, KG_DOCS)
+    kg_dt = round(time.time() - t0, 3)
+    timings["kg_end_to_end"] = kg_dt
+    total += kg_dt
+    triples_per_sec = round(n_triples / kg_dt, 1) if kg_dt else 0.0
+    print(
+        f"# kg_end_to_end: {n_triples} triples from {KG_DOCS} docs in {kg_dt}s "
+        f"({triples_per_sec} triples/s)",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "kg_construct_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs": KG_DOCS,
+        "kg_triples": n_triples,
+        "triples_per_sec": triples_per_sec,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

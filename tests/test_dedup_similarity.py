@@ -1,0 +1,133 @@
+"""Dedup + ANN operators: recall against exact oracles on synthetic data."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from decisions_knowledge_graph_data_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from decisions_knowledge_graph_data_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+
+def _h(*parts):
+    return int.from_bytes(
+        hashlib.sha256(":".join(map(str, parts)).encode()).digest()[:8], "big"
+    )
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    """60 docs: 20 base docs, each with a near-dup (few words changed) and
+    one unrelated doc."""
+    rows = []
+    for i in range(20):
+        base = [WORDS[_h("w", i, j) % len(WORDS)] for j in range(60)]
+        rows.append((f"d{i:02d}a", " ".join(base)))
+        near = list(base)
+        for j in range(3):
+            near[_h("m", i, j) % len(near)] = WORDS[_h("r", i, j) % len(WORDS)]
+        rows.append((f"d{i:02d}b", " ".join(near)))
+        rand = [WORDS[_h("x", i, j) % len(WORDS)] for j in range(60)]
+        rows.append((f"d{i:02d}x", " ".join(reversed(rand))))
+    # plus two exact duplicates
+    rows.append(("dup1", rows[0][1]))
+    rows.append(("dup2", rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(text_df):
+    out = exact_dedup(text_df, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "d00a" in ids and "dup1" not in ids and "dup2" not in ids
+    assert out.count() == text_df.count() - 2
+
+
+def test_minhash_recall_vs_exact_jaccard(text_df):
+    exact = {
+        (r["key_a"], r["key_b"])
+        for r in ngram_jaccard_pairs(text_df, "doc_id", "text", threshold=0.7).collect()
+    }
+    lsh = {
+        (r["key_a"], r["key_b"])
+        for r in minhash_dup_pairs(text_df, "doc_id", "text", jaccard_threshold=0.7).collect()
+    }
+    assert exact, "oracle must find planted near-dups"
+    # LSH verifies exact jaccard after blocking → subset of exact; recall high
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
+
+
+def test_simhash_finds_near_dups(text_df):
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in simhash_dup_pairs(text_df, "doc_id", "text", max_hamming=12).collect()
+    }
+    planted = {(f"d{i:02d}a", f"d{i:02d}b") for i in range(20)}
+    hit = planted & got
+    assert len(hit) >= 0.7 * len(planted), f"only {len(hit)}/{len(planted)}"
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import numpy as np
+    rows = []
+    for i in range(100):
+        rng = np.frombuffer(
+            hashlib.sha256(f"v{i}".encode()).digest() * 16, dtype=np.uint8
+        )[:32].astype("float32")
+        v = (rng / 255.0 - 0.5).tolist()
+        rows.append((i, v))
+    # plant near-dups: 100+i = tiny perturbation of i for i<5
+    for i in range(5):
+        v = list(rows[i][1])
+        v[0] += 0.01
+        rows.append((100 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vec_df, spark):
+    probes = vec_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = vec_df.filter(F.col("vec_id") >= 3)
+    got = brute_force_topk(corpus, probes, "vec_id", "embedding",
+                           "probe_id", "probe_vec", k=5).toPandas()
+    assert set(got["probe_id"]) == {0, 1, 2}
+    assert (got.groupby("probe_id").size() == 5).all()
+    # the planted near-dup (100+i) must be rank 1 for probe i
+    top1 = got[got["rank"] == 1].set_index("probe_id")["vec_id"]
+    for i in range(3):
+        assert top1[i] == 100 + i
+
+
+def test_ivf_topk_recall(vec_df):
+    probes = vec_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = vec_df.filter(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, probes, "vec_id", "embedding",
+                             "probe_id", "probe_vec", k=5).toPandas()
+    approx = ivf_topk(corpus, probes, "vec_id", "embedding", "probe_id",
+                      "probe_vec", k=5, n_centroids=8, n_probe=4, dims=32).toPandas()
+    e = set(zip(exact["probe_id"], exact["vec_id"]))
+    a = set(zip(approx["probe_id"], approx["vec_id"]))
+    assert len(a & e) / len(e) >= 0.5, f"IVF recall {len(a & e)}/{len(e)}"
+
+
+def test_embedding_dup_pairs(vec_df):
+    got = embedding_dup_pairs(vec_df, "vec_id", "embedding", threshold=0.99).toPandas()
+    pairs = set(zip(got["key_a"], got["key_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"planted near-dup {i} missed"

@@ -1,0 +1,85 @@
+"""Two-cluster-size scaling run (sandbox protocol per BASELINE.md).
+
+Runs the identical end-to-end KG job at local[8] and local[32] on the same
+input via two fresh spark-submit-style subprocesses, then writes
+BENCH/BASELINE.md with throughput at both and the scaling efficiency
+  efficiency = (T_8 / T_32) / (32 / 8)
+(≥ 0.8 required by the north rule's N → 4N criterion).
+
+Usage: python tools/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from decisions_knowledge_graph_data_spark.session import get_spark
+from bench import kg_end_to_end
+
+spark = get_spark("kg-scaling", parallelism={cpus}, shuffle_partitions={cpus})
+# warm the JVM/codegen paths with a tiny run so the timed run measures the job
+kg_end_to_end(spark, 200)
+t0 = time.time()
+n = kg_end_to_end(spark, {n_docs})
+dt = time.time() - t0
+print(json.dumps({{"cpus": {cpus}, "n_docs": {n_docs}, "n_triples": n, "sec": round(dt, 2)}}))
+"""
+
+
+def run_at(cpus: int, n_docs: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_docs=n_docs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    results = {}
+    for cpus in (8, 32):
+        results[cpus] = run_at(cpus, n_docs)
+        print(results[cpus])
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    speedup = t8 / t32
+    efficiency = speedup / (32 / 8)
+    tp8 = results[8]["n_triples"] / t8
+    tp32 = results[32]["n_triples"] / t32
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling run
+
+Sandbox substitution for the north rule's N vs 4N executors criterion
+(BASELINE.md): the identical end-to-end KG job (distributed corpus
+generation → extraction → linking → canonicalization → triples) run at
+two local parallelism levels on the same input ({n_docs} docs).
+
+| parallelism | wall (s) | triples | triples/sec |
+|---|---|---|---|
+| local[8]  (N)  | {t8:.2f} | {results[8]["n_triples"]} | {tp8:.0f} |
+| local[32] (4N) | {t32:.2f} | {results[32]["n_triples"]} | {tp32:.0f} |
+
+- speedup 8→32 cores: **{speedup:.2f}×** (ideal 4×)
+- scaling efficiency: **{efficiency:.2f}** (target ≥ 0.8)
+
+Reference comparison (BASELINE.md): the reference's only compute-bound
+path processes ~64k docs "in seconds" single-node; its LLM-bound
+end-to-end rate is 2.2–8.9 docs/sec. Ours: {results[32]["n_docs"] / t32:.0f} docs/sec
+end-to-end at local[32] including linking + connected components.
+""")
+    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(efficiency, 3)}))
+
+
+if __name__ == "__main__":
+    main()
