@@ -19,19 +19,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .linking import band_hashes, minhash_signature
-
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (JVM-side)."""
+    """Distinct word k-grams, O(n) per row.
+
+    Built with chained ``zip_with`` against shifted copies (null-padded
+    tails become null shingles, compacted away) — NOT slice-per-index,
+    which is O(n²) per row and dominated runtime on long documents.
+    """
     words = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    sh = words
+    for j in range(1, k):
+        shifted = F.slice(
+            words, j + 1, F.greatest(F.size(words) - j, F.lit(0))
         )
-    )
+        sh = F.zip_with(sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.array_compact(sh))
 
 
 def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
@@ -49,64 +52,118 @@ def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     )
 
 
+def oph_minhash_bands(df: DataFrame, key_col: str, text_col: str,
+                      n_hashes: int = 32, n_bands: int = 8,
+                      shingle_words: int = 3) -> DataFrame:
+    """One-permutation-hashing MinHash (Li et al., NIPS'12) for *long*
+    documents: one xxhash per shingle, bucketed into n_hashes ranges, min
+    per bucket — a single explode + hash-agg pass (codegen'd, map-side
+    combined) instead of n_hashes interpreted passes per row. Returns
+    (key, _sh shingle array, band_pos, band_hash) exploded by band.
+
+    The per-row higher-order variant (linking.minhash_signature) stays for
+    short strings (entity titles) where per-row arrays are tiny.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        word_shingles(F.col(text_col), shingle_words).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    exploded = base.select("_k", F.explode("_sh").alias("_s")).withColumn(
+        "_h", F.xxhash64("_s")
+    ).withColumn("_b", F.pmod("_h", F.lit(n_hashes)))
+    sig = exploded.groupBy("_k").agg(
+        *[
+            F.min(F.when(F.col("_b") == i, F.col("_h"))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # empty buckets get a bucket-specific sentinel (shared sentinels only
+    # bias very sparse docs toward each other)
+    sig_arr = F.array(*[
+        F.coalesce(F.col(f"_m{i}"), F.lit((1 << 61) + i)) for i in range(n_hashes)
+    ])
+    rows = n_hashes // n_bands
+    bands = F.array(*[
+        F.hash(F.slice(sig_arr, b * rows + 1, rows), F.lit(b)) for b in range(n_bands)
+    ])
+    return sig.select("_k", F.posexplode(bands).alias("band_pos", "band_hash"))
+
+
 def minhash_dup_pairs(
     df: DataFrame, key_col: str, text_col: str, jaccard_threshold: float = 0.7,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs: shingle → minhash → band →
+    """MinHash+LSH near-duplicate pairs: shingle → OPH minhash → band →
     bucket-join → exact Jaccard verify. Returns (key_a, key_b, jaccard).
 
-    The band join is the only shuffle; verification joins shingle arrays
-    back by key. Pairs are emitted once (key_a < key_b).
+    The band join shuffles only (key, band_hash) rows — shingle arrays are
+    joined back *after* candidate pairing, so heavy payloads never ride
+    the LSH shuffle (8× duplication otherwise). Pairs emitted once
+    (key_a < key_b).
     """
     base = df.select(
-        F.col(key_col).alias("_k"), word_shingles(F.col(text_col), shingle_words).alias("_sh")
+        F.col(key_col).alias("_k"),
+        word_shingles(F.col(text_col), shingle_words).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    banded = base.withColumn(
-        "_bands", band_hashes(minhash_signature(F.col("_sh")))
-    ).select("_k", "_sh", F.posexplode("_bands").alias("band_pos", "band_hash"))
+    banded = oph_minhash_bands(df, key_col, text_col, shingle_words=shingle_words)
 
-    a = banded.select(
-        F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"), "band_pos", "band_hash"
-    )
-    b = banded.select(
-        F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"), "band_pos", "band_hash"
-    )
+    a = banded.select(F.col("_k").alias("key_a"), "band_pos", "band_hash")
+    b = banded.select(F.col("_k").alias("key_b"), "band_pos", "band_hash")
     pairs = (
         a.join(b, ["band_pos", "band_hash"])
         .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
+    sha = base.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"))
+    shb = base.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"))
     jac = F.size(F.array_intersect("_sha", "_shb")) / F.greatest(
         F.size(F.array_union("_sha", "_shb")), F.lit(1)
     )
     return (
-        pairs.withColumn("jaccard", jac)
+        pairs.join(sha, "key_a")
+        .join(shb, "key_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of word tokens, pure column expressions.
+def add_simhash(df: DataFrame, key_col: str, text_col: str,
+                bits: int = 64) -> DataFrame:
+    """64-bit SimHash per row via explode + one hash aggregation.
 
-    For each bit position, sum +1/-1 over token hashes; the sign vector is
-    re-packed into a long. Implemented as aggregate over the token array.
+    Per-token hashes are exploded once; each of the 64 bit positions is a
+    map-side-combinable conditional sum (sign count), so the whole simhash
+    is a single codegen'd hash-agg pass — scales linearly in total tokens
+    and shuffles only (key, 64 ints) partials. (A per-row higher-order
+    ``aggregate`` over 64 bits was ~100× slower: interpreted lambda per
+    token per bit.)
+    Returns df(key_col, _sim).
     """
-    tokens = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    def bit_sum(i: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-        )
-    out = F.lit(0).cast("long")
+    toks = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    sums = toks.groupBy("_k").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(
+                        F.lit(1 << i) if i < 63 else F.lit(-(2 ** 63))
+                    ) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
     for i in range(bits):
-        bit_val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(2**63)).cast("long")
-        out = out + F.when(bit_sum(i) > 0, bit_val).otherwise(F.lit(0).cast("long"))
-    return out
+        bit_val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(2 ** 63)).cast("long")
+        sim = sim + F.when(F.col(f"_b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col("_k").alias(key_col), sim.alias("_sim"))
 
 
 def simhash_dup_pairs(
@@ -117,7 +174,9 @@ def simhash_dup_pairs(
     (any pair within Hamming distance ≤ 3 shares at least one of 4 bands),
     then verify exact Hamming distance via bit_count(xor).
     """
-    base = df.select(F.col(key_col).alias("_k"), simhash(F.col(text_col)).alias("_sim"))
+    base = add_simhash(df, key_col, text_col).select(
+        F.col(key_col).alias("_k"), "_sim"
+    )
     # 4 bands of 16 bits each
     banded = base.select(
         "_k", "_sim",

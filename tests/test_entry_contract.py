@@ -1,0 +1,32 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() keys align."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["subj", "pred", "obj"]
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entry_mod.queries())
+    os_ = set(entry_mod.oracle_sql())
+    assert os_ <= qs
+    # the non-oracle set is exactly the documented non-SQL-expressible ops
+    assert qs - os_ == {
+        "minhash_dups", "simhash_pairs", "ngram_jaccard", "embedding_dup_lsh",
+        "ivf_topk", "kg_triples", "kg_references",
+    }
+
+
+def test_all_queries_runnable_sf0001(spark):
+    """Every query must run at sf0.001 (schema-stable, >= 0 rows)."""
+    sf = "/root/testdata/sf0.001"
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf)
+        assert df.count() >= 0, name
