@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.ids import doc_uid
 from ..functions.text import normalize_name
 
 N_HASHES = 32
@@ -72,8 +73,19 @@ def band_hashes(sig_col: Column, n_bands: int = N_BANDS) -> Column:
 
 
 def _with_lsh(df: DataFrame, text_col: str) -> DataFrame:
-    """Attach shingles + exploded (band_pos, band_hash) rows."""
+    """Attach shingles + exploded (band_pos, band_hash) rows.
+
+    The ``localCheckpoint`` between shingling and the 32-permutation
+    MinHash is load-bearing: Catalyst's CollapseProject would otherwise
+    inline the shingle expression into all 32 ``array_min(transform(...))``
+    uses — a 32× recompute that turned a 170-row join into 36 s. The
+    checkpoint materializes the (small) shingle arrays once. At very large
+    probe counts, swap in the OPH explode+hash-agg path
+    (operators/dedup.oph_minhash_bands) which has a natural aggregation
+    barrier instead of a materialization.
+    """
     out = df.withColumn("_sh", shingles(F.col(text_col)))
+    out = out.localCheckpoint(eager=False)
     out = out.withColumn("_bands", band_hashes(minhash_signature(F.col("_sh"))))
     return out.select(
         *df.columns, "_sh", F.posexplode("_bands").alias("band_pos", "band_hash")
@@ -206,10 +218,7 @@ def link_rule_mentions(
     # fan back to mentions, apply the per-mention temporal cutoff, take top-1
     reg_dates = registry.select("entity_id", "valid_from")
     doc_dates = docs.select(
-        F.sha2(
-            F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"), F.lit("@"), F.col("commit")),
-            256,
-        ).substr(1, 12).alias("doc_id"),
+        doc_uid(F.col("repo"), F.col("path"), F.col("commit")).alias("doc_id"),
         "doc_date",
     )
     w1 = Window.partitionBy("doc_id", "rule_seq").orderBy(

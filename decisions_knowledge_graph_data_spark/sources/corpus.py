@@ -144,6 +144,7 @@ class RegistryBundle:
     plain_ids: list[str] = field(default_factory=list)
     org_codes: list[str] = field(default_factory=list)
     org_alias: dict[str, str] = field(default_factory=dict)  # alias -> code
+    alias_display: dict[str, str] = field(default_factory=dict)  # norm -> raw
     dup_variant_of: dict[str, str] = field(default_factory=dict)
 
 
@@ -209,6 +210,7 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
     org_codes = [f"ORG-{s.upper()}" for s in ORG_STEMS]
     alias_rows = []
     org_alias: dict[str, str] = {}
+    alias_display: dict[str, str] = {}
     for i, stem in enumerate(ORG_STEMS):
         suf = ORG_SUFFIX[i % len(ORG_SUFFIX)]
         abbr = "".join(w[0] for w in (stem, suf)).upper() + str(i)
@@ -216,6 +218,7 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
             alias = form.format(stem=stem, suf=suf, abbr=abbr)
             alias_rows.append((alias, org_codes[i], f"{stem} {suf}"))
             org_alias[alias.lower().strip()] = org_codes[i]
+            alias_display[alias.lower().strip()] = alias
             if len(alias_rows) == 247:
                 break
         if len(alias_rows) == 247:
@@ -240,6 +243,7 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
         plain_ids=plain_ids,
         org_codes=org_codes,
         org_alias=org_alias,
+        alias_display=alias_display,
         dup_variant_of=dup_variant_of,
     )
 
@@ -266,14 +270,20 @@ def _date_str(i: int, k: int) -> str:
 
 
 def _filler(i: int, block: int, target_chars: int) -> str:
+    """Deterministic filler: 32 words per sha256 digest (one hash per word
+    was the generator hot spot at bench scale)."""
     words = []
     n = 0
-    w_i = 0
+    chunk = 0
     while n < target_chars:
-        w = FILLER[_h("fill", i, block, w_i) % len(FILLER)]
-        words.append(w)
-        n += len(w) + 1
-        w_i += 1
+        digest = hashlib.sha256(f"{SEED}:fill:{i}:{block}:{chunk}".encode()).digest()
+        for byte in digest:
+            w = FILLER[byte % len(FILLER)]
+            words.append(w)
+            n += len(w) + 1
+            if n >= target_chars:
+                break
+        chunk += 1
     return " ".join(words)
 
 
@@ -375,11 +385,9 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
         b.filler(i, 20, 150)
 
     # -- name+date (decided_by): alias + date within one cluster window
-    alias_pool = list(reg.org_alias.keys())
+    alias_pool = sorted(reg.org_alias.keys())
     alias_norm = alias_pool[_h("org", i) % len(alias_pool)]
-    alias_disp = reg.alias_map.iloc[
-        reg.alias_map["alias"].str.lower().str.strip().tolist().index(alias_norm)
-    ]["alias"]
+    alias_disp = reg.alias_display[alias_norm]
     org_code = reg.org_alias[alias_norm]
     date_s = _date_str(i, 0)
     b.plant("NAME_DATE", f"Reviewed by {alias_disp} on {date_s}", trail=". ",
