@@ -414,6 +414,89 @@ def q_events_windowed(spark, sf):
     )
 
 
+def q_block_numbering(spark, sf):
+    """Block transform (htmlTransformer analog): split docs into word-blocks
+    of 40 words? No — split on ' value ' as a stable separator; number 1..n."""
+    from decisions_knowledge_graph_data_spark.operators.blocks import block_transform
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return block_transform(d, "doc_id", "text", sep=" table ").select(
+        "doc_id", "block_id", "block_num", "char_count"
+    )
+
+
+def q_snippet_extract(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.blocks import snippet_extract
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return snippet_extract(d, r"\bspark\b", context=30, text_col="text")
+
+
+def q_date_parse(spark, sf):
+    """8-digit-run → ISO date (ECLI→date parse analog, pipeline/steps.ts:141-150),
+    demonstrated on event timestamps re-serialized as digit runs."""
+    e = _t(spark, sf, "events")
+    digits = F.date_format("ts", "yyyyMMdd")
+    return e.select(
+        "event_id",
+        F.concat_ws(
+            "-", F.substring(digits, 1, 4), F.substring(digits, 5, 2), F.substring(digits, 7, 2)
+        ).alias("iso_date"),
+    )
+
+
+def q_enum_mapping(spark, sf):
+    """when/otherwise enum chain (parent_act_type → citation_type analog,
+    mapping/steps.ts:64-84)."""
+    p = _t(spark, sf, "part")
+    mapped = (
+        F.when(F.upper("p_type").contains("BRASS"), "METAL")
+        .when(F.upper("p_type").contains("STEEL"), "METAL")
+        .when(F.upper("p_type").contains("COPPER"), "METAL")
+        .when(F.upper("p_type").contains("TIN"), "SOFT_METAL")
+        .otherwise("OTHER")
+    )
+    return p.groupBy(mapped.alias("material_class")).agg(F.count("*").alias("n"))
+
+
+def q_truncate_ellipsis(spark, sf):
+    from decisions_knowledge_graph_data_spark.functions.text import truncate_ellipsis
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", truncate_ellipsis(F.col("text"), 50).alias("preview")
+    )
+
+
+def q_latest_run(spark, sf):
+    """Latest-run selection (groupBy max(ts) join back,
+    mergeJobResults.ts:133-148)."""
+    e = _t(spark, sf, "events")
+    latest = e.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    return (
+        e.join(latest, ["user_id", "ts"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_latest"))
+    )
+
+
+def q_union_families(spark, sf):
+    """Union of per-pattern trigger families then distinct
+    (regex-extractor.ts:590-597)."""
+    d = _t(spark, sf, "documents")
+    fam1 = d.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit(r"\b(scan|probe)\b"), 0)).alias("hit")
+    ).withColumn("family", F.lit("ops"))
+    fam2 = d.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit(r"\b(vector|matrix)\b"), 0)).alias("hit")
+    ).withColumn("family", F.lit("algebra"))
+    return (
+        fam1.unionByName(fam2)
+        .groupBy("doc_id", "family")
+        .agg(F.countDistinct("hit").alias("n_distinct_hits"), F.count("*").alias("n_hits"))
+    )
+
+
 # ----- non-SQL-expressible (rows-only checks)
 
 
@@ -502,6 +585,13 @@ def q_kg_references(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "block_numbering": q_block_numbering,
+        "snippet_extract": q_snippet_extract,
+        "date_parse": q_date_parse,
+        "enum_mapping": q_enum_mapping,
+        "truncate_ellipsis": q_truncate_ellipsis,
+        "latest_run": q_latest_run,
+        "union_families": q_union_families,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "top1_per_group": q_top1_per_group,
@@ -544,6 +634,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "block_numbering": r"""
+            WITH parts AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(text, ' table ') AS p
+              FROM documents
+            ), blocks AS (
+              SELECT doc_id, unnest(range(1, len(p) + 1)) AS pos,
+                     trim(regexp_replace(unnest(p), '\s+', ' ', 'g')) AS plain_text
+              FROM parts
+            )
+            SELECT doc_id,
+                   doc_id || ':block-' || lpad(CAST(pos AS VARCHAR), 3, '0') AS block_id,
+                   pos AS block_num,
+                   length(plain_text) AS char_count
+            FROM blocks WHERE length(plain_text) > 0
+        """,
+        "snippet_extract": r"""
+            WITH hits AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     strpos(text, 'spark') AS pos
+              FROM documents
+              WHERE regexp_matches(text, '\bspark\b')
+            )
+            SELECT doc_id, 'spark' AS hit,
+                   trim(regexp_replace(
+                     substring(text, greatest(1, pos - 30), 60 + length('spark')),
+                     '\s+', ' ', 'g')) AS snippet
+            FROM hits WHERE pos > 0
+        """,
+        "date_parse": """
+            SELECT event_id,
+                   substring(strftime(ts, '%Y%m%d'), 1, 4) || '-' ||
+                   substring(strftime(ts, '%Y%m%d'), 5, 2) || '-' ||
+                   substring(strftime(ts, '%Y%m%d'), 7, 2) AS iso_date
+            FROM events
+        """,
+        "enum_mapping": """
+            SELECT CASE WHEN upper(p_type) LIKE '%BRASS%' THEN 'METAL'
+                        WHEN upper(p_type) LIKE '%STEEL%' THEN 'METAL'
+                        WHEN upper(p_type) LIKE '%COPPER%' THEN 'METAL'
+                        WHEN upper(p_type) LIKE '%TIN%' THEN 'SOFT_METAL'
+                        ELSE 'OTHER' END AS material_class,
+                   count(*) AS n
+            FROM part GROUP BY 1
+        """,
+        "truncate_ellipsis": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 50
+                        THEN substring(text, 1, 50) || '...'
+                        ELSE text END AS preview
+            FROM documents
+        """,
+        "latest_run": """
+            WITH latest AS (
+              SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id
+            ), joined AS (
+              SELECT DISTINCT ON (e.user_id, e.ts) e.user_id, e.ts, e.event_type
+              FROM events e JOIN latest l ON e.user_id = l.user_id AND e.ts = l.ts
+              ORDER BY e.user_id, e.ts, e.event_id
+            )
+            SELECT event_type, count(*) AS n_latest FROM joined GROUP BY event_type
+        """,
+        "union_families": r"""
+            WITH fam1 AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\b(scan|probe)\b')) AS hit,
+                     'ops' AS family
+              FROM documents
+            ), fam2 AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\b(vector|matrix)\b')) AS hit,
+                     'algebra' AS family
+              FROM documents
+            ), u AS (SELECT * FROM fam1 UNION ALL SELECT * FROM fam2)
+            SELECT doc_id, family,
+                   count(DISTINCT hit) AS n_distinct_hits,
+                   count(*) AS n_hits
+            FROM u GROUP BY doc_id, family
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -67,18 +67,60 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+LOCAL_CC_THRESHOLD = 1_000_000  # edges; below this, driver union-find wins
+
+
+def _local_cc(spark, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Driver-side union-find for small edge sets. The alternating-star
+    iteration costs several Spark jobs per round; below ~10^6 edges the
+    serial job overhead dwarfs the work, so a size-adaptive strategy
+    switch is the right physical plan (same result, deterministic)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    # min-id canonicalization: min of each set is the root only if unions
+    # always attach larger roots — enforced above
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows or [("", "")], "node string, component string").filter(
+        F.col("node") != ""
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         strategy: str = "auto") -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node id.
 
-    Deterministic: component ids are data-derived (min id), never
-    partition-order-derived.
+    strategy: 'distributed' = alternating large-star/small-star;
+    'local' = driver union-find; 'auto' = local below
+    LOCAL_CC_THRESHOLD edges, distributed above. Deterministic either way:
+    component ids are data-derived (min id), never partition-order-derived.
     """
     e = (
         edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    if strategy == "local" or (
+        strategy == "auto" and e.limit(LOCAL_CC_THRESHOLD).count() < LOCAL_CC_THRESHOLD
+    ):
+        pairs = [(r["src"], r["dst"]) for r in e.collect()]
+        return _local_cc(edges.sparkSession, pairs)
+
+    e = e.localCheckpoint()
     prev = _fingerprint(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

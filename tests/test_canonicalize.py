@@ -24,12 +24,16 @@ def _uf_oracle(edges):
     return {n: find(n) for n in parent}
 
 
-def test_cc_chain(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_cc_chain(spark, strategy):
     edges = [("a", "b"), ("b", "c"), ("x", "y")]
     got = {
         r["node"]: r["component"]
         for r in connected_components(
-            spark.createDataFrame(edges, "src string, dst string")
+            spark.createDataFrame(edges, "src string, dst string"), strategy=strategy
         ).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
@@ -51,7 +55,8 @@ def test_cc_random_graph_matches_union_find(spark):
     got = {
         r["node"]: r["component"]
         for r in connected_components(
-            spark.createDataFrame(edges, "src string, dst string")
+            spark.createDataFrame(edges, "src string, dst string"),
+            strategy="distributed",
         ).collect()
     }
     exp = _uf_oracle(edges)

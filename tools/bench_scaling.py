@@ -46,7 +46,7 @@ def run_at(cpus: int, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     results = {}
     for cpus in (8, 32):
         results[cpus] = run_at(cpus, n_docs)
