@@ -103,6 +103,9 @@ def _score(a_norm: Column, a_sh: Column, b_norm: Column, b_sh: Column) -> dict[s
     return {"jaccard": jac, "score": score}
 
 
+BROADCAST_CAND_THRESHOLD = 20_000  # below this, skip LSH: broadcast + score all
+
+
 def similarity_join(
     probes: DataFrame,
     candidates: DataFrame,
@@ -112,28 +115,45 @@ def similarity_join(
     cand_text: str,
     sim_gate: float = SIM_GATE,
     top_k: int = TOP_K_CANDIDATES,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Generic LSH-blocked similarity join: returns
-    (probe_key, cand_key, jaccard, score) with jaccard >= sim_gate,
-    top-k candidates per probe by similarity.
+    """Generic similarity join: returns (probe_key, cand_key, jaccard,
+    score) with jaccard >= sim_gate, top-k candidates per probe.
+
+    Physical strategy (size-adaptive, like a join-selection rule):
+      - 'broadcast' (or 'auto' with a small candidate side): broadcast the
+        candidates and score every (probe, candidate) pair directly — for
+        dictionary-sized candidate sets the LSH shuffle costs more than it
+        saves, exactly like broadcast-hash vs sort-merge join selection;
+      - 'lsh': MinHash/LSH banding blocks candidates first — the scale
+        path for large candidate sets (millions of entities).
 
     This is the reusable primitive behind entity linking, registry
     self-dedup (canonicalization input) and MinHash near-dup detection.
     """
-    p = _with_lsh(
-        probes.select(F.col(probe_key).alias("_pk"), F.col(probe_text).alias("_pt")),
-        "_pt",
-    ).withColumnRenamed("_sh", "_psh")
-    c = _with_lsh(
-        candidates.select(F.col(cand_key).alias("_ck"), F.col(cand_text).alias("_ct")),
-        "_ct",
-    ).withColumnRenamed("_sh", "_csh")
+    p_base = probes.select(F.col(probe_key).alias("_pk"), F.col(probe_text).alias("_pt"))
+    c_base = candidates.select(F.col(cand_key).alias("_ck"), F.col(cand_text).alias("_ct"))
 
-    pairs = (
-        p.join(c, ["band_pos", "band_hash"])
-        .select("_pk", "_pt", "_psh", "_ck", "_ct", "_csh")
-        .dropDuplicates(["_pk", "_ck"])
-    )
+    if strategy == "auto":
+        small = c_base.limit(BROADCAST_CAND_THRESHOLD).count() < BROADCAST_CAND_THRESHOLD
+        strategy = "broadcast" if small else "lsh"
+
+    if strategy == "broadcast":
+        pairs = (
+            p_base.withColumn("_psh", shingles(F.col("_pt")))
+            .crossJoin(
+                F.broadcast(c_base.withColumn("_csh", shingles(F.col("_ct"))))
+            )
+        )
+    else:
+        p = _with_lsh(p_base, "_pt").withColumnRenamed("_sh", "_psh")
+        c = _with_lsh(c_base, "_ct").withColumnRenamed("_sh", "_csh")
+        pairs = (
+            p.join(c, ["band_pos", "band_hash"])
+            .select("_pk", "_pt", "_psh", "_ck", "_ct", "_csh")
+            .dropDuplicates(["_pk", "_ck"])
+        )
+
     sc = _score(F.col("_pt"), F.col("_psh"), F.col("_ct"), F.col("_csh"))
     scored = (
         pairs.withColumn("jaccard", sc["jaccard"])

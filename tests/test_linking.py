@@ -63,7 +63,11 @@ def test_temporal_cutoff_excludes_future_entities(spark, corpus20):
     assert set(sim["entity_id"]).isdisjoint(future)
 
 
-def test_similarity_join_generic(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "lsh"])
+def test_similarity_join_generic(spark, strategy):
     probes = spark.createDataFrame(
         [("p1", "stable runtime charter 001"), ("p2", "zzzz qqqq xxxx")],
         "pk string, pt string",
@@ -73,7 +77,8 @@ def test_similarity_join_generic(spark):
          ("c3", "completely different words")],
         "ck string, ct string",
     )
-    got = similarity_join(probes, cands, "pk", "pt", "ck", "ct").toPandas()
+    got = similarity_join(probes, cands, "pk", "pt", "ck", "ct",
+                          strategy=strategy).toPandas()
     p1 = got[got["pk"] == "p1"].sort_values("jaccard", ascending=False)
     assert list(p1["ck"])[0] == "c1"
     assert p1[p1["ck"] == "c1"]["score"].iloc[0] == 100
