@@ -28,8 +28,9 @@ HEADLINE = [
 ]
 
 
-def kg_end_to_end(spark, n_docs: int):
-    """Distributed corpus generation + full pipeline; returns (n_triples, n_docs)."""
+def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None):
+    """Distributed corpus generation + full pipeline; returns n_triples.
+    Pass phase_times={} to collect per-phase wall times."""
     from decisions_knowledge_graph_data_spark.operators.canonicalize import (
         apply_canonical, canonical_map,
     )
@@ -44,10 +45,21 @@ def kg_end_to_end(spark, n_docs: int):
         documents_df, gen_registry,
     )
 
+    import time as _time
+
+    t = _time.time()
+    marks = phase_times if phase_times is not None else {}
+
+    def mark(name):
+        nonlocal t
+        marks[name] = round(_time.time() - t, 2)
+        t = _time.time()
+
     reg = gen_registry()
     docs = documents_df(spark, n_docs)
     docs = docs.persist()
-    docs.count()  # materialize generation outside the timed region? No — keep inside.
+    docs.count()
+    mark("gen")
     tables = {
         "entity_registry": spark.createDataFrame(reg.entity_registry),
         "popular_entities": spark.createDataFrame(reg.popular_entities),
@@ -55,10 +67,15 @@ def kg_end_to_end(spark, n_docs: int):
         "known_missing": spark.createDataFrame(reg.known_missing),
     }
     mentions = filter_self_references(extract_mentions(docs)).persist()
+    mentions.count()
+    mark("extract")
     matches = link_rule_mentions(
         mentions, docs, tables["entity_registry"], tables["popular_entities"]
-    )
+    ).persist()
+    matches.count()
+    mark("link")
     canon = canonical_map(tables["entity_registry"])
+    mark("canon")
     triples = (
         cites_triples(mentions, docs)
         .unionByName(decided_by_triples(mentions, tables["alias_map"], tables["known_missing"]))
@@ -66,8 +83,10 @@ def kg_end_to_end(spark, n_docs: int):
         .unionByName(applies_provision_triples(apply_canonical(matches, canon)))
     )
     n = triples.count()
+    mark("triples")
     docs.unpersist()
     mentions.unpersist()
+    matches.unpersist()
     return n
 
 

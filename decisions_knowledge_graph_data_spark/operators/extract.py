@@ -32,7 +32,7 @@ from ..functions.ids import doc_uid
 
 # ---------------------------------------------------------------- regex families
 # Identifier citation (ECLI-pattern analog, regex-extractor.ts:240-243)
-RE_IDENT = r"DOC:\d{2}:\d{5}"
+RE_IDENT = r"DOC:\d{2}:\d{7}"
 # Bilingual date triggers (regex-extractor.ts:308-335): numeric + FR/NL months
 _MONTH_ALT = (
     "janvier|février|mars|avril|mai|juin|juillet|août|septembre|octobre"

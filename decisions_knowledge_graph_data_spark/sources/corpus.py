@@ -252,8 +252,10 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
 
 
 def _doc_ident(j: int) -> str:
-    """The doc-identifier grammar (ECLI analog): ``DOC:rr:nnnnn``."""
-    return f"DOC:{j % 100:02d}:{j % 100000:05d}"
+    """The doc-identifier grammar (ECLI analog): ``DOC:rr:nnnnnnn``.
+    7-digit index keeps idents unique to 10^7 docs (5 digits collided at
+    bench scale, fanning out the cites join)."""
+    return f"DOC:{j % 100:02d}:{j % 10_000_000:07d}"
 
 
 def _date_str(i: int, k: int) -> str:

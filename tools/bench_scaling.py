@@ -28,10 +28,12 @@ from bench import kg_end_to_end
 spark = get_spark("kg-scaling", parallelism={cpus}, shuffle_partitions={cpus})
 # warm the JVM/codegen paths with a tiny run so the timed run measures the job
 kg_end_to_end(spark, 200)
+phases = {{}}
 t0 = time.time()
-n = kg_end_to_end(spark, {n_docs})
+n = kg_end_to_end(spark, {n_docs}, phase_times=phases)
 dt = time.time() - t0
-print(json.dumps({{"cpus": {cpus}, "n_docs": {n_docs}, "n_triples": n, "sec": round(dt, 2)}}))
+print(json.dumps({{"cpus": {cpus}, "n_docs": {n_docs}, "n_triples": n,
+                   "sec": round(dt, 2), "phases": phases}}))
 """
 
 
@@ -47,15 +49,17 @@ def run_at(cpus: int, n_docs: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_low, n_high):
         results[cpus] = run_at(cpus, n_docs)
         print(results[cpus])
-    t8, t32 = results[8]["sec"], results[32]["sec"]
+    t8, t32 = results[n_low]["sec"], results[n_high]["sec"]
     speedup = t8 / t32
-    efficiency = speedup / (32 / 8)
-    tp8 = results[8]["n_triples"] / t8
-    tp32 = results[32]["n_triples"] / t32
+    efficiency = speedup / (n_high / n_low)
+    tp8 = results[n_low]["n_triples"] / t8
+    tp32 = results[n_high]["n_triples"] / t32
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling run
@@ -67,18 +71,21 @@ two local parallelism levels on the same input ({n_docs} docs).
 
 | parallelism | wall (s) | triples | triples/sec |
 |---|---|---|---|
-| local[8]  (N)  | {t8:.2f} | {results[8]["n_triples"]} | {tp8:.0f} |
-| local[32] (4N) | {t32:.2f} | {results[32]["n_triples"]} | {tp32:.0f} |
+| local[{n_low}]  (N)  | {t8:.2f} | {results[n_low]["n_triples"]} | {tp8:.0f} |
+| local[{n_high}] (4N) | {t32:.2f} | {results[n_high]["n_triples"]} | {tp32:.0f} |
 
-- speedup 8→32 cores: **{speedup:.2f}×** (ideal 4×)
+- speedup {n_low}→{n_high} cores: **{speedup:.2f}×** (ideal {n_high // n_low}×)
 - scaling efficiency: **{efficiency:.2f}** (target ≥ 0.8)
 
 Reference comparison (BASELINE.md): the reference's only compute-bound
 path processes ~64k docs "in seconds" single-node; its LLM-bound
-end-to-end rate is 2.2–8.9 docs/sec. Ours: {results[32]["n_docs"] / t32:.0f} docs/sec
-end-to-end at local[32] including linking + connected components.
+end-to-end rate is 2.2–8.9 docs/sec. Ours: {results[n_high]["n_docs"] / t32:.0f} docs/sec
+end-to-end at local[{n_high}] including linking + connected components.
 """)
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(efficiency, 3)}))
+    print(json.dumps({
+        "n_low": n_low, "n_high": n_high, "t_low": t8, "t_high": t32,
+        "efficiency": round(efficiency, 3),
+    }))
 
 
 if __name__ == "__main__":
