@@ -28,9 +28,12 @@ HEADLINE = [
 ]
 
 
-def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None):
-    """Distributed corpus generation + full pipeline; returns n_triples.
-    Pass phase_times={} to collect per-phase wall times."""
+def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
+                  docs_path: str | None = None):
+    """Full pipeline; returns n_triples. Pass phase_times={} to collect
+    per-phase wall times. With ``docs_path`` the corpus is read from
+    parquet (the north-rule shape: the job *reads a source table*);
+    otherwise it is generated distributedly in-line."""
     from decisions_knowledge_graph_data_spark.operators.canonicalize import (
         apply_canonical, canonical_map,
     )
@@ -56,9 +59,11 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None):
         t = _time.time()
 
     reg = gen_registry()
-    docs = documents_df(spark, n_docs)
-    docs = docs.persist()
-    docs.count()
+    if docs_path:
+        docs = spark.read.parquet(docs_path)
+    else:
+        docs = documents_df(spark, n_docs).persist()
+        docs.count()
     mark("gen")
     tables = {
         "entity_registry": spark.createDataFrame(reg.entity_registry),
@@ -66,8 +71,10 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None):
         "alias_map": spark.createDataFrame(reg.alias_map),
         "known_missing": spark.createDataFrame(reg.known_missing),
     }
-    mentions = filter_self_references(extract_mentions(docs)).persist()
-    mentions.count()
+    # localCheckpoint truncates the logical plan: mentions feeds five
+    # downstream branches, and without truncation each carries the full
+    # kernel lineage into (driver-serial) analysis/optimization.
+    mentions = filter_self_references(extract_mentions(docs)).localCheckpoint()
     mark("extract")
     matches = link_rule_mentions(
         mentions, docs, tables["entity_registry"], tables["popular_entities"]
@@ -76,16 +83,20 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None):
     mark("link")
     canon = canonical_map(tables["entity_registry"])
     mark("canon")
+    # one global dedupe instead of four per-branch shuffles
     triples = (
-        cites_triples(mentions, docs)
-        .unionByName(decided_by_triples(mentions, tables["alias_map"], tables["known_missing"]))
-        .unionByName(party_of_triples(mentions))
-        .unionByName(applies_provision_triples(apply_canonical(matches, canon)))
+        cites_triples(mentions, docs, dedupe=False)
+        .unionByName(decided_by_triples(mentions, tables["alias_map"],
+                                        tables["known_missing"], dedupe=False))
+        .unionByName(party_of_triples(mentions, dedupe=False))
+        .unionByName(applies_provision_triples(apply_canonical(matches, canon),
+                                               dedupe=False))
+        .dropDuplicates(["subj", "pred", "obj"])
     )
     n = triples.count()
     mark("triples")
-    docs.unpersist()
-    mentions.unpersist()
+    if not docs_path:
+        docs.unpersist()
     matches.unpersist()
     return n
 

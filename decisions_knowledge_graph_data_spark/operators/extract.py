@@ -24,7 +24,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.corpus import CLUSTER_DISTANCE, WINDOW_SIZE, assign_clusters
@@ -67,18 +67,23 @@ _FAMILIES: list[tuple[str, str]] = [
 MENTION_SCHEMA = (
     "doc_id string, lang string, mention_seq int, mention_kind string, "
     "surface string, char_start long, char_end long, cluster_id int, "
-    "confidence string, is_self boolean"
+    "confidence string, is_self boolean, clean_seq int, rule_seq int, "
+    "doc_date string"
 )
 
 
 def _scan_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     compiled = [(kind, re.compile(pat)) for kind, pat in _FAMILIES]
     cols = ["doc_id", "lang", "mention_seq", "mention_kind", "surface",
-            "char_start", "char_end", "cluster_id", "confidence", "is_self"]
+            "char_start", "char_end", "cluster_id", "confidence", "is_self",
+            "clean_seq", "rule_seq", "doc_date"]
     for pdf in batches:
-        out: list[dict] = []
-        for doc_id, lang, content, own in zip(
-            pdf["doc_id"], pdf["lang"], pdf["content"], pdf["doc_ident"]
+        # columnar accumulators: building one dict-of-lists then a single
+        # DataFrame is measurably cheaper than list-of-dicts at batch size
+        acc: dict[str, list] = {c: [] for c in cols}
+        for doc_id, lang, content, own, doc_date in zip(
+            pdf["doc_id"], pdf["lang"], pdf["content"], pdf["doc_ident"],
+            pdf["doc_date"],
         ):
             if content is None or content == "":
                 continue
@@ -97,14 +102,36 @@ def _scan_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             assign_clusters(hits)
             hits.sort(key=lambda h: h["char_start"])
+            # all per-doc sequence numbers are minted HERE, in position
+            # order, so no downstream window/shuffle is ever needed:
+            # mention_seq (raw), clean_seq (post self-ref-filter,
+            # pipeline/steps.ts:246-251), rule_seq (per-kind, for the
+            # provision re-merge join, pipeline/steps.ts:384-419)
+            clean = 0
+            rule = 0
             for seq, h in enumerate(hits, start=1):
-                h["doc_id"] = doc_id
-                h["lang"] = lang
-                h["mention_seq"] = seq
-                out.append(h)
-        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
-            {c: pd.Series(dtype="object") for c in cols}
-        )
+                if not h["is_self"]:
+                    clean += 1
+                is_rule = h["mention_kind"] == "RULE"
+                if is_rule:
+                    rule += 1
+                acc["doc_id"].append(doc_id)
+                acc["lang"].append(lang)
+                acc["mention_seq"].append(seq)
+                acc["mention_kind"].append(h["mention_kind"])
+                acc["surface"].append(h["surface"])
+                acc["char_start"].append(h["char_start"])
+                acc["char_end"].append(h["char_end"])
+                acc["cluster_id"].append(h["cluster_id"])
+                acc["confidence"].append(h["confidence"])
+                acc["is_self"].append(h["is_self"])
+                acc["clean_seq"].append(None if h["is_self"] else clean)
+                acc["rule_seq"].append(rule if is_rule else None)
+                acc["doc_date"].append(doc_date)
+        out = pd.DataFrame(acc)
+        out["clean_seq"] = out["clean_seq"].astype("Int32")
+        out["rule_seq"] = out["rule_seq"].astype("Int32")
+        yield out
 
 
 def extract_mentions(docs: DataFrame) -> DataFrame:
@@ -114,14 +141,13 @@ def extract_mentions(docs: DataFrame) -> DataFrame:
     `extract-comprehensive/config.ts:93-94`) — a JVM-side predicate pushed
     to the scan, so empty docs never cross the Arrow boundary.
     """
-    cols = ["doc_id", "lang", "content"]
     base = docs.filter(F.col("content").isNotNull() & (F.col("content") != "")).withColumn(
         "doc_id", doc_uid(F.col("repo"), F.col("path"), F.col("commit"))
     )
-    if "doc_ident" in docs.columns:
-        base = base.select(*cols, "doc_ident")
-    else:
-        base = base.select(*cols).withColumn("doc_ident", F.lit(None).cast("string"))
+    for optional in ("doc_ident", "doc_date"):
+        if optional not in docs.columns:
+            base = base.withColumn(optional, F.lit(None).cast("string"))
+    base = base.select("doc_id", "lang", "content", "doc_ident", "doc_date")
     return base.mapInPandas(_scan_kernel, schema=MENTION_SCHEMA)
 
 
@@ -173,15 +199,16 @@ def cluster_windows(mentions: DataFrame, docs: DataFrame) -> DataFrame:
 
 def filter_self_references(mentions: DataFrame) -> DataFrame:
     """Drop self-identifier mentions (`regex-extractor.ts:252-255`; date-based
-    self-cite filter `src/pipeline/steps.ts:237-244`), then re-sequence the
-    survivors 1..n per doc (`src/pipeline/steps.ts:246-251`) with an explicit
-    sort key — never arrival order (SURVEY.md §7.3 determinism note).
+    self-cite filter `src/pipeline/steps.ts:237-244`) and re-sequence the
+    survivors 1..n per doc (`src/pipeline/steps.ts:246-251`).
 
-    ``is_self`` was computed inside the scan kernel, so this is a pure
-    predicate + per-doc window: one shuffle on doc_id, no dimension join.
+    Both the flag and the post-filter sequence (``clean_seq``) were minted
+    inside the scan kernel in position order, so this is a pure narrow
+    projection — zero shuffles, still deterministic (position order, never
+    arrival order; SURVEY.md §7.3).
     """
-    w = Window.partitionBy("doc_id").orderBy("char_start", "mention_kind")
     return (
         mentions.filter(~F.coalesce(F.col("is_self"), F.lit(False)))
-        .withColumn("mention_seq", F.row_number().over(w))
+        .withColumn("mention_seq", F.col("clean_seq"))
+        .drop("clean_seq")
     )

@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.ids import doc_uid
 from ..functions.text import normalize_name
 
 N_HASHES = 32
@@ -183,11 +182,19 @@ def link_rule_mentions(
 
     Returns (doc_id, lang, rule_seq, rule_num, surface_title, entity_id,
     score, matched_on) with matched_on ∈ {DICT, EXACT_ID, SIMILARITY}.
+
+    Shuffle budget (the whole point of this plan shape): the only wide
+    operations touching the *mention-sized* side are zero — rule_seq and
+    doc_date were minted in the extraction kernel, both fast paths are
+    broadcast joins, and the similarity path scores *distinct surface
+    forms* (a small shuffle), aggregates each name's candidates into an
+    array (small shuffle), and broadcasts the name→candidates map back —
+    the per-mention temporal cutoff and top-1 selection are then per-row
+    array expressions. A hub title in 30% of all docs costs one scoring
+    row and one broadcast-map entry.
     """
-    w = Window.partitionBy("doc_id").orderBy("char_start")
     rules = (
         mentions.filter(F.col("mention_kind") == "RULE")
-        .withColumn("rule_seq", F.row_number().over(w))
         .withColumn(
             "rule_num",
             F.regexp_extract("surface", r"rule (\d{1,3}) of ", 1).cast("int"),
@@ -196,7 +203,8 @@ def link_rule_mentions(
             "surface_title", F.regexp_extract("surface", r"rule \d{1,3} of (.*)$", 1)
         )
         .withColumn("name_norm", normalize_name(F.col("surface_title")))
-        .select("doc_id", "lang", "rule_seq", "rule_num", "surface_title", "name_norm")
+        .select("doc_id", "lang", "rule_seq", "rule_num", "surface_title",
+                "name_norm", "doc_date")
     )
 
     out_cols = ["doc_id", "lang", "rule_seq", "rule_num", "surface_title",
@@ -219,7 +227,7 @@ def link_rule_mentions(
     exact_hits = (
         rest.filter(is_id)
         .withColumn("_id_up", F.upper(F.col("name_norm")))
-        .join(reg_ids, F.col("_id_up") == F.col("_reg_eid"))
+        .join(F.broadcast(reg_ids), F.col("_id_up") == F.col("_reg_eid"))
         .withColumn("entity_id", F.col("_reg_eid"))
         .withColumn("score", F.lit(100))
         .withColumn("matched_on", F.lit("EXACT_ID"))
@@ -235,22 +243,26 @@ def link_rule_mentions(
     cand = similarity_join(
         distinct_names, reg, "name_norm", "name_norm", "entity_id", "title_norm"
     )
-    # fan back to mentions, apply the per-mention temporal cutoff, take top-1
-    reg_dates = registry.select("entity_id", "valid_from")
-    doc_dates = docs.select(
-        doc_uid(F.col("repo"), F.col("path"), F.col("commit")).alias("doc_id"),
-        "doc_date",
+    # candidates per name → one array row, broadcast back to mentions;
+    # cutoff + top-1 become per-row array expressions (no fan-out shuffle)
+    reg_dates = registry.select("entity_id", F.col("valid_from").alias("_vf"))
+    name_cands = (
+        cand.join(F.broadcast(reg_dates), "entity_id")
+        .groupBy("name_norm")
+        .agg(
+            F.collect_list(
+                F.struct("score", "jaccard", "entity_id", "_vf")
+            ).alias("_cands")
+        )
     )
-    w1 = Window.partitionBy("doc_id", "rule_seq").orderBy(
-        F.desc("score"), F.desc("jaccard"), F.col("entity_id")
-    )
+    eligible = lambda c: c["_vf"] <= F.col("doc_date")  # noqa: E731
+    best = F.array_max(F.filter(F.col("_cands"), eligible))
     sim_hits = (
-        sim_input.join(cand, "name_norm")
-        .join(F.broadcast(reg_dates), "entity_id")
-        .join(doc_dates, "doc_id")
-        .filter(F.col("valid_from") <= F.col("doc_date"))
-        .withColumn("_r", F.row_number().over(w1))
-        .filter((F.col("_r") == 1) & (F.col("score") >= SCORE_GATE))
+        sim_input.join(F.broadcast(name_cands), "name_norm")
+        .withColumn("_best", best)
+        .filter(F.col("_best").isNotNull() & (F.col("_best.score") >= SCORE_GATE))
+        .withColumn("entity_id", F.col("_best.entity_id"))
+        .withColumn("score", F.col("_best.score"))
         .withColumn("matched_on", F.lit("SIMILARITY"))
         .select(*out_cols)
     )

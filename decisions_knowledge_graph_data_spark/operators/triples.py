@@ -29,7 +29,7 @@ from ..functions.text import normalize_name
 TRIPLE_SCHEMA = ["subj", "pred", "obj"]
 
 
-def cites_triples(mentions: DataFrame, docs: DataFrame) -> DataFrame:
+def cites_triples(mentions: DataFrame, docs: DataFrame, dedupe: bool = True) -> DataFrame:
     """IDENT mentions → (DEC-src, cites, DEC-target).
 
     Target resolution = equi-join on the target's identifier column.
@@ -48,12 +48,13 @@ def cites_triples(mentions: DataFrame, docs: DataFrame) -> DataFrame:
             F.lit("cites").alias("pred"),
             F.concat(F.lit("DEC-"), F.col("target_uid")).alias("obj"),
         )
-        .dropDuplicates(TRIPLE_SCHEMA)
+        .transform(lambda d: d.dropDuplicates(TRIPLE_SCHEMA) if dedupe else d)
     )
 
 
 def decided_by_triples(
-    mentions: DataFrame, alias_map: DataFrame, known_missing: DataFrame
+    mentions: DataFrame, alias_map: DataFrame, known_missing: DataFrame,
+    dedupe: bool = True,
 ) -> DataFrame:
     """NAME_DATE mentions → (DEC-doc, decided_by, ORG-code).
 
@@ -81,11 +82,11 @@ def decided_by_triples(
             F.lit("decided_by").alias("pred"),
             F.col("canonical_code").alias("obj"),
         )
-        .dropDuplicates(TRIPLE_SCHEMA)
+        .transform(lambda d: d.dropDuplicates(TRIPLE_SCHEMA) if dedupe else d)
     )
 
 
-def party_of_triples(mentions: DataFrame) -> DataFrame:
+def party_of_triples(mentions: DataFrame, dedupe: bool = True) -> DataFrame:
     """PARTY mentions → (PARTY-doc-NNN, party_of, DEC-doc).
 
     Split the "PARTIES: A vs B" surface into its two parties with
@@ -105,10 +106,10 @@ def party_of_triples(mentions: DataFrame) -> DataFrame:
         ).alias("subj"),
         F.lit("party_of").alias("pred"),
         F.concat(F.lit("DEC-"), F.col("doc_id")).alias("obj"),
-    ).dropDuplicates(TRIPLE_SCHEMA)
+    ).transform(lambda d: d.dropDuplicates(TRIPLE_SCHEMA) if dedupe else d)
 
 
-def applies_provision_triples(matches: DataFrame) -> DataFrame:
+def applies_provision_triples(matches: DataFrame, dedupe: bool = True) -> DataFrame:
     """Linked RULE matches → (DEC-doc, applies_provision, ART-entity-NNN).
 
     ``matches`` comes from operators/linking.py: one row per RULE mention
@@ -121,4 +122,4 @@ def applies_provision_triples(matches: DataFrame) -> DataFrame:
             F.lit("ART-"), F.col("entity_id"), F.lit("-"),
             F.lpad(F.col("rule_num").cast("string"), 3, "0"),
         ).alias("obj"),
-    ).dropDuplicates(TRIPLE_SCHEMA)
+    ).transform(lambda d: d.dropDuplicates(TRIPLE_SCHEMA) if dedupe else d)

@@ -60,10 +60,10 @@ def test_cluster_windows(corpus20, spark):
 
 def test_empty_and_null_content_filtered(spark):
     df = spark.createDataFrame(
-        [("r", "p1", "c", "py", None, "DOC:00:00000"),
-         ("r", "p2", "c", "py", "", "DOC:00:00001"),
-         ("r", "p3", "c", "py", "see DOC:01:00001 .", "DOC:00:00002")],
+        [("r", "p1", "c", "py", None, "DOC:00:0000000"),
+         ("r", "p2", "c", "py", "", "DOC:00:0000001"),
+         ("r", "p3", "c", "py", "see DOC:01:0000001 .", "DOC:00:0000002")],
         "repo string, path string, commit string, lang string, content string, doc_ident string",
     )
     got = extract_mentions(df).toPandas()
-    assert set(got["surface"]) == {"DOC:01:00001"}
+    assert set(got["surface"]) == {"DOC:01:0000001"}
