@@ -113,7 +113,7 @@ def similarity_join(
     cand_key: str,
     cand_text: str,
     sim_gate: float = SIM_GATE,
-    top_k: int = TOP_K_CANDIDATES,
+    top_k: int | None = TOP_K_CANDIDATES,
     strategy: str = "auto",
 ) -> DataFrame:
     """Generic similarity join: returns (probe_key, cand_key, jaccard,
@@ -159,16 +159,21 @@ def similarity_join(
         .withColumn("score", sc["score"])
         .filter(F.col("jaccard") >= sim_gate)
     )
-    w = Window.partitionBy("_pk").orderBy(F.desc("jaccard"), F.desc("score"), F.col("_ck"))
-    return (
-        scored.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= top_k)
-        .select(
-            F.col("_pk").alias(probe_key),
-            F.col("_ck").alias(cand_key),
-            "jaccard",
-            "score",
+    if top_k is not None:
+        # LIMIT-200-per-probe parity (mapping/steps.ts:336-338). Callers
+        # that re-cap downstream pass top_k=None to skip this shuffle.
+        w = Window.partitionBy("_pk").orderBy(
+            F.desc("jaccard"), F.desc("score"), F.col("_ck")
         )
+        scored = (
+            scored.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= top_k)
+        )
+    return scored.select(
+        F.col("_pk").alias(probe_key),
+        F.col("_ck").alias(cand_key),
+        "jaccard",
+        "score",
     )
 
 
@@ -241,7 +246,8 @@ def link_rule_mentions(
         "entity_id", normalize_name(F.col("title")).alias("title_norm"), "valid_from"
     )
     cand = similarity_join(
-        distinct_names, reg, "name_norm", "name_norm", "entity_id", "title_norm"
+        distinct_names, reg, "name_norm", "name_norm", "entity_id", "title_norm",
+        top_k=None,  # the array agg below re-caps; skip the rank shuffle
     )
     # candidates per name → one array row, broadcast back to mentions;
     # cutoff + top-1 become per-row array expressions (no fan-out shuffle)
@@ -250,8 +256,15 @@ def link_rule_mentions(
         cand.join(F.broadcast(reg_dates), "entity_id")
         .groupBy("name_norm")
         .agg(
-            F.collect_list(
-                F.struct("score", "jaccard", "entity_id", "_vf")
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("score", "jaccard", "entity_id", "_vf")
+                        )
+                    )
+                ),
+                1, TOP_K_CANDIDATES,
             ).alias("_cands")
         )
     )

@@ -73,6 +73,31 @@ def setup_docs(n_docs: int) -> None:
 
 
 def main() -> None:
+    """Modes:
+      bench_scaling.py N_DOCS [N_LOW N_HIGH]   full run (setup + both legs)
+      bench_scaling.py setup N_DOCS            write corpus parquet only
+      bench_scaling.py leg CPUS N_DOCS         one timed leg (prints JSON)
+      bench_scaling.py report N_DOCS N_LOW T_LOW N_HIGH T_HIGH TRIPLES
+    Split modes exist so long runs fit per-command time limits.
+    """
+    if sys.argv[1:2] == ["setup"]:
+        setup_docs(int(sys.argv[2]))
+        print("setup done")
+        return
+    if sys.argv[1:2] == ["leg"]:
+        print(json.dumps(run_at(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+    if sys.argv[1:2] == ["report"]:
+        n_docs, n_low, t_low, n_high, t_high, triples = (
+            int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]),
+            int(sys.argv[5]), float(sys.argv[6]), int(sys.argv[7]),
+        )
+        results = {
+            n_low: {"sec": t_low, "n_triples": triples, "n_docs": n_docs},
+            n_high: {"sec": t_high, "n_triples": triples, "n_docs": n_docs},
+        }
+        _report(n_docs, n_low, n_high, results)
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
@@ -81,6 +106,10 @@ def main() -> None:
     for cpus in (n_low, n_high):
         results[cpus] = run_at(cpus, n_docs)
         print(results[cpus])
+    _report(n_docs, n_low, n_high, results)
+
+
+def _report(n_docs: int, n_low: int, n_high: int, results: dict) -> None:
     t8, t32 = results[n_low]["sec"], results[n_high]["sec"]
     speedup = t8 / t32
     efficiency = speedup / (n_high / n_low)
