@@ -497,6 +497,55 @@ def q_union_families(spark, sf):
     )
 
 
+def q_unmapped_discovery(spark, sf):
+    """Frequent tokens NOT in the known dictionary — the unmapped-law
+    discovery analog (count-popular-laws.ts:17-40): left_anti vs broadcast
+    dict, then groupBy count, top-N."""
+    d = _t(spark, sf, "documents")
+    dict_df = spark.createDataFrame(
+        [("the",), ("a",), ("scan",), ("filter",), ("join",), ("table",)],
+        "word string",
+    )
+    words = d.select(F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("word"))
+    return (
+        words.join(F.broadcast(dict_df), "word", "left_anti")
+        .groupBy("word")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "word")
+        .limit(20)
+    )
+
+
+def q_exclusion_filter(spark, sf):
+    """NOT LIKE exclusion filters (EU-type exclusion analog,
+    mapping/data-loader.ts:61-63)."""
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(~F.col("p_type").like("SMALL%") & ~F.col("p_type").like("%STEEL"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_sha_invariant(spark, sf):
+    """Per-row content hash (the sha256 invariant column,
+    BASELINE.json:15; filename-hash analog ConcurrentProcessor.ts:824-878)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+
+def q_json_extract(spark, sf):
+    """JSON parse of a payload column (from_json; salvage-parse analog,
+    validators.ts:191-226)."""
+    e = _t(spark, sf, "events")
+    parsed = F.from_json("props", "k int")
+    return (
+        e.select("event_id", parsed["k"].alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
 # ----- non-SQL-expressible (rows-only checks)
 
 
@@ -585,6 +634,10 @@ def q_kg_references(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "unmapped_discovery": q_unmapped_discovery,
+        "exclusion_filter": q_exclusion_filter,
+        "sha_invariant": q_sha_invariant,
+        "json_extract": q_json_extract,
         "block_numbering": q_block_numbering,
         "snippet_extract": q_snippet_extract,
         "date_parse": q_date_parse,
@@ -634,6 +687,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unmapped_discovery": r"""
+            WITH words AS (
+              SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
+              FROM documents
+            )
+            SELECT word, count(*) AS occurrences
+            FROM words
+            WHERE word NOT IN ('the','a','scan','filter','join','table')
+            GROUP BY word ORDER BY occurrences DESC, word LIMIT 20
+        """,
+        "exclusion_filter": """
+            SELECT p_brand, count(*) AS n FROM part
+            WHERE p_type NOT LIKE 'SMALL%' AND p_type NOT LIKE '%STEEL'
+            GROUP BY p_brand
+        """,
+        "sha_invariant": """
+            SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+        """,
+        "json_extract": """
+            SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+                   count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+            FROM events GROUP BY 1
+        """,
         "block_numbering": r"""
             WITH parts AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

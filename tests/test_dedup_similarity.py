@@ -112,6 +112,23 @@ def test_brute_force_topk(vec_df, spark):
         assert top1[i] == 100 + i
 
 
+def test_brute_force_topk_np_matches_expression_variant(vec_df, spark):
+    from decisions_knowledge_graph_data_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
+    probes = vec_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = vec_df.filter(F.col("vec_id") >= 3)
+    expr = brute_force_topk(corpus, probes, "vec_id", "embedding",
+                            "probe_id", "probe_vec", k=5).toPandas()
+    blas = brute_force_topk_np(corpus, probes, "vec_id", "embedding",
+                               "probe_id", "probe_vec", k=5).toPandas()
+    assert set(zip(expr["probe_id"], expr["vec_id"], expr["rank"])) == set(
+        zip(blas["probe_id"], blas["vec_id"], blas["rank"])
+    )
+
+
 def test_ivf_topk_recall(vec_df):
     probes = vec_df.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
