@@ -614,7 +614,7 @@ def q_kg_triples(spark, sf):
     docs = tables["documents"]
     mentions = filter_self_references(extract_mentions(docs))
     matches = link_rule_mentions(
-        mentions, docs, tables["entity_registry"], tables["popular_entities"]
+        mentions, tables["entity_registry"], tables["popular_entities"]
     )
     canon = canonical_map(tables["entity_registry"])
     return (

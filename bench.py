@@ -77,7 +77,7 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
     mentions = filter_self_references(extract_mentions(docs)).localCheckpoint()
     mark("extract")
     matches = link_rule_mentions(
-        mentions, docs, tables["entity_registry"], tables["popular_entities"]
+        mentions, tables["entity_registry"], tables["popular_entities"]
     ).persist()
     matches.count()
     mark("link")

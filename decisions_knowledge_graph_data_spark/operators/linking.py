@@ -179,7 +179,6 @@ def similarity_join(
 
 def link_rule_mentions(
     mentions: DataFrame,
-    docs: DataFrame,
     registry: DataFrame,
     popular: DataFrame,
 ) -> DataFrame:

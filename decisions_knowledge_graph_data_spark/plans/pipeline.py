@@ -34,6 +34,12 @@ from ..operators.triples import (
     decided_by_triples,
     party_of_triples,
 )
+from ..operators.validate import (
+    enum_check,
+    range_check,
+    required_check,
+    validate_columns,
+)
 from .checkpoint import (
     append_metrics,
     is_complete,
@@ -104,7 +110,16 @@ def run_pipeline(
             df = read_stage(spark, workdir, name)
         else:
             df = write_stage(build(), workdir, name, partition_by)
-            append_metrics(partition_metrics(df, run_id, name), workdir)
+            metrics = partition_metrics(df, run_id, name)
+            append_metrics(metrics, workdir)
+            # per-stage summary row (ConcurrentSummary analog,
+            # ConcurrentProcessor.ts:47-63)
+            metrics.groupBy("run_id", "stage").agg(
+                F.sum("records").alias("total_records"),
+                F.count("*").alias("n_partitions"),
+            ).withColumn("completed_at", F.current_timestamp()).write.mode(
+                "append"
+            ).parquet(os.path.join(workdir, "run_summaries"))
         out[name] = df
         return df
 
@@ -115,7 +130,7 @@ def run_pipeline(
         return ok
     s0 = stage("s0_ingest", _ingest)
 
-    # ---- s1 mentions (row-level resumable)
+    # ---- s1 mentions (row-level resumable; schema-validated boundary)
     def _mentions():
         src = s0
         part = stage_path(workdir, "s1_mentions_partial")
@@ -123,8 +138,20 @@ def run_pipeline(
             done = spark.read.parquet(part)
             todo = resume_filter(src, done.select("doc_id", "lang"), ["doc_id", "lang"])
             fresh = filter_self_references(extract_mentions(todo))
-            return done.unionByName(fresh)
-        return filter_self_references(extract_mentions(src))
+            raw = done.unionByName(fresh, allowMissingColumns=True)
+        else:
+            raw = filter_self_references(extract_mentions(src))
+        # typed boundary: every extracted row is validated before it can
+        # feed downstream stages (ConcurrentProcessor.ts:406-431 routing)
+        ok, bad = validate_columns(raw, [
+            required_check(F.col("surface"), "surface"),
+            enum_check(F.col("confidence"), ["HIGH", "MEDIUM", "LOW"], "confidence"),
+            range_check(F.col("mention_seq"), 1, 10_000_000, "mention_seq"),
+        ])
+        bad.select(
+            "doc_id", "lang", "reason", "error"
+        ).write.mode("append").parquet(os.path.join(workdir, "failures"))
+        return ok
     s1 = stage("s1_mentions", _mentions)
 
     # ---- s2 references (pure regex)
@@ -134,7 +161,7 @@ def run_pipeline(
     s3 = stage(
         "s3_matches",
         lambda: link_rule_mentions(
-            s1, s0, dicts["entity_registry"], dicts["popular_entities"]
+            s1, dicts["entity_registry"], dicts["popular_entities"]
         ),
     )
 

@@ -441,6 +441,19 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
                         "matched_on": matched_on, "score": -1})
         b.filler(i, 30 + k, 150 + _h("f3", i, k) % 200)
 
+    # -- hub entity: ~30% of docs cite popular entity #0 (the
+    # frequently-cited-decision skew case, BASELINE.json:14; resolved on
+    # the broadcast DICT fast path, so the hub never fans into the scorer)
+    if _h("hub", i) % 10 < 3:
+        rule_seq += 1
+        rn = 1 + _h("hubrn", i) % 120
+        hub_eid = reg.popular_ids[0]
+        b.plant("RULE", f"rule {rn} of {reg.titles[hub_eid]}", lead="see also ",
+                trail=". ", entity_id=hub_eid, rule_num=rn)
+        triples.append((f"DEC-{uid}", "applies_provision", f"ART-{hub_eid}-{rn:03d}"))
+        matches.append({"mention_uid": f"{uid}:RULE:{rule_seq}", "entity_id": hub_eid,
+                        "matched_on": "DICT", "score": 100})
+
     # -- reference codes (agent-2B analog): valid + invalid variants
     year_ok = 1990 + _h("cy", i) % 30
     b.plant("REF", f"CELEX:3{year_ok}L{_h('cn', i) % 10000:04d}", ref_valid=True)
@@ -455,9 +468,13 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
         b.plant("REF", f"{2005}77{_h('nn2', i) % 10000:04d}", lead="numac ", ref_valid=False)
     b.plant("REF", f"https://lex.example.eu/legal-content/{uid[:8]}", ref_valid=True)
 
-    # -- tail filler: size spread 2K–120K analog (most short, few long)
+    # -- tail filler: size spread 2K–120K analog (most short, few long);
+    # every 10007th doc is a mega-doc (~120K chars) — the skew case of
+    # FIXTURES.md §7 / BASELINE.json:14
     spread = _h("size", i) % 100
-    if spread < 70:
+    if i % 10007 == 7:
+        tail = 120_000
+    elif spread < 70:
         tail = 800 + _h("t", i) % 2000
     elif spread < 95:
         tail = 4000 + _h("t", i) % 8000

@@ -17,8 +17,7 @@ def _linked(corpus20):
     mentions = filter_self_references(extract_mentions(tables["documents"]))
     return (
         link_rule_mentions(
-            mentions, tables["documents"],
-            tables["entity_registry"], tables["popular_entities"],
+            mentions, tables["entity_registry"], tables["popular_entities"]
         ).toPandas(),
         bundle,
     )
@@ -91,8 +90,7 @@ def test_plan_has_broadcast_fast_path(corpus20):
     tables, _, _ = corpus20
     mentions = filter_self_references(extract_mentions(tables["documents"]))
     df = link_rule_mentions(
-        mentions, tables["documents"],
-        tables["entity_registry"], tables["popular_entities"],
+        mentions, tables["entity_registry"], tables["popular_entities"]
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
