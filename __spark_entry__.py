@@ -546,6 +546,49 @@ def q_json_extract(spark, sf):
     )
 
 
+def q_rollup_agg(spark, sf):
+    """Hierarchical rollup totals (region → nation) with explicit grouping
+    level (multi-level run-summary analog)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers", "sum_bal",
+        )
+    )
+
+
+def q_range_window(spark, sf):
+    """RANGE-frame window: average order price over the trailing 30 days
+    per customer (event-time rolling agg)."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.filter(F.col("o_custkey") < 100).select(
+        "o_custkey", "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 2).alias("avg_30d"),
+    )
+
+
+def q_intersect_op(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.intersect(b).select(F.col("o_custkey").alias("custkey"))
+
+
 # ----- non-SQL-expressible (rows-only checks)
 
 
@@ -634,6 +677,9 @@ def q_kg_references(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "rollup_agg": q_rollup_agg,
+        "range_window": q_range_window,
+        "intersect_op": q_intersect_op,
         "unmapped_discovery": q_unmapped_discovery,
         "exclusion_filter": q_exclusion_filter,
         "sha_invariant": q_sha_invariant,
@@ -687,6 +733,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rollup_agg": """
+            SELECT coalesce(r_name, 'ALL') AS region_name,
+                   coalesce(n_name, 'ALL') AS nation_name,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "range_window": """
+            SELECT o_custkey, o_orderkey,
+                   round(avg(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS avg_30d
+            FROM orders WHERE o_custkey < 100
+        """,
+        "intersect_op": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
         "unmapped_discovery": r"""
             WITH words AS (
               SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
