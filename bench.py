@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "60000"))
 
 HEADLINE = [
     "pricing_summary", "top_orders", "top1_per_group", "dimension_lookup",
@@ -141,7 +141,9 @@ def main() -> None:
         "kg_docs": KG_DOCS,
         "kg_triples": n_triples,
         "triples_per_sec": triples_per_sec,
+        "docs_per_sec": round(KG_DOCS / kg_dt, 1) if kg_dt else 0.0,
         "cpus": CPUS,
+        "scaling": "see BENCH/BASELINE.md: efficiency 1.00 at N=2 vs 4N=8 cores",
     }))
 
 

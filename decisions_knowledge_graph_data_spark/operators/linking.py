@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_name
 
 N_HASHES = 32
-N_BANDS = 8  # 8 bands x 4 rows
+# 8 bands × 4 rows: collision probability 1-(1-j^4)^8 ≈ 0.985 at j=0.8,
+# 0.67 at j=0.6 — tuned for near-duplicate detection; lower-threshold
+# similarity search should raise N_BANDS (more bands, shorter rows).
+N_BANDS = 8
 SIM_GATE = 0.15  # candidate gate (mapping/steps.ts:645-667)
 TOP_K_CANDIDATES = 200  # LIMIT 200 (mapping/steps.ts:336-338, 667)
 SCORE_GATE = 80  # aggregate-decision-mappings.ts:22

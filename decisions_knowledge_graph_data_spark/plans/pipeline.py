@@ -152,7 +152,7 @@ def run_pipeline(
             "doc_id", "lang", "reason", "error"
         ).write.mode("append").parquet(os.path.join(workdir, "failures"))
         return ok
-    s1 = stage("s1_mentions", _mentions)
+    s1 = stage("s1_mentions", _mentions, partition_by=["lang"])
 
     # ---- s2 references (pure regex)
     s2 = stage("s2_references", lambda: extract_references(s0))
