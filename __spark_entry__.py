@@ -546,6 +546,25 @@ def q_json_extract(spark, sf):
     )
 
 
+def q_issue_key(spark, sf):
+    """3-stage classification analog (classify-legal-issues): stage1
+    candidate concepts (token counts), stage2 topic set ≤ 3 (rank gate),
+    stage3 deterministic issue_key = concat_ws over array_sort
+    (validation.ts:430-476 sorted-ID key build)."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("w"),
+    )
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    w3 = Window.partitionBy("doc_id").orderBy(F.desc("n"), "w")
+    top3 = counts.withColumn("r", F.row_number().over(w3)).filter(F.col("r") <= 3)
+    return (
+        top3.groupBy("doc_id")
+        .agg(F.concat_ws("-", F.array_sort(F.collect_list("w"))).alias("issue_key"))
+    )
+
+
 def q_rollup_agg(spark, sf):
     """Hierarchical rollup totals (region → nation) with explicit grouping
     level (multi-level run-summary analog)."""
@@ -677,6 +696,7 @@ def q_kg_references(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "issue_key": q_issue_key,
         "rollup_agg": q_rollup_agg,
         "range_window": q_range_window,
         "intersect_op": q_intersect_op,
@@ -733,6 +753,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "issue_key": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
+            ), top3 AS (
+              SELECT doc_id, w FROM counts
+              QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, w) <= 3
+            )
+            SELECT doc_id, array_to_string(list_sort(list(w)), '-') AS issue_key
+            FROM top3 GROUP BY doc_id
+        """,
         "rollup_agg": """
             SELECT coalesce(r_name, 'ALL') AS region_name,
                    coalesce(n_name, 'ALL') AS nation_name,

