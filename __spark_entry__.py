@@ -110,6 +110,11 @@ def q_top1_per_group(spark, sf):
 
 
 def q_seq_ids(spark, sf):
+    """Global stable sequential ids (custom_id analog,
+    BatchJobGenerator.ts:158-163). NOTE: an unpartitioned window is a
+    deliberate single-partition op — correct for bounded id-assignment
+    batches; at corpus scale the engine mints per-doc sequences inside the
+    extraction kernel instead (operators/extract.py)."""
     o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     w = Window.orderBy("o_orderkey")
     return o.select("o_orderkey").withColumn(
