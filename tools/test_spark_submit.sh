@@ -21,7 +21,26 @@ spark-submit --master 'local[8]' \
   --conf spark.sql.shuffle.partitions=8 \
   --conf spark.ui.enabled=false \
   --py-files dist/decisions_kg_spark.zip \
-  jobs/run_kg_pipeline.py --input "$WORK/docs" --workdir "$WORK/out" --strict-invariant
+  jobs/run_kg_pipeline.py --input "$WORK/docs" --workdir "$WORK/out" --strict-invariant \
+  | tee "$WORK/run1.json"
 
-echo "spark-submit run OK; outputs:"
+# resume: simulate a mid-pipeline crash by deleting the outputs of the
+# last two stages, then re-run with --resume — earlier stages must be
+# read (not recomputed) and the final counts must be identical
+rm -rf "$WORK/out/s6_nodes" "$WORK/out/s6_edges"
+spark-submit --master 'local[8]' \
+  --conf spark.sql.shuffle.partitions=8 \
+  --conf spark.ui.enabled=false \
+  --py-files dist/decisions_kg_spark.zip \
+  jobs/run_kg_pipeline.py --input "$WORK/docs" --workdir "$WORK/out" --resume \
+  | tee "$WORK/run2.json"
+
+j1=$(grep -o '{.*}' "$WORK/run1.json" | tail -1)
+j2=$(grep -o '{.*}' "$WORK/run2.json" | tail -1)
+if [ "$j1" != "$j2" ]; then
+  echo "RESUME MISMATCH: $j1 vs $j2" >&2
+  exit 1
+fi
+
+echo "spark-submit + resume OK; outputs:"
 ls "$WORK/out"
