@@ -542,6 +542,30 @@ def gen_corpus(n_docs: int, reg: RegistryBundle | None = None) -> CorpusBundle:
     )
 
 
+def gen_test_set(bundle: CorpusBundle, per_stratum: int = 2) -> pd.DataFrame:
+    """Stratified evaluation slice (comprehensive-197.csv analog,
+    FIXTURES.md §4): up to ``per_stratum`` docs per (lang, length_category),
+    deterministic (sorted by doc key within stratum)."""
+    docs = bundle.documents.copy()
+    docs["doc_id"] = [
+        doc_uid_py(r, p, c)
+        for r, p, c in zip(docs["repo"], docs["path"], docs["commit"])
+    ]
+    rows = []
+    for (_lang, _cat), grp in sorted(
+        docs.groupby(["lang", "length_category"]), key=lambda kv: kv[0]
+    ):
+        take = grp.sort_values("doc_id").head(per_stratum)
+        for r in take.itertuples():
+            rows.append((r.doc_id, r.lang, "decision", r.repo.split("/")[1],
+                         r.repo, "standard", r.doc_date, r.md_length,
+                         r.length_category))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "lang", "doc_type", "source_code", "source_name",
+        "category", "doc_date", "md_length", "length_category",
+    ])
+
+
 # ------------------------------------------------------------- Spark surfaces
 
 
