@@ -670,7 +670,9 @@ def q_kg_triples(spark, sf):
     from decisions_knowledge_graph_data_spark.operators.extract import (
         extract_mentions, filter_self_references,
     )
-    from decisions_knowledge_graph_data_spark.operators.linking import link_rule_mentions
+    from decisions_knowledge_graph_data_spark.operators.linking import (
+        link_family_mentions, link_rule_mentions,
+    )
     from decisions_knowledge_graph_data_spark.operators.canonicalize import (
         apply_canonical, canonical_map,
     )
@@ -682,6 +684,8 @@ def q_kg_triples(spark, sf):
     mentions = filter_self_references(extract_mentions(docs))
     matches = link_rule_mentions(
         mentions, tables["entity_registry"], tables["popular_entities"]
+    ).unionByName(
+        link_family_mentions(mentions, tables["family_map"], tables["entity_registry"])
     )
     canon = canonical_map(tables["entity_registry"])
     return (

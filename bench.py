@@ -40,7 +40,9 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
     from decisions_knowledge_graph_data_spark.operators.extract import (
         extract_mentions, filter_self_references,
     )
-    from decisions_knowledge_graph_data_spark.operators.linking import link_rule_mentions
+    from decisions_knowledge_graph_data_spark.operators.linking import (
+        link_family_mentions, link_rule_mentions,
+    )
     from decisions_knowledge_graph_data_spark.operators.triples import (
         applies_provision_triples, cites_triples, decided_by_triples, party_of_triples,
     )
@@ -70,15 +72,22 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
         "popular_entities": spark.createDataFrame(reg.popular_entities),
         "alias_map": spark.createDataFrame(reg.alias_map),
         "known_missing": spark.createDataFrame(reg.known_missing),
+        "family_map": spark.createDataFrame(reg.family_map),
     }
     # localCheckpoint truncates the logical plan: mentions feeds five
     # downstream branches, and without truncation each carries the full
     # kernel lineage into (driver-serial) analysis/optimization.
     mentions = filter_self_references(extract_mentions(docs)).localCheckpoint()
     mark("extract")
-    matches = link_rule_mentions(
-        mentions, tables["entity_registry"], tables["popular_entities"]
-    ).persist()
+    matches = (
+        link_rule_mentions(
+            mentions, tables["entity_registry"], tables["popular_entities"]
+        )
+        .unionByName(
+            link_family_mentions(mentions, tables["family_map"], tables["entity_registry"])
+        )
+        .persist()
+    )
     matches.count()
     mark("link")
     canon = canonical_map(tables["entity_registry"])

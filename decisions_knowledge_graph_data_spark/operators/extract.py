@@ -46,6 +46,8 @@ RE_NAME_DATE = rf"Reviewed by .{{1,60}}? on {RE_DATE}"
 # Provision snippet ("article N du Code X" analog,
 # provisionSnippetExtractor.ts:50-59)
 RE_RULE = r"rule \d{1,3} of (?:E\d{4}(?:X{1,2})?|[a-zéû][a-zéû -]{0,60}charter \d{3})"
+# Key-list family reference (code-family analog, mapping/steps.ts:429-441)
+RE_FAMILY = r"rule \d{1,3} of family-\d{2}"
 # Parties header (party grammar, extract-comprehensive/config.ts:214-218)
 _P_SUF = "(?:Corp|NV|GmbH|Ltd|SA|BV)"
 RE_PARTY = rf"PARTIES: [A-Z][A-Za-z]+ {_P_SUF} vs [A-Z][A-Za-z]+ {_P_SUF}"
@@ -58,6 +60,7 @@ _FAMILIES: list[tuple[str, str]] = [
     ("IDENT", RE_IDENT),
     ("NAME_DATE", RE_NAME_DATE),
     ("RULE", RE_RULE),
+    ("FAMILY", RE_FAMILY),
     ("PARTY", RE_PARTY),
     ("REF", RE_CELEX),
     ("REF", RE_NUMAC),

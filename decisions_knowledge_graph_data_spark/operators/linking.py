@@ -180,6 +180,46 @@ def similarity_join(
     )
 
 
+def link_family_mentions(
+    mentions: DataFrame,
+    family_map: DataFrame,
+    registry: DataFrame,
+) -> DataFrame:
+    """FAMILY mentions → entity via key-list fanout (mapping/steps.ts:429-465):
+    explode the family's entity-id list (broadcast map), gate candidates by
+    the temporal cutoff valid_from < doc_date, pick the deterministic
+    winner (min entity id) per mention. Returns the link_rule_mentions
+    match shape with matched_on='FAMILY'.
+    """
+    fams = (
+        mentions.filter(F.col("mention_kind") == "FAMILY")
+        .withColumn(
+            "rule_num",
+            F.regexp_extract("surface", r"rule (\d{1,3}) of ", 1).cast("int"),
+        )
+        .withColumn("family", F.regexp_extract("surface", r"of (family-\d{2})$", 1))
+        .select("doc_id", "lang", "char_start", "rule_num", "family", "doc_date")
+    )
+    fanned = family_map.select("family", F.explode("entity_ids").alias("entity_id"))
+    reg = registry.select("entity_id", "valid_from")
+    return (
+        fams.join(F.broadcast(fanned), "family")
+        .join(F.broadcast(reg), "entity_id")
+        .filter(F.col("valid_from") < F.col("doc_date"))
+        .groupBy("doc_id", "lang", "char_start", "rule_num", "family")
+        .agg(F.min("entity_id").alias("entity_id"))
+        .select(
+            "doc_id", "lang",
+            F.lit(None).cast("int").alias("rule_seq"),
+            "rule_num",
+            F.col("family").alias("surface_title"),
+            "entity_id",
+            F.lit(100).alias("score"),
+            F.lit("FAMILY").alias("matched_on"),
+        )
+    )
+
+
 def link_rule_mentions(
     mentions: DataFrame,
     registry: DataFrame,

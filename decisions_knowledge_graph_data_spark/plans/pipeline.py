@@ -26,7 +26,7 @@ from ..functions.ids import doc_uid
 from ..functions.text import length_category
 from ..operators.canonicalize import apply_canonical, canonical_map
 from ..operators.extract import extract_mentions, filter_self_references
-from ..operators.linking import link_rule_mentions
+from ..operators.linking import link_family_mentions, link_rule_mentions
 from ..operators.references import extract_references
 from ..operators.triples import (
     applies_provision_triples,
@@ -158,12 +158,16 @@ def run_pipeline(
     s2 = stage("s2_references", lambda: extract_references(s0))
 
     # ---- s3 linking
-    s3 = stage(
-        "s3_matches",
-        lambda: link_rule_mentions(
+    def _matches():
+        rule_m = link_rule_mentions(
             s1, dicts["entity_registry"], dicts["popular_entities"]
-        ),
-    )
+        )
+        if "family_map" in dicts:
+            rule_m = rule_m.unionByName(
+                link_family_mentions(s1, dicts["family_map"], dicts["entity_registry"])
+            )
+        return rule_m
+    s3 = stage("s3_matches", _matches)
 
     # ---- s4 canonicalization
     s4 = stage("s4_canonical_map", lambda: canonical_map(dicts["entity_registry"]))

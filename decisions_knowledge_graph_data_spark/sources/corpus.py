@@ -130,6 +130,12 @@ def _mutate(title: str, n_edits: int, salt: int) -> str:
     return f"{''.join(chars)} charter {tail}"
 
 
+def _vf(k: int) -> str:
+    """Registry valid_from rule: every 9th entity is a 2030 decoy
+    (temporal-cutoff exercise); otherwise 2000-2009 by k."""
+    return "2030-01-01" if k % 9 == 8 else f"20{k % 10:02d}-01-01"
+
+
 @dataclass
 class RegistryBundle:
     entity_registry: pd.DataFrame
@@ -146,6 +152,8 @@ class RegistryBundle:
     org_alias: dict[str, str] = field(default_factory=dict)  # alias -> code
     alias_display: dict[str, str] = field(default_factory=dict)  # norm -> raw
     dup_variant_of: dict[str, str] = field(default_factory=dict)
+    family_members: dict[str, list[str]] = field(default_factory=dict)
+    entity_vf: dict[str, str] = field(default_factory=dict)
 
 
 def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle:
@@ -156,11 +164,9 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
         eid = f"E{k:04d}"
         t = _title(k)
         titles[eid] = t
-        # valid_from: most entities valid from 2000; every 9th is a decoy
-        # dated 2030 to exercise the temporal-cutoff predicate
+        # valid_from: temporal-cutoff predicate exercise
         # (`mapping/steps.ts:452-454`).
-        vf = "2030-01-01" if k % 9 == 8 else f"20{k % 10:02d}-01-01"
-        rows.append((eid, t, "charter", vf, f"rule-{k % 7}", f"member text for {t}"))
+        rows.append((eid, t, "charter", _vf(k), f"rule-{k % 7}", f"member text for {t}"))
 
     # Duplicate chains A-B-C (B close to A, C close to B, A-C farther) —
     # exercises connected components beyond pairwise dedup (FIXTURES.md §5).
@@ -198,13 +204,16 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
     # Family map: 47 families, one hub family with 20 ids
     # (code-mapping.json analog — `Code civil` -> 20 NUMACs, steps.ts:46-49).
     fam_rows = []
+    family_members: dict[str, list[str]] = {}
     for f_i in range(47):
         if f_i == 0:
             ids = [f"E{k:04d}" for k in range(20)]  # the hub
         else:
             ids = [f"E{(f_i * 3 + j) % n_canonical:04d}" for j in range(1 + f_i % 3)]
         fam_rows.append((f"family-{f_i:02d}", ids))
+        family_members[f"family-{f_i:02d}"] = ids
     family_map = pd.DataFrame(fam_rows, columns=["family", "entity_ids"])
+    entity_vf = {f"E{k:04d}": _vf(k) for k in range(n_canonical)}
 
     # Alias map: 247 rows alias -> org code (court-mapping.csv analog).
     org_codes = [f"ORG-{s.upper()}" for s in ORG_STEMS]
@@ -245,6 +254,8 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
         org_alias=org_alias,
         alias_display=alias_display,
         dup_variant_of=dup_variant_of,
+        family_members=family_members,
+        entity_vf=entity_vf,
     )
 
 
@@ -440,6 +451,23 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
         matches.append({"mention_uid": f"{uid}:RULE:{rule_seq}", "entity_id": eid,
                         "matched_on": matched_on, "score": -1})
         b.filler(i, 30 + k, 150 + _h("f3", i, k) % 200)
+
+    # -- family mention (key-list fanout, mapping/steps.ts:429-465): the
+    # family expands to its member entity ids; candidates are gated by the
+    # temporal cutoff valid_from < doc_date; deterministic pick = min id.
+    if _h("fam", i) % 4 == 0:
+        fam_i = _h("famf", i) % 47
+        fam = f"family-{fam_i:02d}"
+        rn = 1 + _h("famrn", i) % 50
+        b.plant("FAMILY", f"rule {rn} of {fam}", lead="pursuant to ", trail=". ")
+        valid_members = [e for e in reg.family_members[fam]
+                         if reg.entity_vf[e] < doc_date]
+        if valid_members:
+            eid = min(valid_members)
+            canonical = reg.dup_variant_of.get(eid, eid)
+            triples.append(
+                (f"DEC-{uid}", "applies_provision", f"ART-{canonical}-{rn:03d}")
+            )
 
     # -- hub entity: ~30% of docs cite popular entity #0 (the
     # frequently-cited-decision skew case, BASELINE.json:14; resolved on

@@ -41,6 +41,7 @@ def main() -> None:
         "popular_entities": spark.createDataFrame(reg.popular_entities),
         "alias_map": spark.createDataFrame(reg.alias_map),
         "known_missing": spark.createDataFrame(reg.known_missing),
+        "family_map": spark.createDataFrame(reg.family_map),
     }
     out = run_pipeline(
         spark, docs, dicts, args.workdir,

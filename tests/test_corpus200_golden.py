@@ -27,7 +27,8 @@ def corpus200(spark):
 
 def _dicts(tables):
     return {k: tables[k] for k in
-            ("entity_registry", "popular_entities", "alias_map", "known_missing")}
+            ("entity_registry", "popular_entities", "alias_map", "known_missing",
+             "family_map")}
 
 
 def test_t2_pipeline_pr(spark, corpus200, tmp_path):

@@ -20,6 +20,7 @@ def _dicts(tables):
         "popular_entities": tables["popular_entities"],
         "alias_map": tables["alias_map"],
         "known_missing": tables["known_missing"],
+        "family_map": tables["family_map"],
     }
 
 
