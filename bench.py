@@ -152,7 +152,7 @@ def main() -> None:
         "triples_per_sec": triples_per_sec,
         "docs_per_sec": round(KG_DOCS / kg_dt, 1) if kg_dt else 0.0,
         "cpus": CPUS,
-        "scaling": "see BENCH/BASELINE.md: efficiency 0.84 at N=2 vs 4N=8 cores",
+        "scaling": "see BENCH/BASELINE.md: efficiency 1.01 at N=2 vs 4N=8 cores (0.84-1.01 across runs)",
     }))
 
 
