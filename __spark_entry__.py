@@ -111,15 +111,14 @@ def q_top1_per_group(spark, sf):
 
 def q_seq_ids(spark, sf):
     """Global stable sequential ids (custom_id analog,
-    BatchJobGenerator.ts:158-163). NOTE: an unpartitioned window is a
-    deliberate single-partition op — correct for bounded id-assignment
-    batches; at corpus scale the engine mints per-doc sequences inside the
-    extraction kernel instead (operators/extract.py)."""
+    BatchJobGenerator.ts:158-163) via the scale-safe two-pass recipe
+    (functions/ids.py:global_seq): range-repartition + per-partition
+    counts + broadcast offsets — no single-partition ORDER BY window."""
+    from decisions_knowledge_graph_data_spark.functions.ids import global_seq
     o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    w = Window.orderBy("o_orderkey")
-    return o.select("o_orderkey").withColumn(
-        "custom_id",
-        F.concat(F.lit("DEC-"), F.lpad(F.row_number().over(w).cast("string"), 6, "0")),
+    return global_seq(o.select("o_orderkey"), "o_orderkey", "seq").select(
+        "o_orderkey",
+        F.concat(F.lit("DEC-"), F.lpad(F.col("seq").cast("string"), 6, "0")).alias("custom_id"),
     )
 
 
@@ -592,17 +591,20 @@ def q_rollup_agg(spark, sf):
 
 
 def q_range_window(spark, sf):
-    """RANGE-frame window: average order price over the trailing 30 days
-    per customer (event-time rolling agg)."""
+    """RANGE-frame window: trailing-30-day order spend per customer
+    (event-time rolling agg). Exact arithmetic on both engines: decimal
+    sum (no float-summation order sensitivity) + bigint count; ordering
+    key is a tz-free day number so the frame is identical regardless of
+    session timezone. Round-1 avg/round(2) hit half-cent rounding
+    divergence (4/1009 rows) — sum+count carries the same RANGE-frame
+    semantics with none of the float ambiguity."""
     o = _t(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
-    )
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
     return o.filter(F.col("o_custkey") < 100).select(
         "o_custkey", "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 2).alias("avg_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("sum_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
     )
 
 
@@ -704,7 +706,12 @@ def q_kg_references(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Flagship KG pipeline first: CORRECTNESS_r01.json recorded exactly 50 of
+    # 52 queries and the two missing were the last two dict entries — order
+    # the entries so a driver cap/timeout can never drop the flagship rows.
     return {
+        "kg_triples": q_kg_triples,
+        "kg_references": q_kg_references,
         "issue_key": q_issue_key,
         "rollup_agg": q_rollup_agg,
         "range_window": q_range_window,
@@ -755,8 +762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "ivf_topk": q_ivf_topk,
-        "kg_triples": q_kg_triples,
-        "kg_references": q_kg_references,
     }
 
 
@@ -787,9 +792,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_window": """
             SELECT o_custkey, o_orderkey,
-                   round(avg(o_totalprice) OVER (
-                     PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS avg_30d
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+                   CAST(count(*) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
             FROM orders WHERE o_custkey < 100
         """,
         "intersect_op": """
@@ -816,9 +826,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         """,
         "json_extract": """
+            -- CAST AS BIGINT: DuckDB sum(int) is HUGEINT (int128), which the
+            -- driver's arrow fetch renders as Decimal — hash-mismatches Spark's
+            -- bigint even when values are identical (round-1 failure).
             SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
                    count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
             FROM events GROUP BY 1
         """,
         "block_numbering": r"""
@@ -971,11 +984,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "crosstab": """
+            -- CAST AS BIGINT: avoid DuckDB HUGEINT sums (see json_extract note).
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS other
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT) AS other
             FROM orders GROUP BY o_orderstatus
         """,
         "percentiles": """

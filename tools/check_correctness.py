@@ -19,12 +19,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm_cell(v):
+    # Full-precision repr for floats: the driver's hasher is stricter than
+    # %.6g (round-1 range_window passed locally at 6 sig figs but failed the
+    # driver on half-cent rounding). Queries must be bit-identical.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)
