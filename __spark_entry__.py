@@ -851,17 +851,28 @@ def oracle_sql() -> dict[str, str]:
             FROM blocks WHERE length(plain_text) > 0
         """,
         "snippet_extract": r"""
-            WITH hits AS (
+            -- per-occurrence positions: start of hit i = len(segments 1..i)
+            -- + len(hits 1..i-1) + 1 (mirrors blocks.match_positions)
+            WITH segs AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
-                     strpos(text, 'spark') AS pos
+                     string_split_regex(text, '\bspark\b') AS s,
+                     regexp_extract_all(text, '\bspark\b') AS h
               FROM documents
-              WHERE regexp_matches(text, '\bspark\b')
+            ), occ AS (
+              SELECT doc_id, text, s, h, unnest(range(1, len(h) + 1)) AS i
+              FROM segs WHERE len(h) > 0
+            ), pos AS (
+              SELECT doc_id, text, h[i] AS hit,
+                     CAST(COALESCE(list_sum(list_transform(s[1:i], x -> length(x))), 0)
+                        + COALESCE(list_sum(list_transform(h[1:i-1], x -> length(x))), 0)
+                        + 1 AS BIGINT) AS p
+              FROM occ
             )
-            SELECT doc_id, 'spark' AS hit,
+            SELECT DISTINCT doc_id, hit,
                    trim(regexp_replace(
-                     substring(text, greatest(1, pos - 30), 60 + length('spark')),
+                     substring(text, greatest(1, p - 30), 60 + length(hit)),
                      '\s+', ' ', 'g')) AS snippet
-            FROM hits WHERE pos > 0
+            FROM pos
         """,
         "date_parse": """
             SELECT event_id,

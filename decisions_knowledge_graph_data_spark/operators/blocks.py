@@ -15,10 +15,59 @@ Parity targets:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_display
+
+
+def match_positions(text: Column, pattern: str) -> Column:
+    """``array<struct<start,hit>>`` of EVERY regex match (1-based start).
+
+    Linear, JVM-side: split the text on the pattern (segments between
+    matches) + regexp_extract_all (the matches), then one ``aggregate``
+    over the zipped (segment, hit) pairs accumulates running offsets.
+    No Python, no O(n²) re-scanning."""
+    segs = F.split(text, pattern)
+    hits = F.regexp_extract_all(text, F.lit(pattern), 0)
+    pairs = F.arrays_zip(
+        F.slice(segs, 1, F.size(hits)).alias("seg"), hits.alias("hit")
+    )
+    zero = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.expr("CAST(array() AS array<struct<start:bigint,hit:string>>)").alias("out"),
+    )
+    return F.aggregate(
+        pairs,
+        zero,
+        lambda a, x: F.struct(
+            (a["pos"] + F.length(x["seg"]) + F.length(x["hit"])).alias("pos"),
+            F.concat(
+                a["out"],
+                F.array(F.struct(
+                    (a["pos"] + F.length(x["seg"])).alias("start"),
+                    x["hit"].alias("hit"),
+                )),
+            ).alias("out"),
+        ),
+        lambda a: a["out"],
+    )
+
+
+def sentence_snippet(text: Column, pos: Column, hit_len: Column,
+                     context: int = 300) -> Column:
+    """±context window around (pos, hit_len) ALIGNED to sentence boundaries
+    (`map-cited-decisions/citation-finder.ts:253-313`): the lead is trimmed
+    to start after the last '. ' inside the window, the trail is cut at the
+    first '. '. Falls back to the raw ±context edges when no boundary is in
+    range (substring_index returns the whole string on a miss)."""
+    lead_len = F.least(pos - 1, F.lit(context)).cast("int")
+    lead_raw = text.substr((pos - lead_len).cast("int"), lead_len)
+    lead = F.substring_index(lead_raw, ". ", -1)
+    hit = text.substr(pos.cast("int"), hit_len.cast("int"))
+    trail_raw = text.substr((pos + hit_len).cast("int"), F.lit(context))
+    trail = F.substring_index(trail_raw, ". ", 1)
+    return normalize_display(F.concat(lead, hit, trail))
 
 
 def block_transform(docs: DataFrame, key_col: str = "doc_id",
@@ -52,29 +101,26 @@ def block_transform(docs: DataFrame, key_col: str = "doc_id",
 
 def snippet_extract(docs: DataFrame, pattern: str, context: int = 75,
                     key_col: str = "doc_id", text_col: str = "content") -> DataFrame:
-    """±context-char snippets around every match of ``pattern``:
-    regexp_extract_all for the hits, locate for positions, substring for
-    the window, whitespace-normalized + deduped (provisionSnippetExtractor
-    semantics). One scan, zero UDFs."""
+    """±context-char snippet around EVERY occurrence of ``pattern`` (the
+    reference emits per-occurrence windows — provisionSnippetExtractor.ts /
+    citation-finder.ts; round 1 only covered each hit's first position),
+    whitespace-normalized and deduped on the normalized snippet. One scan,
+    zero UDFs."""
     hits = docs.select(
         F.col(key_col).alias("doc_id"),
         F.col(text_col).alias("_c"),
-        F.explode(
-            F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
-        ).alias("hit"),
+        F.explode(match_positions(F.col(text_col), pattern)).alias("m"),
     )
     return (
-        hits.withColumn("_pos", F.expr("locate(hit, _c)"))  # 1-based; 0 = miss
-        .filter(F.col("_pos") > 0)
-        .withColumn(
-            "snippet",
+        hits.select(
+            "doc_id",
+            F.col("m.hit").alias("hit"),
             normalize_display(
                 F.col("_c").substr(
-                    F.greatest(F.lit(1), F.col("_pos") - context),
-                    F.lit(context * 2) + F.length("hit"),
+                    F.greatest(F.lit(1), (F.col("m.start") - context).cast("int")),
+                    F.lit(context * 2) + F.length("m.hit"),
                 )
-            ),
+            ).alias("snippet"),
         )
-        .select("doc_id", "hit", "snippet")
         .dropDuplicates(["doc_id", "hit", "snippet"])
     )

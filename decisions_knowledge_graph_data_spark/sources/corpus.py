@@ -188,6 +188,15 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
             if eid != a:
                 dup_variant_of[eid] = a
 
+    # Boundary-date fixture (round-1 ADVICE): one entity whose valid_from
+    # EQUALS corpus doc 7's doc_date ("2022-08-08"). The reference's
+    # temporal cutoff is strict (`dossier date < decisionDate`,
+    # mapping/steps.ts:452-454), so the exact-title mention planted in
+    # doc 7 must stay unmatched — an inclusive (<=) cutoff would link it.
+    titles["E0300"] = _title(300)
+    rows.append(("E0300", titles["E0300"], "charter", "2022-08-08", "rule-0",
+                 f"member text for {titles['E0300']}"))
+
     entity_registry = pd.DataFrame(
         rows,
         columns=["entity_id", "title", "entity_type", "valid_from", "member_key", "member_text"],
@@ -481,6 +490,16 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
         triples.append((f"DEC-{uid}", "applies_provision", f"ART-{hub_eid}-{rn:03d}"))
         matches.append({"mention_uid": f"{uid}:RULE:{rule_seq}", "entity_id": hub_eid,
                         "matched_on": "DICT", "score": 100})
+
+    # -- boundary-date fixture (doc 7 only): cite E0300's exact title; its
+    # valid_from equals THIS doc's doc_date, so the strict cutoff must
+    # leave the mention unmatched — no match golden, no triple
+    # (tests/test_linking.py::test_boundary_date_mention_unmatched).
+    if i == 7:
+        rule_seq += 1
+        rn = 1 + _h("bndrn", i) % 120
+        b.plant("RULE", f"rule {rn} of {reg.titles['E0300']}",
+                lead="subject to ", trail=". ", entity_id=None, rule_num=rn)
 
     # -- reference codes (agent-2B analog): valid + invalid variants
     year_ok = 1990 + _h("cy", i) % 30
