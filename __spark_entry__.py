@@ -550,6 +550,26 @@ def q_json_extract(spark, sf):
     )
 
 
+def q_md_blocks(spark, sf):
+    """convert-md-to-html stage (markdownToHtml.ts + htmlTransformer.ts,
+    consumed at pipeline/steps.ts:469-490): synthesize deterministic
+    markdown from each document (heading + ' table '-split paragraphs +
+    a 2-item list), convert via the Arrow-batched kernel, decompose the
+    HTML into numbered typed blocks."""
+    from decisions_knowledge_graph_data_spark.operators.markdown import md_to_blocks
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    md = F.concat(
+        F.lit("# Doc "), F.col("doc_id"), F.lit("\n\n"),
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n\n")),
+        F.lit("\n\n- item one\n- item two"),
+    )
+    return md_to_blocks(d.select("doc_id", md.alias("content_md"))).select(
+        "doc_id", "block_id", "block_num", "element_type", "char_count"
+    )
+
+
 def q_issue_key(spark, sf):
     """3-stage classification analog (classify-legal-issues): stage1
     candidate concepts (token counts), stage2 topic set ≤ 3 (rank gate),
@@ -705,6 +725,39 @@ def q_kg_references(spark, sf):
     return reference_counts(tables["documents"])
 
 
+def q_kg_citations(spark, sf):
+    """Tiered citation-evidence finder on the synthetic corpus
+    (citation-finder.ts:48-313; goldens-backed in tests/test_citations.py;
+    rows-only here — the corpus lives outside the oracle tables)."""
+    from decisions_knowledge_graph_data_spark.operators.citations import find_citations
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
+    tables, bundle, _ = corpus_tables(spark, 40)
+    cands = spark.createDataFrame(bundle.expected_citations.drop(columns=["tier"]))
+    return find_citations(tables["documents"], cands, tables["alias_map"])
+
+
+def q_citation_snippets(spark, sf):
+    """SQL-expressible twin of the citation finder's priority search +
+    sentence-aligned snippets (citation-finder.ts:48-96 tier order,
+    :253-313 sentence alignment) over the documents table."""
+    from decisions_knowledge_graph_data_spark.operators.blocks import sentence_snippet
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    p1 = F.instr(F.col("text"), F.lit("spark"))
+    p2 = F.instr(F.col("text"), F.lit("vector"))
+    p3 = F.instr(F.col("text"), F.lit("probe"))
+    tier = F.when(p1 > 0, 1).when(p2 > 0, 2).when(p3 > 0, 3)
+    pos = F.when(p1 > 0, p1).when(p2 > 0, p2).when(p3 > 0, p3)
+    tok = F.when(p1 > 0, "spark").when(p2 > 0, "vector").when(p3 > 0, "probe")
+    return d.filter(tier.isNotNull()).select(
+        "doc_id",
+        tier.cast("int").alias("tier"),
+        pos.cast("bigint").alias("pos"),
+        sentence_snippet(F.col("text"), pos, F.length(tok), 60).alias("snippet"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Flagship KG pipeline first: CORRECTNESS_r01.json recorded exactly 50 of
     # 52 queries and the two missing were the last two dict entries — order
@@ -712,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
         "kg_references": q_kg_references,
+        "kg_citations": q_kg_citations,
+        "citation_snippets": q_citation_snippets,
+        "md_blocks": q_md_blocks,
         "issue_key": q_issue_key,
         "rollup_agg": q_rollup_agg,
         "range_window": q_range_window,
@@ -767,6 +823,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "citation_snippets": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     strpos(text, 'spark') AS p1,
+                     strpos(text, 'vector') AS p2,
+                     strpos(text, 'probe') AS p3
+              FROM documents
+            ), w AS (
+              SELECT doc_id, text,
+                     CASE WHEN p1 > 0 THEN 1 WHEN p2 > 0 THEN 2 WHEN p3 > 0 THEN 3 END AS tier,
+                     CASE WHEN p1 > 0 THEN p1 WHEN p2 > 0 THEN p2 WHEN p3 > 0 THEN p3 END AS pos,
+                     CASE WHEN p1 > 0 THEN 'spark' WHEN p2 > 0 THEN 'vector' WHEN p3 > 0 THEN 'probe' END AS tok
+              FROM t
+            ), s AS (
+              SELECT doc_id, text, tier, pos, tok,
+                     least(pos - 1, 60) AS ll
+              FROM w WHERE tier IS NOT NULL
+            ), parts AS (
+              SELECT doc_id, tier, pos, tok,
+                     substring(text, CAST(pos - ll AS BIGINT), CAST(ll AS BIGINT)) AS lead,
+                     substring(text, CAST(pos + length(tok) AS BIGINT), 60) AS trail
+              FROM s
+            )
+            SELECT doc_id, CAST(tier AS INT) AS tier, CAST(pos AS BIGINT) AS pos,
+                   trim(regexp_replace(
+                     list_extract(string_split(lead, '. '), len(string_split(lead, '. ')))
+                     || tok ||
+                     list_extract(string_split(trail, '. '), 1),
+                     '\s+', ' ', 'g')) AS snippet
+            FROM parts
+        """,
+        "md_blocks": r"""
+            -- mirrors the md synthesis in q_md_blocks: h1 + one p per
+            -- non-empty ' table '-segment (dense renumbering) + two li
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+            ), parts AS (
+              SELECT doc_id, string_split(text, ' table ') AS p FROM base
+            ), paras AS (
+              SELECT doc_id,
+                     trim(regexp_replace(unnest(p), '\s+', ' ', 'g')) AS pt,
+                     generate_subscripts(p, 1) AS i
+              FROM parts
+            ), pne AS (
+              SELECT doc_id, pt,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+              FROM paras WHERE length(pt) > 0
+            ), np AS (
+              SELECT b.doc_id, coalesce(max(rn), 0) AS n
+              FROM base b LEFT JOIN pne USING (doc_id) GROUP BY b.doc_id
+            ), blocks AS (
+              SELECT doc_id, 1 AS block_num, 'h1' AS element_type,
+                     length('Doc ' || doc_id) AS char_count
+              FROM base
+              UNION ALL
+              SELECT doc_id, rn + 1, 'p', length(pt) FROM pne
+              UNION ALL
+              SELECT doc_id, n + 2, 'li', 8 FROM np
+              UNION ALL
+              SELECT doc_id, n + 3, 'li', 8 FROM np
+            )
+            SELECT doc_id,
+                   doc_id || ':block-' || lpad(CAST(block_num AS VARCHAR), 3, '0') AS block_id,
+                   CAST(block_num AS INT) AS block_num,
+                   element_type,
+                   CAST(char_count AS INT) AS char_count
+            FROM blocks
+        """,
         "issue_key": r"""
             WITH words AS (
               SELECT doc_id,

@@ -55,6 +55,18 @@ RE_PARTY = rf"PARTIES: [A-Z][A-Za-z]+ {_P_SUF} vs [A-Z][A-Za-z]+ {_P_SUF}"
 RE_CELEX = r"CELEX:3\d{4}[LRD]\d{4}"
 RE_NUMAC = r"(?<!\d)\d{10}(?!\d)"
 RE_URL = r"https://(?:lex|codex)\.example\.(?:eu|be)/[\w/.-]+"
+# Case-number family (regex-extractor.ts:341-380): cassation-style dotted
+# and spaced variants + EU-style C-nnn/yy. The (?<!¶ )(?<!¶) lookbehinds
+# are the paragraph-reference negative filter (:362-368): a case-shaped
+# token right after '¶' is a paragraph citation, not a case number.
+RE_CASE_DOT = r"(?<!¶ )(?<!¶)\b[CDFGHPS]\.\d{2}\.\d{4}\.[NFD]\b"
+RE_CASE_SP = r"(?<!¶ )(?<!¶)\b[CDFGHPS] \d{2} \d{4} [NFD]\b"
+RE_CASE_EU = r"(?<!¶ )(?<!¶)\bC-\d{1,4}/\d{2}\b"
+# Court-token + ISO-date trigger (citation-finder court+date tier input)
+RE_COURT_DATE = r"\bper .{1,60}? dated \d{4}-\d{2}-\d{2}"
+# Biblio scan (journal abbreviation + year + page,
+# regex-extractor.ts:386-408)
+RE_BIBLIO = r"\b(?:Rev|Bull|Ann|J)\. (?:Proto|Leg|Arb|Com)\. \d{4}, \d{1,4}\b"
 
 _FAMILIES: list[tuple[str, str]] = [
     ("IDENT", RE_IDENT),
@@ -62,6 +74,11 @@ _FAMILIES: list[tuple[str, str]] = [
     ("RULE", RE_RULE),
     ("FAMILY", RE_FAMILY),
     ("PARTY", RE_PARTY),
+    ("CASE_NUM", RE_CASE_DOT),
+    ("CASE_NUM", RE_CASE_SP),
+    ("CASE_NUM", RE_CASE_EU),
+    ("COURT_DATE", RE_COURT_DATE),
+    ("BIBLIO", RE_BIBLIO),
     ("REF", RE_CELEX),
     ("REF", RE_NUMAC),
     ("REF", RE_URL),
@@ -168,8 +185,8 @@ def cluster_windows(mentions: DataFrame, docs: DataFrame) -> DataFrame:
             F.min("char_start").alias("c_start"),
             F.max("char_end").alias("c_end"),
             F.count("*").alias("n_triggers"),
-            F.max(F.col("mention_kind") == "IDENT").alias("has_ident"),
-            F.max(F.col("mention_kind") == "NAME_DATE").alias("has_name_date"),
+            F.max(F.col("mention_kind").isin("IDENT", "CASE_NUM")).alias("has_ident"),
+            F.max(F.col("mention_kind").isin("NAME_DATE", "COURT_DATE")).alias("has_name_date"),
         )
         .withColumn("center", ((F.col("c_start") + F.col("c_end")) / 2).cast("long"))
     )

@@ -278,6 +278,29 @@ def _doc_ident(j: int) -> str:
     return f"DOC:{j % 100:02d}:{j % 10_000_000:07d}"
 
 
+def _doc_date(i: int) -> str:
+    """The document's own decision date (ISO)."""
+    return f"20{15 + i % 10:02d}-{1 + i % 12:02d}-{1 + i % 28:02d}"
+
+
+def _case_number(i: int) -> str:
+    """Cassation-style case number, canonical dotted form
+    (`regex-extractor.ts:341-360` grammar analog): ``L.YY.NNNN.L``.
+    Unique per index for i < 9000 (golden scales are far below that)."""
+    return f"{'CDFGHPS'[i % 7]}.{i % 100:02d}.{1000 + i % 9000:04d}.{'NFD'[i % 3]}"
+
+
+def _org_norm_of(i: int, reg: "RegistryBundle") -> str:
+    """The normalized alias this doc's NAME_DATE plant uses."""
+    alias_pool = sorted(reg.org_alias.keys())
+    return alias_pool[_h("org", i) % len(alias_pool)]
+
+
+def org_code_of(i: int, reg: "RegistryBundle") -> str:
+    """The org code doc *i* was decided by (its NAME_DATE plant)."""
+    return reg.org_alias[_org_norm_of(i, reg)]
+
+
 def _date_str(i: int, k: int) -> str:
     """A planted date in one of three formats: numeric, FR month, NL month."""
     day = 1 + _h("dd", i, k) % 28
@@ -337,7 +360,9 @@ class _DocBuild:
 CLUSTER_DISTANCE = 500  # `regex-extractor.ts:425`
 WINDOW_SIZE = 1200      # `regex-extractor.ts:481`
 
-_CLUSTERED_KINDS = {"IDENT", "NAME_DATE"}
+# Citation triggers participate in gap-clustering (regex-extractor.ts:425:
+# ecli, case-number and court+date trigger families all cluster).
+_CLUSTERED_KINDS = {"IDENT", "NAME_DATE", "CASE_NUM", "COURT_DATE"}
 
 
 def assign_clusters(mentions: list[dict]) -> None:
@@ -357,24 +382,39 @@ def assign_clusters(mentions: list[dict]) -> None:
         else:
             m["cluster_id"] = -1
         m["confidence"] = {
-            "IDENT": "HIGH", "NAME_DATE": "MEDIUM",
+            "IDENT": "HIGH", "CASE_NUM": "HIGH",
+            "NAME_DATE": "MEDIUM", "COURT_DATE": "MEDIUM",
         }.get(m["mention_kind"], "LOW")
 
 
-def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list[dict], list[dict], list[dict]]:
-    """Build doc *i*: row dict, mentions goldens, triple goldens, match goldens."""
+def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list[dict], list[dict], list[dict], list[dict]]:
+    """Build doc *i*: row dict, mentions goldens, triple goldens, match
+    goldens, citation-evidence goldens (tiered, citation-finder analog)."""
     repo = f"org/proj-{i % 20:02d}"
     lang = LANGS[i % len(LANGS)]
     path = f"src/pkg{i // 50:03d}/mod_{i:05d}.{lang}"
     commit = hashlib.sha256(f"{SEED}:commit:{i}".encode()).hexdigest()[:8]
     uid = doc_uid_py(repo, path, commit)
-    doc_date = f"20{15 + i % 10:02d}-{1 + i % 12:02d}-{1 + i % 28:02d}"
+    doc_date = _doc_date(i)
 
     b = _DocBuild()
     triples: list[tuple[str, str, str]] = []
     matches: list[dict] = []
+    citations: list[dict] = []
+    seen_targets: set[int] = set()
+
+    def _cite_row(t: int, tier: int, org_override: str | None = None) -> dict:
+        return {
+            "doc_id": uid, "target_id": doc_uid_of(t),
+            "ident": _doc_ident(t), "case_canonical": _case_number(t),
+            "org_code": org_override or org_code_of(t, reg),
+            "decision_date": _doc_date(t), "tier": tier,
+        }
 
     b.filler(i, 0, 100 + _h("f0", i) % 300)
+
+    # -- own case number (cassation grammar, regex-extractor.ts:341-360)
+    b.plant("CASE_NUM", _case_number(i), lead="Case No ", trail=". ")
 
     # -- parties (70% of docs) → PARTY mentions + party_of triples
     if _h("haspar", i) % 10 < 7:
@@ -397,6 +437,9 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
             target = (target + 1) % n_docs
         b.plant("IDENT", _doc_ident(target), lead="see ", trail=" ; ")
         triples.append((f"DEC-{uid}", "cites", f"DEC-{doc_uid_of(target)}"))
+        if target not in seen_targets:
+            seen_targets.add(target)
+            citations.append(_cite_row(target, 1))
         # small gap (same cluster) or big gap (new cluster)
         gap = 120 if _h("gap", i, k) % 2 == 0 else 700 + _h("gap2", i, k) % 500
         b.filler(i, 10 + k, gap)
@@ -406,9 +449,61 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
         b.plant("IDENT", own, lead="as held in ", trail=" . ", self_ref=True)
         b.filler(i, 20, 150)
 
+    # -- tiered citation-evidence fixtures (citation-finder.ts:48-313):
+    # tier 2: cite a target ONLY by case number (dotted or spaced variant);
+    # tier 3: cite by court token + ISO date in proximity; tier 4: the
+    # candidate record claims this doc's own court (token present, no
+    # matching date) — court-only evidence. A '¶ '-prefixed case number is
+    # planted raw (NOT a golden mention): the paragraph-reference negative
+    # filter (regex-extractor.ts:362-368) must drop it.
+    t3_date_planted = None
+    if _h("t2cite", i) % 6 == 0 and n_docs > 1:
+        t2 = (i * 13 + 5) % n_docs
+        if t2 == i:
+            t2 = (t2 + 1) % n_docs
+        if t2 not in seen_targets:
+            seen_targets.add(t2)
+            cn = _case_number(t2)
+            surface = cn if _h("t2v", i) % 2 == 0 else cn.replace(".", " ")
+            b.plant("CASE_NUM", surface, lead="compare case ", trail=" ; ")
+            citations.append(_cite_row(t2, 2))
+            b.filler(i, 21, 80 + _h("t2f", i) % 120)
+    if _h("t3cite", i) % 8 == 0 and n_docs > 1:
+        t3 = (i * 7 + 3) % n_docs
+        if t3 == i:
+            t3 = (t3 + 1) % n_docs
+        if t3 not in seen_targets:
+            seen_targets.add(t3)
+            alias_disp = reg.alias_display[_org_norm_of(t3, reg)]
+            t3_date_planted = _doc_date(t3)
+            b.plant("COURT_DATE", f"per {alias_disp} dated {t3_date_planted}",
+                    trail=". ")
+            citations.append(_cite_row(t3, 3))
+            b.filler(i, 22, 80 + _h("t3f", i) % 120)
+    if _h("t4cite", i) % 8 == 1 and n_docs > 1:
+        t4 = (i * 11 + 9) % n_docs
+        if t4 == i:
+            t4 = (t4 + 1) % n_docs
+        if t4 not in seen_targets and _doc_date(t4) != t3_date_planted:
+            seen_targets.add(t4)
+            citations.append(_cite_row(t4, 4, org_override=org_code_of(i, reg)))
+    if _h("pneg", i) % 4 == 0:
+        neg = "¶ C-999/99 "
+        b.parts.append(neg)
+        b.pos += len(neg)
+    if _h("eu", i) % 7 == 0:
+        # positive EU-form case number (C-nnn/yy family)
+        b.plant("CASE_NUM", f"C-{1 + _h('eun', i) % 999}/{10 + _h('euy', i) % 90}",
+                lead="cf. ", trail=" ; ")
+    if _h("bib", i) % 5 == 0:
+        # biblio scan analog (journal abbrev + year, regex-extractor.ts:386-408)
+        j1 = ["Rev", "Bull", "Ann", "J"][_h("bj", i) % 4]
+        j2 = ["Proto", "Leg", "Arb", "Com"][_h("bk", i) % 4]
+        b.plant("BIBLIO", f"{j1}. {j2}. {1990 + _h('by', i) % 35}, {1 + _h('bp', i) % 999}",
+                lead="cf. ", trail=" ; ")
+
     # -- name+date (decided_by): alias + date within one cluster window
-    alias_pool = sorted(reg.org_alias.keys())
-    alias_norm = alias_pool[_h("org", i) % len(alias_pool)]
+    alias_norm = _org_norm_of(i, reg)
     alias_disp = reg.alias_display[alias_norm]
     org_code = reg.org_alias[alias_norm]
     date_s = _date_str(i, 0)
@@ -546,7 +641,7 @@ def build_document(i: int, n_docs: int, reg: RegistryBundle) -> tuple[dict, list
         "length_category": length_category_py(len(content)),
     }
     t_rows = [{"subj": s, "pred": p, "obj": o} for s, p, o in triples]
-    return row, b.mentions, t_rows, matches
+    return row, b.mentions, t_rows, matches, citations
 
 
 # doc_uid depends only on (i) through repo/path/commit; precompute helper
@@ -564,28 +659,33 @@ class CorpusBundle:
     expected_mentions: pd.DataFrame
     expected_triples: pd.DataFrame
     expected_matches: pd.DataFrame
+    expected_citations: pd.DataFrame
 
 
 def gen_corpus(n_docs: int, reg: RegistryBundle | None = None) -> CorpusBundle:
     reg = reg or gen_registry()
-    doc_rows, mention_rows, triple_rows, match_rows = [], [], [], []
+    doc_rows, mention_rows, triple_rows, match_rows, cite_rows = [], [], [], [], []
     for i in range(n_docs):
-        row, ms, ts, mas = build_document(i, n_docs, reg)
+        row, ms, ts, mas, cis = build_document(i, n_docs, reg)
         doc_rows.append(row)
         mention_rows.extend(ms)
         triple_rows.extend(ts)
         match_rows.extend(mas)
+        cite_rows.extend(cis)
     mention_cols = ["doc_id", "lang", "mention_seq", "mention_kind", "surface",
                     "char_start", "char_end", "cluster_id", "confidence"]
     mentions = pd.DataFrame(mention_rows)
     for c in mention_cols:
         if c not in mentions.columns:
             mentions[c] = None
+    cite_cols = ["doc_id", "target_id", "ident", "case_canonical",
+                 "org_code", "decision_date", "tier"]
     return CorpusBundle(
         documents=pd.DataFrame(doc_rows),
         expected_mentions=mentions[mention_cols + [c for c in ("self_ref", "entity_id", "rule_num", "org_code", "ref_valid") if c in mentions.columns]],
         expected_triples=pd.DataFrame(triple_rows).drop_duplicates(),
         expected_matches=pd.DataFrame(match_rows),
+        expected_citations=pd.DataFrame(cite_rows, columns=cite_cols),
     )
 
 

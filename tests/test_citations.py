@@ -1,0 +1,79 @@
+"""Tiered citation-finder vs planted goldens (citation-finder.ts:48-313).
+
+The corpus plants, per doc: ident cites (tier 1), case-number-only cites in
+dotted/spaced variants (tier 2), court-token + ISO-date proximity cites
+(tier 3) and court-only candidate records (tier 4), plus a '¶ '-prefixed
+case token that the extraction negative filter must drop.
+"""
+
+import pandas as pd
+
+from decisions_knowledge_graph_data_spark.operators.citations import find_citations
+from decisions_knowledge_graph_data_spark.operators.extract import extract_mentions
+
+
+def _run(spark, corpus):
+    tables, bundle, _ = corpus
+    exp = bundle.expected_citations
+    cands = spark.createDataFrame(exp.drop(columns=["tier"]))
+    got = find_citations(tables["documents"], cands, tables["alias_map"]).toPandas()
+    return exp, got
+
+
+def test_citation_tiers_match_goldens(spark, corpus20):
+    exp, got = _run(spark, corpus20)
+    assert set(exp["tier"]) >= {1, 2}, "fixture must plant multiple tiers"
+    exp_k = {(r.doc_id, r.target_id): r.tier for r in exp.itertuples()}
+    got_k = {(r.doc_id, r.target_id): (r.tier, r.method, r.snippet)
+             for r in got.itertuples()}
+    assert set(got_k) == set(exp_k), "every candidate must resolve, none extra"
+    wrong = {k: (got_k[k][0], v) for k, v in exp_k.items() if got_k[k][0] != v}
+    assert not wrong, f"tier mismatches: {wrong}"
+    methods = {1: "IDENT", 2: "CASE_NUM", 3: "COURT_DATE", 4: "COURT_ONLY"}
+    for k, v in exp_k.items():
+        assert got_k[k][1] == methods[v]
+
+
+def test_citation_all_four_tiers_covered(spark, registry):
+    """At 60 docs every tier fires at least once — the fixture is rich
+    enough that a tier regression cannot hide."""
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
+    corpus = corpus_tables(spark, 60, registry)
+    exp, got = _run(spark, corpus)
+    assert set(exp["tier"]) == {1, 2, 3, 4}
+    merged = exp.merge(got, on=["doc_id", "target_id"], suffixes=("_exp", "_got"))
+    assert (merged["tier_exp"] == merged["tier_got"]).all()
+
+
+def test_citation_snippets_contain_evidence(spark, corpus20):
+    exp, got = _run(spark, corpus20)
+    merged = exp.merge(got, on=["doc_id", "target_id"], suffixes=("_exp", "_got"))
+    for r in merged.itertuples():
+        tier = r.tier_exp
+        if tier == 1:
+            assert r.ident in r.snippet
+        elif tier == 2:
+            variants = {r.case_canonical, r.case_canonical.replace(".", " "),
+                        r.case_canonical.replace(".", "")}
+            assert any(v in r.snippet for v in variants)
+        elif tier == 3:
+            assert r.decision_date in r.snippet
+        # sentence alignment: snippets never start/end mid-ellipsis garbage
+        assert len(r.snippet) > 0
+
+
+def test_paragraph_negative_not_extracted(corpus20):
+    """'¶ C-999/99' is planted raw — the ¶ negative filter
+    (regex-extractor.ts:362-368) must keep it out of the mention table."""
+    tables, bundle, _ = corpus20
+    docs = tables["documents"].toPandas()
+    neg_docs = docs[docs["content"].str.contains("¶ C-999/99", regex=False)]
+    assert len(neg_docs) > 0, "negative fixture must be planted"
+    got = extract_mentions(tables["documents"]).toPandas()
+    for row in neg_docs.itertuples():
+        neg_pos = row.content.index("¶ C-999/99") + len("¶ ")
+        from decisions_knowledge_graph_data_spark.functions.ids import doc_uid_py
+        did = doc_uid_py(row.repo, row.path, row.commit)
+        doc_mentions = got[got["doc_id"] == did]
+        assert not ((doc_mentions["char_start"] == neg_pos)
+                    & (doc_mentions["surface"] == "C-999/99")).any()

@@ -51,7 +51,7 @@ def test_cluster_invariants(ms):
             assert gap > CLUSTER_DISTANCE
     # non-clustered kinds untouched
     for m in ms:
-        if m["mention_kind"] not in ("IDENT", "NAME_DATE"):
+        if m["mention_kind"] not in ("IDENT", "NAME_DATE", "CASE_NUM", "COURT_DATE"):
             assert m["cluster_id"] == -1
 
 
@@ -59,10 +59,10 @@ def test_cluster_invariants(ms):
 @settings(max_examples=30, deadline=None)
 def test_build_document_deterministic_and_golden_offsets(i, scale):
     n_docs = 10_000 * scale
-    row1, m1, t1, _ = build_document(i, n_docs, REG)
-    row2, m2, t2, _ = build_document(i, n_docs, REG)
+    row1, m1, t1, _, c1 = build_document(i, n_docs, REG)
+    row2, m2, t2, _, c2 = build_document(i, n_docs, REG)
     assert row1["content_sha256"] == row2["content_sha256"]
-    assert m1 == m2 and t1 == t2
+    assert m1 == m2 and t1 == t2 and c1 == c2
     # every golden mention's offsets must slice exactly its surface
     for m in m1:
         assert row1["content"][m["char_start"]:m["char_end"]] == m["surface"]
