@@ -47,6 +47,35 @@ def truncate_ellipsis(col: Column, n: int) -> Column:
     ).otherwise(col)
 
 
+def sanitize_filename(col: Column, max_len: int = 200) -> Column:
+    """Filename sanitize (`ConcurrentProcessor.ts:824-878`): unsafe chars →
+    ``_``, cap at ``max_len`` with an 8-hex sha256 suffix so truncated
+    names stay collision-free and deterministic."""
+    cleaned = F.regexp_replace(col, r"[^A-Za-z0-9._-]", "_")
+    suffix = F.substring(F.sha2(col, 256), 1, 8)
+    return F.when(
+        F.length(cleaned) > max_len,
+        F.concat(F.substring(cleaned, 1, max_len - 9), F.lit("_"), suffix),
+    ).otherwise(cleaned)
+
+
+def coerce_int(col: Column, default: int | None = None) -> Column:
+    """Defensive parseInt (`mapping/steps.ts:505-511`): regex-gated cast —
+    non-numeric input falls back instead of throwing (ANSI-safe)."""
+    return F.when(
+        F.trim(col).rlike(r"^-?\d{1,18}$"), F.trim(col).cast("long")
+    ).otherwise(F.lit(default).cast("long"))
+
+
+def coerce_enum(col: Column, allowed: list[str], fallback: str) -> Column:
+    """Defensive enum mapping (`mapping/steps.ts:512-517`): normalized
+    membership check, else the documented fallback value."""
+    norm = F.upper(F.trim(col))
+    return F.when(norm.isin([a.upper() for a in allowed]), norm).otherwise(
+        F.lit(fallback)
+    )
+
+
 def length_category_py(n: int) -> str:
     if n < LEN_SHORT:
         return "short"

@@ -217,6 +217,63 @@ def cluster_windows(mentions: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def classify_jurisdiction(docs: DataFrame, mentions: DataFrame,
+                          alias_map: DataFrame) -> DataFrame:
+    """Priority jurisdiction classification (`regex-extractor.ts:157-226`):
+
+      1. identifier country/region code — our DOC:rr:… ident's rr is the
+         ECLI-country analog (:157-178) → ``R{rr}``;
+      2. court-token map — the doc's first NAME_DATE mention's alias,
+         looked up in the broadcast court dictionary's location column
+         (:180-208);
+      3. ``UNKNOWN`` (:210-226).
+
+    Returns (doc_id, jurisdiction, juris_source). Tier 2 is a broadcast
+    join on the normalized alias; tier 1 is a pure column expression —
+    no shuffle touches the doc-sized side beyond the mention aggregate.
+    """
+    from ..functions.text import normalize_name
+
+    keyed = docs
+    if "doc_id" not in docs.columns:
+        keyed = docs.withColumn(
+            "doc_id", doc_uid(F.col("repo"), F.col("path"), F.col("commit"))
+        )
+    ident = F.col("doc_ident") if "doc_ident" in keyed.columns else F.lit(None).cast("string")
+    t1 = F.when(
+        ident.rlike(r"^DOC:\d{2}:\d{7}$"), F.concat(F.lit("R"), F.substring(ident, 5, 2))
+    )
+    base = keyed.select("doc_id", t1.alias("_ident_region"))
+
+    first_alias = (
+        mentions.filter(F.col("mention_kind") == "NAME_DATE")
+        .withColumn(
+            "_alias", F.regexp_extract("surface", r"Reviewed by (.*?) on ", 1)
+        )
+        .groupBy("doc_id")
+        .agg(F.min_by(F.col("_alias"), F.col("mention_seq")).alias("_alias"))
+        .withColumn("_alias_norm", normalize_name(F.col("_alias")))
+    )
+    amap = alias_map.select(
+        normalize_name(F.col("alias")).alias("_alias_norm"),
+        F.col("region").alias("_court_region"),
+    ).dropDuplicates(["_alias_norm"])
+    court = first_alias.join(F.broadcast(amap), "_alias_norm").select(
+        "doc_id", "_court_region"
+    )
+    return (
+        base.join(court, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_ident_region", "_court_region", F.lit("UNKNOWN")).alias("jurisdiction"),
+            F.when(F.col("_ident_region").isNotNull(), "IDENT")
+            .when(F.col("_court_region").isNotNull(), "COURT_TOKEN")
+            .otherwise("UNKNOWN")
+            .alias("juris_source"),
+        )
+    )
+
+
 def filter_self_references(mentions: DataFrame) -> DataFrame:
     """Drop self-identifier mentions (`regex-extractor.ts:252-255`; date-based
     self-cite filter `src/pipeline/steps.ts:237-244`) and re-sequence the

@@ -225,6 +225,8 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
     entity_vf = {f"E{k:04d}": _vf(k) for k in range(n_canonical)}
 
     # Alias map: 247 rows alias -> org code (court-mapping.csv analog).
+    # ``region`` is the court's location column (regex-extractor.ts:180-208
+    # fallback: jurisdiction from the court token's mapped location).
     org_codes = [f"ORG-{s.upper()}" for s in ORG_STEMS]
     alias_rows = []
     org_alias: dict[str, str] = {}
@@ -234,14 +236,16 @@ def gen_registry(n_canonical: int = 80, n_dup_chains: int = 8) -> RegistryBundle
         abbr = "".join(w[0] for w in (stem, suf)).upper() + str(i)
         for form in ALIAS_FORMS:
             alias = form.format(stem=stem, suf=suf, abbr=abbr)
-            alias_rows.append((alias, org_codes[i], f"{stem} {suf}"))
+            alias_rows.append((alias, org_codes[i], f"{stem} {suf}", f"LOC-{i % 8:02d}"))
             org_alias[alias.lower().strip()] = org_codes[i]
             alias_display[alias.lower().strip()] = alias
             if len(alias_rows) == 247:
                 break
         if len(alias_rows) == 247:
             break
-    alias_map = pd.DataFrame(alias_rows, columns=["alias", "canonical_code", "official_name"])
+    alias_map = pd.DataFrame(
+        alias_rows, columns=["alias", "canonical_code", "official_name", "region"]
+    )
 
     known_missing = pd.DataFrame(
         {"name_norm": ["obsolete accord", "withdrawn pact", "unknown consortium"]}

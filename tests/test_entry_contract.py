@@ -20,7 +20,7 @@ def test_oracle_keys_subset_of_queries():
     # the non-oracle set is exactly the documented non-SQL-expressible ops
     assert qs - os_ == {
         "minhash_dups", "simhash_pairs", "ngram_jaccard", "embedding_dup_lsh",
-        "ivf_topk", "kg_triples", "kg_references", "kg_citations",
+        "ivf_topk", "kg_triples", "kg_references", "kg_citations", "kg_jurisdiction",
     }
 
 

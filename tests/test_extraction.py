@@ -58,6 +58,44 @@ def test_cluster_windows(corpus20, spark):
     assert len(w) > 0
 
 
+def test_jurisdiction_priority(corpus20, spark):
+    """Identifier region first, court-token map second, UNKNOWN last
+    (regex-extractor.ts:157-226)."""
+    from decisions_knowledge_graph_data_spark.operators.extract import (
+        classify_jurisdiction,
+    )
+    from decisions_knowledge_graph_data_spark.sources.corpus import doc_uid_of
+
+    tables, _, _ = corpus20
+    docs = tables["documents"]
+    m = extract_mentions(docs)
+    got = classify_jurisdiction(docs, m, tables["alias_map"]).toPandas()
+    exp = {doc_uid_of(i): f"R{i % 100:02d}" for i in range(20)}
+    assert dict(zip(got["doc_id"], got["jurisdiction"])) == exp
+    assert set(got["juris_source"]) == {"IDENT"}
+
+    # tier 2: drop the identifier column → court-token fallback via the
+    # alias map's location column
+    docs2 = docs.drop("doc_ident")
+    got2 = classify_jurisdiction(
+        docs2, extract_mentions(docs2), tables["alias_map"]
+    ).toPandas()
+    courts = got2[got2["juris_source"] == "COURT_TOKEN"]
+    assert len(courts) > 0
+    assert set(courts["jurisdiction"]) <= {f"LOC-{j:02d}" for j in range(8)}
+
+    # tier 3: no ident, no mentions at all → UNKNOWN
+    lone = spark.createDataFrame(
+        [("r", "p", "c", "py", "plain text only")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    got3 = classify_jurisdiction(
+        lone, extract_mentions(lone), tables["alias_map"]
+    ).toPandas()
+    assert list(got3["jurisdiction"]) == ["UNKNOWN"]
+    assert list(got3["juris_source"]) == ["UNKNOWN"]
+
+
 def test_empty_and_null_content_filtered(spark):
     df = spark.createDataFrame(
         [("r", "p1", "c", "py", None, "DOC:00:0000000"),

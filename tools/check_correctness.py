@@ -50,7 +50,9 @@ def main(names: list[str] | None = None):
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    full_run = names is None
     names = names or list(qs)
+    results: dict[str, dict] = {}
     failed = []
     for name in names:
         try:
@@ -60,9 +62,11 @@ def main(names: list[str] | None = None):
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
+            results[name] = {"status": "error", "err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -92,9 +96,20 @@ def main(names: list[str] | None = None):
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed.append(name)
+            results[name] = {"status": "fail", "spark_rows": len(srows),
+                             "oracle_rows": len(orows),
+                             "problems": problems}
         else:
             print(f"OK    {name}: {len(srows)} rows")
+            results[name] = {"status": "exact_match", "spark_rows": len(srows)}
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if full_run:
+        # committed per round: the FULL local board (the driver artifact
+        # caps at 50 entries; this file covers every query)
+        import json
+        with open("/root/repo/CORRECTNESS_local.json", "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n_queries": len(names),
+                       "n_failed": len(failed), "results": results}, f, indent=1)
     return 1 if failed else 0
 
 
