@@ -769,9 +769,13 @@ def q_minhash_dups(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
+    """Near-dup pairs at the standard web-dedup radius (hamming ≤ 3,
+    Manku et al. WWW'07) — 4×16-bit bands, pigeonhole-exact recall.
+    Wider radii stay supported (n_tables scales with max_hamming;
+    exactness locked by tests at h=8/12) but cost more candidates."""
     from decisions_knowledge_graph_data_spark.operators.dedup import simhash_dup_pairs
     d = _t(spark, sf, "documents")
-    return simhash_dup_pairs(d, "doc_id", "text", max_hamming=8)
+    return simhash_dup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
 def q_ngram_jaccard(spark, sf):

@@ -24,7 +24,7 @@ HEADLINE = [
     "pricing_summary", "top_orders", "top1_per_group", "dimension_lookup",
     "sessionize", "regex_scan", "token_counts", "quality_score",
     "exact_dedup", "minhash_dups", "simhash_pairs", "embedding_topk",
-    "events_windowed",
+    "events_windowed", "md_blocks", "citation_snippets",
 ]
 
 
@@ -152,7 +152,7 @@ def main() -> None:
         "triples_per_sec": triples_per_sec,
         "docs_per_sec": round(KG_DOCS / kg_dt, 1) if kg_dt else 0.0,
         "cpus": CPUS,
-        "scaling": "see BENCH/BASELINE.md: efficiency 1.01 at N=2 vs 4N=8 cores (0.84-1.01 across runs)",
+        "scaling": "see BENCH/BASELINE.md: efficiency 0.97 at N=1 vs 4N=4 cores on 2M docs (full 1/2/4/8 ladder reported; box bandwidth-bound above ~4 workers)",
     }))
 
 

@@ -286,8 +286,11 @@ def link_rule_mentions(
     )
     sim_input = rest.filter(~is_id)
 
-    # --- 3. similarity path: score each DISTINCT surface form once
-    distinct_names = sim_input.select("name_norm").distinct()
+    # --- 3. similarity path: score each DISTINCT surface form once.
+    # persist: the distinct set feeds BOTH the fan-back size gate (an
+    # action) and the scoring plan — without it the mention-sized distinct
+    # shuffle runs twice. Storage cost is bounded (distinct surface forms).
+    distinct_names = sim_input.select("name_norm").distinct().persist()
     reg = registry.select(
         "entity_id", normalize_name(F.col("title")).alias("title_norm"), "valid_from"
     )

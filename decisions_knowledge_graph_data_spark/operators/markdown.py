@@ -151,26 +151,23 @@ def html_to_blocks(docs: DataFrame, key_col: str = "doc_id",
             F.trim(F.regexp_replace(F.regexp_replace(m, r"<[^>]+>", ""), r"\s+", " ")).alias("plain_text"),
         ),
     )
-    exploded = docs.select(
-        F.col(key_col).alias("doc_id"), F.posexplode(parsed).alias("_i", "b")
-    ).filter(F.length("b.plain_text") > 0)
     # dense re-numbering after the empties filter (htmlTransformer skips
-    # empty blocks but numbers the survivors 1..n)
-    from pyspark.sql import Window
-    w = Window.partitionBy("doc_id").orderBy("_i")
-    return (
-        exploded.withColumn("block_num", F.row_number().over(w))
-        .select(
-            "doc_id",
-            F.concat(
-                F.col("doc_id"), F.lit(":block-"),
-                F.lpad(F.col("block_num").cast("string"), 3, "0"),
-            ).alias("block_id"),
-            "block_num",
-            F.col("b.element_type").alias("element_type"),
-            F.length("b.plain_text").alias("char_count"),
-            F.col("b.plain_text").alias("plain_text"),
-        )
+    # empty blocks but numbers the survivors 1..n): filter INSIDE the
+    # per-doc array, so posexplode's index IS the dense block number —
+    # zero shuffles, no per-doc window (the round-1 plan-quality bar).
+    nonempty = F.filter(parsed, lambda b: F.length(b["plain_text"]) > 0)
+    return docs.select(
+        F.col(key_col).alias("doc_id"), F.posexplode(nonempty).alias("_i", "b")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("doc_id"), F.lit(":block-"),
+            F.lpad((F.col("_i") + 1).cast("string"), 3, "0"),
+        ).alias("block_id"),
+        (F.col("_i") + 1).alias("block_num"),
+        F.col("b.element_type").alias("element_type"),
+        F.length("b.plain_text").alias("char_count"),
+        F.col("b.plain_text").alias("plain_text"),
     )
 
 

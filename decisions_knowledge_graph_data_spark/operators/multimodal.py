@@ -1,87 +1,321 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+REAL decoders for the container-parseable formats.
 
-Image/audio/video payloads are carried as ``binary`` columns with a typed
-metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched kernels over ``mapInPandas``. The decode step itself is
-STUBBED (the image/audio libs are not in this container): with
-``fake=True`` a deterministic fake decoder produces stable feature
-vectors from the bytes (so the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested); with ``fake=False`` it
-raises ``NotImplementedError`` at the exact point a real decoder (Pillow /
-torchaudio / pyav) would be called.
+Round 1 shipped this with the decode step stubbed; round 2 removes the
+stub for every format that needs no external codec library:
+
+  - **images**: 24-bit uncompressed BMP and binary PPM (P6) — parsed with
+    ``struct``/``numpy`` only;
+  - **audio**: PCM WAV via the stdlib ``wave`` module — features include a
+    real ``numpy.fft`` band analysis;
+  - **video**: a PPM frame stream (concatenated P6 frames — the same idea
+    as yuv4mpeg: raw frames back to back) — parsed frame by frame, with
+    real frame sampling and per-frame features.
+
+Compressed codecs (JPEG/MP3/H.264) still require Pillow/soundfile/pyav,
+which this container does not have: payloads whose magic bytes are not
+BMP/P6/RIFF raise ``ValueError`` (or become NULL features with
+``errors='null'``) at exactly the point a codec library would slot in.
+
+Everything runs as Arrow-batched ``mapInPandas`` kernels — at 100 TB the
+payload bytes stay columnar end to end, decode is embarrassingly parallel
+over input splits, and the feature output is a fixed-width
+``array<float>`` ready for the ANN/dedup operators
+(operators/similarity.py, operators/dedup.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int, mime:string>"
 )
 
+FEATURE_DIM = 16
 FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, feature array<float>"
+FRAME_SCHEMA = "media_id string, frame_idx int, width int, height int, frame binary"
+
+
+# ------------------------------------------------------------- encoders (synthetic)
+
+
+def encode_ppm(pix: np.ndarray) -> bytes:
+    h, w, _ = pix.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.astype(np.uint8).tobytes()
+
+
+def encode_bmp(pix: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed bottom-up BMP."""
+    h, w, _ = pix.shape
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(pix[y, :, ::-1].astype(np.uint8).tobytes() + pad)  # BGR
+    return header + dib + b"".join(rows)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.clip(samples, -1, 1) .astype(np.float64)
+                       .__mul__(32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _synth_pixels(seed: str, w: int, h: int) -> np.ndarray:
+    raw = hashlib.sha256(seed.encode()).digest()
+    need = w * h * 3
+    buf = (raw * (need // len(raw) + 1))[:need]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (hash-derived bytes)."""
+    """Deterministic synthetic media table with REAL payloads: BMP/PPM
+    images, PCM WAV audio (hash-seeded tone + noise), PPM-stream video."""
     rows = []
-    kinds = ["image", "audio", "video"]
     for i in range(n):
-        kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media:{i}".encode()).digest() * (4 + i % 8)
-        meta = {
-            "width": 64 + 8 * (i % 16) if kind != "audio" else None,
-            "height": 64 + 8 * (i % 12) if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 30 * (1 + i % 10) if kind == "video" else None,
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-        }
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 32 + 8 * (i % 4), 24 + 8 * (i % 3)
+            pix = _synth_pixels(f"img:{i}", w, h)
+            payload = encode_bmp(pix) if i % 2 == 0 else encode_ppm(pix)
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "n_frames": None,
+                    "mime": "image/bmp" if i % 2 == 0 else "image/x-portable-pixmap"}
+        elif kind == "audio":
+            sr, dur = 16000, 0.05 + 0.01 * (i % 5)
+            t = np.arange(int(sr * dur)) / sr
+            freq = 500.0 * (1 + i % 8)
+            tone = 0.7 * np.sin(2 * math.pi * freq * t)
+            noise = (_synth_pixels(f"aud:{i}", len(t), 1)[:, 0, 0] / 255.0 - 0.5) * 0.1
+            payload = encode_wav(tone + noise[: len(t)], sr)
+            meta = {"width": None, "height": None, "sample_rate": sr,
+                    "n_frames": None, "mime": "audio/wav"}
+        else:
+            w, h, nf = 16, 12, 4 + i % 6
+            payload = b"".join(
+                encode_ppm(_synth_pixels(f"vid:{i}:{f}", w, h)) for f in range(nf)
+            )
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "n_frames": nf, "mime": "video/x-ppm-stream"}
         rows.append((f"m{i:05d}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic fake 'decoder': stable feature vector from content bytes."""
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-    return (raw % 2001).astype(np.float32) / 1000.0 - 1.0
+# ------------------------------------------------------------------- decoders
 
 
-def extract_features(media: DataFrame, fake: bool = True, dim: int = 16) -> DataFrame:
-    """Decode + feature-extract kernel over mapInPandas (Arrow batches).
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    pix = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8)
+    return pix.reshape(h, w, 3)
 
-    Real implementation point: replace ``_fake_decode`` with the actual
-    decoder per ``kind`` (Pillow for image, soundfile for audio, pyav
-    frame-sampling for video). Batch shape, schema and partitioning are
-    identical either way.
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp}) — "
+                         "compressed formats need Pillow")
+    row_len = (w * 3 + 3) & ~3
+    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    flip = h > 0  # positive height = bottom-up
+    for i in range(abs(h)):
+        row = np.frombuffer(payload, np.uint8, w * 3, offset + i * row_len)
+        out[abs(h) - 1 - i if flip else i] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError("unknown image magic — JPEG/PNG decode requires Pillow")
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported without soundfile")
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+        if wf.getnchannels() > 1:
+            samples = samples.reshape(-1, wf.getnchannels()).mean(axis=1)
+    return samples, sr
+
+
+def decode_video_frames(payload: bytes) -> list[np.ndarray]:
+    """PPM-stream parser: consecutive P6 blocks."""
+    frames = []
+    pos = 0
+    while pos < len(payload) and payload[pos:pos + 2] == b"P6":
+        nl1 = payload.index(b"\n", pos)
+        nl2 = payload.index(b"\n", nl1 + 1)
+        nl3 = payload.index(b"\n", nl2 + 1)
+        w, h = (int(x) for x in payload[nl1 + 1:nl2].split())
+        start = nl3 + 1
+        end = start + w * h * 3
+        frames.append(
+            np.frombuffer(payload[start:end], dtype=np.uint8).reshape(h, w, 3)
+        )
+        pos = end
+    if not frames:
+        raise ValueError("unknown video container — MP4/H.264 requires pyav")
+    return frames
+
+
+# ------------------------------------------------------------------- features
+
+
+def _image_features(pix: np.ndarray) -> list[float]:
+    h, w, _ = pix.shape
+    rgb = pix.reshape(-1, 3).astype(np.float64)
+    lum = rgb.mean(axis=1)
+    hist, _ = np.histogram(lum, bins=8, range=(0, 255))
+    hist = hist / max(len(lum), 1)
+    return ([float(w), float(h)]
+            + [float(x) for x in rgb.mean(axis=0)]
+            + [float(x) for x in rgb.std(axis=0)]
+            + [float(x) for x in hist])  # 2 + 3 + 3 + 8 = 16
+
+
+def _audio_features(samples: np.ndarray, sr: int) -> list[float]:
+    n = len(samples)
+    rms = float(np.sqrt(np.mean(samples ** 2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.sign(samples))) > 0)) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(samples)) if n else np.zeros(1)
+    freqs = np.fft.rfftfreq(max(n, 1), 1.0 / sr)
+    power = spec ** 2
+    centroid = float((freqs * power).sum() / power.sum()) if power.sum() else 0.0
+    # 11 bands, log-ish spacing up to Nyquist
+    edges = np.geomspace(50, sr / 2, 12)
+    bands = [float(power[(freqs >= lo) & (freqs < hi)].sum()) for lo, hi in
+             zip(edges[:-1], edges[1:])]
+    total = sum(bands) or 1.0
+    return [float(n), float(sr), rms, zcr, centroid] + [b / total for b in bands]
+
+
+def _video_features(frames: list[np.ndarray], max_sample: int = 4) -> list[float]:
+    idx = np.linspace(0, len(frames) - 1, min(max_sample, len(frames))).astype(int)
+    sampled = [_image_features(frames[i]) for i in idx]
+    mean_img = np.mean(np.array(sampled), axis=0)
+    h, w, _ = frames[0].shape
+    # n_frames, w, h + the first 13 averaged image dims
+    return [float(len(frames)), float(w), float(h)] + [float(x) for x in mean_img[3:16]]
+
+
+def decode_features(payload: bytes, kind: str) -> list[float]:
+    if kind == "image":
+        return _image_features(decode_image(payload))
+    if kind == "audio":
+        return _audio_features(*decode_wav(payload))
+    if kind == "video":
+        return _video_features(decode_video_frames(payload))
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+# ------------------------------------------------------------------- operators
+
+
+def extract_features(media: DataFrame, errors: str = "raise") -> DataFrame:
+    """Decode + feature-extract kernel (Arrow batches): fixed 16-dim
+    ``array<float>`` per payload, real decoders per kind.
+
+    errors='null' routes undecodable payloads to NULL features (the
+    valid/invalid routing pattern) instead of failing the task.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires Pillow/soundfile/pyav — "
-                    "not available in this container; use fake=True"
-                )
-            feats = [
-                _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "feature": feats,
-                }
-            )
+            feats = []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    feats.append(decode_features(bytes(p), kind))
+                except ValueError:
+                    if errors == "raise":
+                        raise
+                    feats.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "feature": feats,
+            })
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         kernel, schema=FEATURE_SCHEMA
     )
+
+
+def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Nearest-neighbor resize kernel: image payloads → PPM at (out_w,
+    out_h). Real pixel work, batched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                pix = decode_image(bytes(p))
+                h, w, _ = pix.shape
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                outs.append(bytearray(encode_ppm(pix[np.ix_(ys, xs)])))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": outs,
+            })
+
+    imgs = media.filter(media["kind"] == "image").select("media_id", "kind", "payload")
+    return imgs.mapInPandas(kernel, schema="media_id string, kind string, payload binary")
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sampling kernel over PPM-stream videos: one output row per
+    kept frame (media_id, frame_idx, width, height, frame-as-PPM)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "frame": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_video_frames(bytes(p))
+                for i in range(0, len(frames), every_k):
+                    h, w, _ = frames[i].shape
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(bytearray(encode_ppm(frames[i])))
+            yield pd.DataFrame(out)
+
+    vids = media.filter(media["kind"] == "video").select("media_id", "payload")
+    return vids.mapInPandas(kernel, schema=FRAME_SCHEMA)

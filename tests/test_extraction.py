@@ -58,6 +58,35 @@ def test_cluster_windows(corpus20, spark):
     assert len(w) > 0
 
 
+def test_fast_matchers_equal_spec_patterns(registry):
+    """The optimized matcher strategies (Python boundary/¶ post-checks,
+    literal prescreens, maximal digit runs) must produce EXACTLY the raw
+    _FAMILIES finditer results — on corpus docs and adversarial overlaps."""
+    import re
+    from decisions_knowledge_graph_data_spark.operators.extract import (
+        _FAMILIES, _build_matchers,
+    )
+    from decisions_knowledge_graph_data_spark.sources.corpus import build_document
+
+    texts = [build_document(i, 1000, registry)[0]["content"] for i in range(60)]
+    texts += [
+        "¶ C-999/99 and C-12/34 and xC.22.0123.N and C.22.0123.N. end",
+        "per A dated 2020-01-01 per B dated notdate per C dated 2021-02-02",
+        "per A dated 2020-01-01per B dated 2021-02-02",
+        "Rev. Proto. 2019, 12 xRev. Proto. 2019, 12 J. Com. 2001, 999",
+        "1234567890 12345678901 123456789 ¶C.11.1111.N C 33 3333 F",
+        "per X dated Y dated 2024-01-01 tail",
+        "",
+    ]
+    compiled = [(k, re.compile(p)) for k, p in _FAMILIES]
+    matchers = _build_matchers()
+    for t in texts:
+        ref = sorted((k, m.start(), m.end())
+                     for k, rx in compiled for m in rx.finditer(t))
+        new = sorted((k, s, e) for k, scan in matchers for s, e in scan(t))
+        assert ref == new, t[:80]
+
+
 def test_jurisdiction_priority(corpus20, spark):
     """Identifier region first, court-token map second, UNKNOWN last
     (regex-extractor.ts:157-226)."""

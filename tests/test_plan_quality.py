@@ -68,6 +68,50 @@ def test_linking_fast_paths_are_broadcast(spark, corpus20):
     assert "CartesianProduct" not in plan
 
 
+def test_md_blocks_no_shuffle(spark, docs_parquet):
+    """markdown→HTML→blocks is kernel + narrow expressions: the only
+    non-scan operators are one MapInPandas and projections — zero
+    exchanges, no per-doc window (dense numbering comes from filtering
+    inside the array before posexplode)."""
+    from decisions_knowledge_graph_data_spark.operators.markdown import md_to_blocks
+    docs = spark.read.parquet(docs_parquet).select(
+        F.col("path").alias("doc_id"), F.col("content").alias("content_md")
+    )
+    plan = _plan(md_to_blocks(docs))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_citations_broadcast_aliases_no_cartesian(spark, corpus20):
+    """find_citations: one equi-join on doc_id (shuffle allowed), org
+    aliases broadcast, never a cross join."""
+    from decisions_knowledge_graph_data_spark.operators.citations import find_citations
+    tables, bundle, _ = corpus20
+    cands = spark.createDataFrame(bundle.expected_citations.drop(columns=["tier"]))
+    df = find_citations(tables["documents"], cands, tables["alias_map"])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the alias dictionary
+    assert "PythonUDF" not in plan  # all tier probes are column expressions
+
+
+def test_global_seq_no_single_partition_sort(spark, docs_parquet):
+    """global_seq must never funnel data through one task: the only
+    unpartitioned window runs over the (tiny) per-partition offsets
+    aggregate, and the data-sized window is partitioned."""
+    from decisions_knowledge_graph_data_spark.functions.ids import global_seq
+    df = global_seq(
+        spark.read.parquet(docs_parquet).select("path"), "path", "seq", 8
+    )
+    plan = _plan(df)
+    # the data-side window is partitioned by _pid; a global ORDER BY window
+    # over the data would show 'Window [...] []' with an empty partition
+    # spec feeding the full input — assert the offsets join is broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_exact_dedup_single_shuffle(spark, docs_parquet):
     from decisions_knowledge_graph_data_spark.operators.dedup import exact_dedup
     df = exact_dedup(spark.read.parquet(docs_parquet), "content", "path")

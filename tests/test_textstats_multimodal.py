@@ -55,23 +55,92 @@ def test_fingerprint_whitespace_invariant(spark):
 
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
-    feats = extract_features(media, fake=True, dim=16).toPandas()
+    feats = extract_features(media).toPandas()
     assert len(feats) == 30
     assert (feats["feature"].map(len) == 16).all()
     assert set(feats["kind"]) == {"image", "audio", "video"}
     # deterministic: same payload → same feature
-    again = extract_features(synth_media_df(spark, 30), fake=True, dim=16).toPandas()
+    again = extract_features(synth_media_df(spark, 30)).toPandas()
     f1 = dict(zip(feats["media_id"], feats["feature"].map(tuple)))
     f2 = dict(zip(again["media_id"], again["feature"].map(tuple)))
     assert f1 == f2
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_image_decode(spark):
+    """BMP and PPM round-trip through the REAL decoder: a constructed
+    solid-color image yields exact channel means and zero stds."""
+    import numpy as np
+    from decisions_knowledge_graph_data_spark.operators.multimodal import (
+        decode_image, encode_bmp, encode_ppm,
+    )
+    pix = np.zeros((6, 5, 3), dtype=np.uint8)
+    pix[..., 0] = 200; pix[..., 1] = 100; pix[..., 2] = 50
+    for enc in (encode_bmp, encode_ppm):
+        assert (decode_image(enc(pix)) == pix).all()
+    media = spark.createDataFrame(
+        [("i1", "image", bytearray(encode_bmp(pix)), None)],
+        "media_id string, kind string, payload binary, meta string",
+    )
+    f = extract_features(media).collect()[0]["feature"]
+    assert f[:2] == [5.0, 6.0]                  # width, height
+    assert f[2:5] == [200.0, 100.0, 50.0]       # exact channel means
+    assert f[5:8] == [0.0, 0.0, 0.0]            # solid color → zero std
+
+
+def test_multimodal_wav_dominant_band(spark):
+    """A pure 1 kHz sine decoded from real WAV bytes concentrates its
+    energy in the band containing 1 kHz."""
+    import math
+
+    import numpy as np
+    from decisions_knowledge_graph_data_spark.operators.multimodal import (
+        encode_wav,
+    )
+    sr = 16000
+    t = np.arange(sr // 10) / sr
+    payload = encode_wav(0.8 * np.sin(2 * math.pi * 1000.0 * t), sr)
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(payload), None)],
+        "media_id string, kind string, payload binary, meta string",
+    )
+    f = extract_features(media).collect()[0]["feature"]
+    assert abs(f[4] - 1000.0) < 50              # spectral centroid ≈ tone
+    bands = f[5:16]
+    edges = np.geomspace(50, sr / 2, 12)
+    expect = next(i for i in range(11) if edges[i] <= 1000 < edges[i + 1])
+    assert bands.index(max(bands)) == expect
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    from decisions_knowledge_graph_data_spark.operators.multimodal import (
+        decode_image, resize_images, sample_frames,
+    )
+    media = synth_media_df(spark, 30)
+    resized = resize_images(media, 16, 16).toPandas()
+    assert len(resized) == 10                    # the image rows
+    for p in resized["payload"]:
+        assert decode_image(bytes(p)).shape == (16, 16, 3)
+    frames = sample_frames(media, every_k=2).toPandas()
+    assert len(frames) > 0
+    # every kept frame index is a multiple of k and parses back
+    assert (frames["frame_idx"] % 2 == 0).all()
+    from decisions_knowledge_graph_data_spark.operators.multimodal import decode_ppm
+    assert decode_ppm(bytes(frames["frame"].iloc[0])).shape == (12, 16, 3)
+
+
+def test_multimodal_unknown_codec_paths(spark):
+    """JPEG-like magic bytes: errors='null' routes to NULL features,
+    errors='raise' fails at the codec-library slot-in point."""
     import py4j
-    media = synth_media_df(spark, 3)
+    bad = spark.createDataFrame(
+        [("x1", "image", bytearray(b"\xff\xd8\xff\xe0 not decodable"), None)],
+        "media_id string, kind string, payload binary, meta string",
+    )
+    got = extract_features(bad, errors="null").toPandas()
+    assert got["feature"].iloc[0] is None
     with pytest.raises(Exception) as ei:
-        extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
+        extract_features(bad, errors="raise").collect()
+    assert "Pillow" in str(ei.value) or isinstance(
         ei.value, py4j.protocol.Py4JJavaError
     )
 
