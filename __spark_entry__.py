@@ -810,7 +810,7 @@ def q_ivf_topk(spark, sf):
     )
     corpus = em.filter(F.col("vec_id") >= 3)
     return ivf_topk(corpus, probes, "vec_id", "embedding", "probe_id", "probe_vec",
-                    k=5, n_centroids=8, n_probe=3, dims=64)
+                    k=5, n_centroids=8, n_probe=4)
 
 
 def q_kg_triples(spark, sf):

@@ -165,10 +165,16 @@ def test_ivf_topk_recall(vec_df):
     exact = brute_force_topk(corpus, probes, "vec_id", "embedding",
                              "probe_id", "probe_vec", k=5).toPandas()
     approx = ivf_topk(corpus, probes, "vec_id", "embedding", "probe_id",
-                      "probe_vec", k=5, n_centroids=8, n_probe=4, dims=32).toPandas()
+                      "probe_vec", k=5, n_centroids=8, n_probe=4).toPandas()
     e = set(zip(exact["probe_id"], exact["vec_id"]))
     a = set(zip(approx["probe_id"], approx["vec_id"]))
-    assert len(a & e) / len(e) >= 0.5, f"IVF recall {len(a & e)}/{len(e)}"
+    # k-means-trained centroids (round 2): recall gate 0.9, up from the
+    # 0.5 the hash-seeded placeholder centroids managed
+    assert len(a & e) / len(e) >= 0.9, f"IVF recall {len(a & e)}/{len(e)}"
+    # deterministic end to end (hash-ranked init, quantized updates)
+    again = ivf_topk(corpus, probes, "vec_id", "embedding", "probe_id",
+                     "probe_vec", k=5, n_centroids=8, n_probe=4).toPandas()
+    assert a == set(zip(again["probe_id"], again["vec_id"]))
 
 
 def test_embedding_dup_pairs(vec_df):
