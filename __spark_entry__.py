@@ -393,6 +393,10 @@ def q_embedding_topk(spark, sf):
 
 
 def q_embedding_dup_exact(spark, sf):
+    """BOUNDED exact-verify demonstration ONLY: an O(n²) crossJoin used as
+    the oracle twin at sf scale. The production operator for embedding
+    near-dup at any real corpus size is ``dedup.embedding_dup_pairs``
+    (SRP-LSH blocked, q_embedding_dup_lsh) — never this."""
     from decisions_knowledge_graph_data_spark.operators.dedup import cosine
     em = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")

@@ -287,10 +287,17 @@ def link_rule_mentions(
     sim_input = rest.filter(~is_id)
 
     # --- 3. similarity path: score each DISTINCT surface form once.
-    # persist: the distinct set feeds BOTH the fan-back size gate (an
-    # action) and the scoring plan — without it the mention-sized distinct
-    # shuffle runs twice. Storage cost is bounded (distinct surface forms).
-    distinct_names = sim_input.select("name_norm").distinct().persist()
+    # localCheckpoint (lazy), not persist(): the distinct set feeds BOTH
+    # the fan-back size gate (an action) and the scoring plan — without
+    # materialization the mention-sized distinct shuffle runs twice. A
+    # persist() here was never unpersisted (round-2 ADVICE: repeated
+    # calls in a long-lived session accumulate cached blocks until
+    # eviction); checkpoint blocks are instead released by the
+    # ContextCleaner as soon as the result DataFrame is dropped. Storage
+    # cost is bounded (distinct surface forms only).
+    distinct_names = (
+        sim_input.select("name_norm").distinct().localCheckpoint(eager=False)
+    )
     reg = registry.select(
         "entity_id", normalize_name(F.col("title")).alias("title_norm"), "valid_from"
     )

@@ -42,6 +42,8 @@ from ..operators.validate import (
 )
 from .checkpoint import (
     MARKER,
+    _read_state,
+    _write_state,
     append_metrics,
     is_complete,
     partition_metrics,
@@ -168,6 +170,13 @@ def run_pipeline(
                 marker = os.path.join(stage_path(workdir, "s0_ingest"), MARKER)
                 if os.path.exists(marker):
                     os.remove(marker)
+                # the state machine must agree with the marker: without
+                # this, stage_status() reported the failed stage as
+                # 'completed' until the next attempt (round-2 ADVICE)
+                state = _read_state(workdir, "s0_ingest")
+                state.update({"status": "failed",
+                              "error": f"sha256 invariant violated ({bad} rows)"})
+                _write_state(workdir, "s0_ingest", state)
                 raise InvariantViolation(
                     f"content sha256 invariant violated for {bad} row(s)"
                 )

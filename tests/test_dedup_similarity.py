@@ -69,6 +69,70 @@ def test_minhash_recall_vs_exact_jaccard(text_df):
     assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
 
 
+def test_ngram_doc_freq_cap_kills_hub_keeps_recall(spark, text_df):
+    """Production set-sim hardening (round-2 VERDICT item 5): a planted
+    boilerplate hub (the same legal-notice sentence appended to EVERY
+    doc) makes every doc pair a candidate in the uncapped index; the
+    doc-frequency cap drops the hub shingles from candidate generation,
+    while true near-dup pairs (which share many RARE shingles) keep
+    recall 1.0 with their jaccard still computed on FULL shingle sets."""
+    from pyspark.sql import functions as F
+
+    from decisions_knowledge_graph_data_spark.operators.dedup import word_shingles
+
+    hub = " common boilerplate notice all rights reserved follows here"
+    # wide-vocabulary corpus (the shared fixture's 10-word pool collides
+    # everywhere by construction): 15 near-dup pairs + 15 unrelated docs,
+    # every doc carrying the hub sentence
+    rows = []
+    for i in range(15):
+        base = [f"tok{_h('w', i, j) % 5000:04d}" for j in range(40)]
+        rows.append((f"h{i:02d}a", " ".join(base) + hub))
+        near = list(base)
+        near[_h("m", i) % len(near)] = f"tok{_h('r', i) % 5000:04d}"
+        rows.append((f"h{i:02d}b", " ".join(near) + hub))
+        rand = [f"tok{_h('x', i, j) % 5000:04d}" for j in range(40)]
+        rows.append((f"h{i:02d}x", " ".join(rand) + hub))
+    hubbed = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def candidate_count(df, cap_frac):
+        base = df.select(
+            F.col("doc_id").alias("_k"), word_shingles(F.col("text")).alias("_sh")
+        ).filter(F.size("_sh") > 0)
+        inv = base.select("_k", F.explode("_sh").alias("shingle"))
+        if cap_frac is not None:
+            n = base.count()
+            hot = (
+                inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") > max(1, int(n * cap_frac)))
+                .select("shingle")
+            )
+            inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        a = inv.select(F.col("_k").alias("ka"), "shingle")
+        b = inv.select(F.col("_k").alias("kb"), "shingle")
+        return (
+            a.join(b, "shingle").filter(F.col("ka") < F.col("kb"))
+            .select("ka", "kb").distinct().count()
+        )
+
+    n_uncapped = candidate_count(hubbed, None)
+    n_capped = candidate_count(hubbed, 0.5)
+    n_docs = hubbed.count()
+    # the hub makes the uncapped index all-pairs quadratic
+    assert n_uncapped == n_docs * (n_docs - 1) // 2
+    assert n_capped < n_uncapped / 5, (n_capped, n_uncapped)
+
+    exact = ngram_jaccard_pairs(hubbed, "doc_id", "text", threshold=0.7)
+    capped = ngram_jaccard_pairs(
+        hubbed, "doc_id", "text", threshold=0.7, max_doc_freq_frac=0.5
+    )
+    exact_rows = {(r["key_a"], r["key_b"]): r["jaccard"] for r in exact.collect()}
+    capped_rows = {(r["key_a"], r["key_b"]): r["jaccard"] for r in capped.collect()}
+    assert exact_rows, "planted near-dups must survive the hub"
+    # recall 1.0 on this corpus AND identical (full-set) jaccard values
+    assert capped_rows == exact_rows
+
+
 def test_simhash_finds_near_dups(text_df):
     got = {
         (r["key_a"], r["key_b"])

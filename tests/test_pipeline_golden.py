@@ -152,6 +152,11 @@ def test_strict_invariant_uncompletes_s0(spark, corpus20, tmp_path):
         run_pipeline(spark, tampered, _dicts(tables), wd, resume=True,
                      strict_invariant=True)
     assert not is_complete(wd, "s0_ingest")
+    # the state machine must agree with the removed marker (round-2
+    # ADVICE: it previously still said 'completed' until the next attempt)
+    import json as _json
+    with open(os.path.join(wd, "_state", "s0_ingest.json")) as f:
+        assert _json.load(f)["status"] == "failed"
     # fixed data → the same workdir resumes cleanly end-to-end
     out = run_pipeline(spark, tables["documents"], _dicts(tables), wd, resume=True)
     assert out["s5_triples"].count() > 0
