@@ -19,10 +19,20 @@ Spark shape (the scale story): candidates equi-join the docs scan on
 ``doc_id`` — the ONLY wide operation, and it co-partitions with any
 upstream per-doc work. Court aliases are a broadcast dictionary
 aggregated to one array per org. Every tier probe is a column
-expression (``instr`` / higher-order functions) inside whole-stage
-codegen — no Python, no per-pair regex compilation, and no doc×target
+expression inside whole-stage codegen — no Python and no doc×target
 cross join anywhere: pairs arrive from upstream extraction/mapping,
 exactly as the reference receives one citation record per search.
+
+Matching fidelity (round-2 ADVICE, medium): probes are now
+case-INsensitive with the reference's flexible forms — ECLI tolerates
+``\\s*:\\s*`` colon spacing (citation-finder.ts:48-57), case numbers
+match exact / any-separator (``[\\s.\\-/]*``) / Cassation-core
+zero-padded variants (:60-96), court tokens get flexible whitespace and
+optional dots (:139-151), dates match ISO plus numeric-separator and
+FR/NL month-name forms (:98-137). Tier 1/2 and court probes compile one
+regex per candidate row — exactly the reference's per-search pattern
+build; the pattern is tiny and the candidate side is orders of magnitude
+smaller than the corpus scan it joins.
 """
 
 from __future__ import annotations
@@ -35,27 +45,113 @@ from .blocks import sentence_snippet
 PROXIMITY = 200   # court↔date max distance (citation-finder.ts:172-224)
 CONTEXT = 300     # snippet half-window (citation-finder.ts:253-313)
 
+# FR/NL month-name surfaces by month number (citation-finder.ts:17-32);
+# index = month, used to build the "15 mars 2022" date variants
+_MONTHS_FR = ["janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+              "août", "septembre", "octobre", "novembre", "décembre"]
+_MONTHS_NL = ["januari", "februari", "maart", "april", "mei", "juni", "juli",
+              "augustus", "september", "oktober", "november", "december"]
 
-def _case_variants(canonical: Column) -> Column:
-    """The reference's 3 case-number variant builders
-    (citation-finder.ts:98-170): canonical dotted form → [dotted, spaced,
-    compact]."""
-    return F.array(
-        canonical,
-        F.replace(canonical, F.lit("."), F.lit(" ")),
-        F.replace(canonical, F.lit("."), F.lit("")),
+
+def _regex_escape(col: Column) -> Column:
+    """Escape regex metacharacters in a data-derived string
+    (citation-finder.ts:41-43)."""
+    return F.regexp_replace(col, r"([.*+?^${}()|\[\]\\])", r"\\$1")
+
+
+def _ecli_pattern(ident: Column) -> Column:
+    """Case-insensitive ECLI pattern tolerating spacing around colons:
+    'ECLI:BE:CASS:...' also matches 'ecli : be : cass : ...'
+    (citation-finder.ts:48-57)."""
+    parts = F.transform(F.split(ident, ":"), _regex_escape)
+    return F.concat(F.lit("(?i)"), F.array_join(parts, r"\s*:\s*"))
+
+
+def _case_patterns(canonical: Column) -> Column:
+    """The reference's 3 case-number pattern builders
+    (citation-finder.ts:60-96): exact (case-insensitive), flexible
+    separators (dots/spaces/dashes/slashes all collapse to
+    ``[\\s.\\-/]*``), and the Cassation-core form X.YY.ZZZZ.L with
+    optional zero padding on the number."""
+    exact = F.concat(F.lit("(?i)"), _regex_escape(canonical))
+    flex_parts = F.filter(
+        F.transform(F.split(canonical, r"[\s.\-/]+"), _regex_escape),
+        lambda p: p != "",
     )
+    flex = F.concat(F.lit("(?i)"), F.array_join(flex_parts, r"[\s.\-/]*"))
+    cass_re = r"^([A-Za-z])\.?(\d{2,4})\.?(\d{1,5})\.?([A-Za-z])$"
+    cass = F.when(
+        canonical.rlike(cass_re),
+        F.concat(
+            F.lit("(?i)"),
+            F.regexp_extract(canonical, cass_re, 1), F.lit(r"[\s.\-]*"),
+            F.regexp_extract(canonical, cass_re, 2), F.lit(r"[\s.\-]*0*"),
+            F.regexp_extract(canonical, cass_re, 3), F.lit(r"[\s.\-]*"),
+            F.regexp_extract(canonical, cass_re, 4),
+        ),
+    )
+    return F.array_compact(F.array(exact, flex, cass))
+
+
+def _court_pattern(alias: Column) -> Column:
+    """Flexible court-name pattern: case-insensitive, whitespace runs
+    match any whitespace, dots optional (citation-finder.ts:139-151)."""
+    p = _regex_escape(alias)
+    p = F.regexp_replace(p, r"\s+", r"\\s+")
+    p = F.replace(p, F.lit(r"\."), F.lit(r"\.?"))
+    return F.concat(F.lit("(?i)"), p)
+
+
+def _date_variants(iso: Column) -> Column:
+    """Surface forms of a YYYY-MM-DD date (citation-finder.ts:98-137):
+    ISO, padded/unpadded numeric with / - . separators, and FR/NL
+    month-name forms — matched by (cheap) instr over lowercased text."""
+    y = F.substring(iso, 1, 4)
+    mm = F.substring(iso, 6, 2)
+    dd = F.substring(iso, 9, 2)
+    m = F.regexp_replace(mm, "^0", "")  # "03"→"3", "10"→"10"
+    d = F.regexp_replace(dd, "^0", "")
+    month_fr = F.element_at(F.array(*[F.lit(x) for x in _MONTHS_FR]), mm.cast("int"))
+    month_nl = F.element_at(F.array(*[F.lit(x) for x in _MONTHS_NL]), mm.cast("int"))
+    num = [
+        F.concat_ws(sep, dv, mv, y)
+        for sep in ("/", "-", ".")
+        for dv in (dd, d)
+        for mv in (mm, m)
+    ]
+    named = [
+        F.concat_ws(" ", dv, mo, y)
+        for dv in (dd, d)
+        for mo in (month_fr, month_nl)
+    ]
+    return F.array_distinct(F.array(iso, *num, *named))
 
 
 def _first_hit(content: Column, needles: Column) -> Column:
-    """struct<p,l> of the earliest-found needle (1-based pos, length);
-    null when none occur. All JVM-side: transform → filter → array_min
-    (struct ordering is by first field, i.e. position)."""
+    """struct<p,l> of the earliest-found literal needle (1-based pos,
+    length); null when none occur. All JVM-side: transform → filter →
+    array_min (struct ordering is by first field, i.e. position)."""
     hits = F.filter(
         F.transform(
             needles,
             lambda s: F.struct(
                 F.instr(content, s).alias("p"), F.length(s).alias("l")
+            ),
+        ),
+        lambda x: x["p"] > 0,
+    )
+    return F.array_min(hits)
+
+
+def _first_hit_re(content: Column, patterns: Column) -> Column:
+    """Regex version of ``_first_hit``: earliest match across patterns,
+    with the MATCHED length (flexible separators can change it)."""
+    hits = F.filter(
+        F.transform(
+            patterns,
+            lambda pat: F.struct(
+                F.regexp_instr(content, pat).alias("p"),
+                F.length(F.regexp_substr(content, pat)).alias("l"),
             ),
         ),
         lambda x: x["p"] > 0,
@@ -93,23 +189,33 @@ def find_citations(
     )
 
     c = F.col("_c")
-    p_ident = F.when(
-        F.col("ident").isNotNull(), F.instr(c, F.col("ident"))
-    ).otherwise(F.lit(0))
-    case_hit = _first_hit(c, _case_variants(F.col("case_canonical")))
-    court_hit = _first_hit(c, F.coalesce(F.col("_aliases"), F.array()))
-    p_date = F.when(
-        F.col("decision_date").isNotNull(), F.instr(c, F.col("decision_date"))
-    ).otherwise(F.lit(0))
+    # tier 1: case-insensitive ECLI with flexible colon spacing
+    ident_hit = F.when(
+        F.col("ident").isNotNull(),
+        F.struct(
+            F.regexp_instr(c, _ecli_pattern(F.col("ident"))).alias("p"),
+            F.length(F.regexp_substr(c, _ecli_pattern(F.col("ident")))).alias("l"),
+        ),
+    )
+    case_hit = _first_hit_re(c, _case_patterns(F.col("case_canonical")))
+    court_hit = _first_hit_re(
+        c, F.transform(F.coalesce(F.col("_aliases"), F.array()), _court_pattern)
+    )
+    # date surfaces are literal variants — instr over lowercased text
+    # (length-preserving for this corpus, so positions stay aligned)
+    date_hit = F.when(
+        F.col("decision_date").isNotNull(),
+        _first_hit(F.lower(c), _date_variants(F.col("decision_date"))),
+    )
 
     probed = paired.select(
         "doc_id", "target_id", "_c",
-        F.length(F.col("ident")).alias("_ident_len"),
-        p_ident.alias("_p1"),
+        ident_hit["l"].alias("_ident_len"),
+        F.coalesce(ident_hit["p"], F.lit(0)).alias("_p1"),
         case_hit.alias("_case"),
         court_hit.alias("_court"),
-        p_date.alias("_pd"),
-        F.length(F.col("decision_date")).alias("_date_len"),
+        F.coalesce(date_hit["p"], F.lit(0)).alias("_pd"),
+        date_hit["l"].alias("_date_len"),
     )
 
     t3_ok = (

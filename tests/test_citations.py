@@ -62,6 +62,75 @@ def test_citation_snippets_contain_evidence(spark, corpus20):
         assert len(r.snippet) > 0
 
 
+def test_flexible_matching_case_and_separators(spark):
+    """Round-2 ADVICE (medium): the reference's patterns are
+    case-insensitive with flexible separators (citation-finder.ts:48-96)
+    — a citation differing only in case, colon spacing, or separator
+    style must still resolve at its proper tier, and at the matched
+    position (snippet carries the as-written surface)."""
+    docs = spark.createDataFrame(
+        [
+            # tier 1: lowercased ECLI with spaced colons
+            ("d1", "the court held in ecli : be : cass : 2019 : 0042 that."),
+            # tier 2: dashed separators + lowercase letters
+            ("d2", "compare case c-17-0234-f which settled the point."),
+            # tier 2: Cassation core with extra zero padding
+            ("d3", "see C.17.00234.F for the rule."),
+            # tier 3: court alias in different case + dd/mm/yyyy date
+            ("d4", "per COUR DE cassation judgment of 05/03/2019 on costs."),
+            # tier 4: alias with collapsed whitespace and missing dot
+            ("d5", "the Cass  Ct has consistently ruled so."),
+        ],
+        "doc_id string, content string",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("d1", "T1", "ECLI:BE:CASS:2019:0042", None, None, None),
+            ("d2", "T2", None, "C.17.0234.F", None, None),
+            ("d3", "T3", None, "C.17.0234.F", None, None),
+            ("d4", "T4", None, None, "ORG-1", "2019-03-05"),
+            ("d5", "T5", None, None, "ORG-1", "1999-01-01"),
+        ],
+        "doc_id string, target_id string, ident string, case_canonical string,"
+        " org_code string, decision_date string",
+    )
+    aliases = spark.createDataFrame(
+        [("ORG-1", "cour de cassation"), ("ORG-1", "Cass. Ct")],
+        "canonical_code string, alias string",
+    )
+    got = {
+        r["target_id"]: (r["tier"], r["method"], r["snippet"])
+        for r in find_citations(docs, cands, aliases).collect()
+    }
+    assert got["T1"][0] == 1 and "ecli : be : cass" in got["T1"][2]
+    assert got["T2"][0] == 2 and "c-17-0234-f" in got["T2"][2]
+    assert got["T3"][0] == 2 and "C.17.00234.F" in got["T3"][2]
+    assert got["T4"][:2] == (3, "COURT_DATE") and "05/03/2019" in got["T4"][2]
+    assert got["T5"][:2] == (4, "COURT_ONLY")
+
+
+def test_date_variants_fr_nl_month_names(spark):
+    """'15 mars 2022' / '15 maart 2022' style dates satisfy the tier-3
+    proximity check (citation-finder.ts:98-137)."""
+    docs = spark.createDataFrame(
+        [("d1", "arrêt de la cour de cassation du 5 mars 2019 précité."),
+         ("d2", "arrest van het hof 05 maart 2019, cour de cassation.")],
+        "doc_id string, content string",
+    )
+    cands = spark.createDataFrame(
+        [("d1", "T1", None, None, "ORG-1", "2019-03-05"),
+         ("d2", "T2", None, None, "ORG-1", "2019-03-05")],
+        "doc_id string, target_id string, ident string, case_canonical string,"
+        " org_code string, decision_date string",
+    )
+    aliases = spark.createDataFrame(
+        [("ORG-1", "cour de cassation")], "canonical_code string, alias string"
+    )
+    got = {r["target_id"]: r["method"]
+           for r in find_citations(docs, cands, aliases).collect()}
+    assert got == {"T1": "COURT_DATE", "T2": "COURT_DATE"}
+
+
 def test_paragraph_negative_not_extracted(corpus20):
     """'¶ C-999/99' is planted raw — the ¶ negative filter
     (regex-extractor.ts:362-368) must keep it out of the mention table."""
