@@ -189,6 +189,87 @@ def add_simhash(df: DataFrame, key_col: str, text_col: str,
     return sums.select(F.col("_k").alias(key_col), sim.alias("_sim"))
 
 
+def portable_simhash(df: DataFrame, key_col: str, text_col: str,
+                     bits: int = 32) -> DataFrame:
+    """Cross-engine-reproducible SimHash: the per-token hash is the first
+    60 bits of the token's md5 hex digest — identical in ANY engine with
+    md5 + hex→int (DuckDB: ``CAST('0x'||substring(md5(w),1,15) AS
+    BIGINT)``), so the signature itself can be verified by an external
+    SQL oracle. Same explode + conditional-sum hash-agg plan as
+    ``add_simhash`` (which stays the production variant — xxhash64 is
+    ~5× cheaper than md5 but JVM-specific). Returns df(key_col, _sim).
+    """
+    toks = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("_t"),
+    ).withColumn("_h", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long"))
+    sums = toks.groupBy("_k").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col("_k").alias(key_col), sim.alias("_sim"))
+
+
+def _hamming_band_pairs(base: DataFrame, bits: int, max_hamming: int,
+                        n_tables: int) -> DataFrame:
+    """Shared banding core: block a (_k, _sim) signature table on
+    ``n_tables`` bit-bands covering ``bits`` bits, verify exact Hamming
+    via bit_count(xor). Pigeonhole-exact recall when
+    ``n_tables >= max_hamming + 1``."""
+    w = bits // n_tables
+    bands = []
+    for t in range(n_tables):
+        start = t * w
+        width = w if t < n_tables - 1 else bits - w * (n_tables - 1)
+        mask = (1 << width) - 1
+        bands.append(
+            F.shiftrightunsigned(F.col("_sim"), start).bitwiseAND(F.lit(mask))
+        )
+    banded = base.select(
+        "_k", "_sim",
+        F.posexplode(F.array(*bands)).alias("band_pos", "band_val"),
+    )
+    a = banded.select(F.col("_k").alias("key_a"), F.col("_sim").alias("_sa"),
+                      "band_pos", "band_val")
+    b = banded.select(F.col("_k").alias("key_b"), F.col("_sim").alias("_sb"),
+                      "band_pos", "band_val")
+    return (
+        a.join(b, ["band_pos", "band_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
+def portable_simhash_pairs(
+    df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs over the md5-portable signature — the
+    oracle-checkable twin of ``simhash_dup_pairs``: banding recall is
+    pigeonhole-exact (n_tables = max_hamming + 1), so the output EQUALS
+    the brute-force all-pairs bit_count(xor) scan an external SQL engine
+    can run on the same data. Returns (key_a, key_b, hamming:int)."""
+    base = portable_simhash(df, key_col, text_col, bits).select(
+        F.col(key_col).alias("_k"), "_sim"
+    )
+    return _hamming_band_pairs(base, bits, max_hamming, max_hamming + 1)
+
+
 def simhash_dup_pairs(
     df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3,
     n_tables: int | None = None,
@@ -218,31 +299,7 @@ def simhash_dup_pairs(
         F.col(key_col).alias("_k"), "_sim"
     )
     # n_tables bands covering all 64 bits (last band takes the remainder)
-    w = 64 // n_tables
-    bands = []
-    for t in range(n_tables):
-        start = t * w
-        width = w if t < n_tables - 1 else 64 - w * (n_tables - 1)
-        mask = (1 << width) - 1
-        bands.append(
-            F.shiftrightunsigned(F.col("_sim"), start).bitwiseAND(F.lit(mask))
-        )
-    banded = base.select(
-        "_k", "_sim",
-        F.posexplode(F.array(*bands)).alias("band_pos", "band_val"),
-    )
-    a = banded.select(F.col("_k").alias("key_a"), F.col("_sim").alias("_sa"),
-                      "band_pos", "band_val")
-    b = banded.select(F.col("_k").alias("key_b"), F.col("_sim").alias("_sb"),
-                      "band_pos", "band_val")
-    pairs = (
-        a.join(b, ["band_pos", "band_val"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .dropDuplicates(["key_a", "key_b"])
-        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    return pairs.select("key_a", "key_b", "hamming")
+    return _hamming_band_pairs(base, 64, max_hamming, n_tables)
 
 
 def ngram_jaccard_pairs(
