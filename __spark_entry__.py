@@ -848,11 +848,16 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """Exact set-similarity join on the PRODUCTION path: prefix-filtered
+    candidate generation (AllPairs/ppjoin prefix principle — lossless by
+    construction), verified row-for-row against DuckDB's exhaustive
+    all-pairs jaccard oracle. The unfiltered inverted-index mode and the
+    lossy doc-frequency cap are equality-/recall-tested in pytest."""
     from decisions_knowledge_graph_data_spark.operators.dedup import ngram_jaccard_pairs
     d = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3).select(
-        "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.3, prefix_filter=True
+    ).select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_embedding_dup_lsh(spark, sf):

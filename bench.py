@@ -25,6 +25,10 @@ HEADLINE = [
     "sessionize", "regex_scan", "token_counts", "quality_score",
     "exact_dedup", "minhash_dups", "simhash_pairs", "embedding_topk",
     "events_windowed", "md_blocks", "citation_snippets",
+    # round-3 additions: the oracle-checked flagship twin and the
+    # oracle-checked simhash banding (compare like-for-like vs r2 by
+    # excluding these two)
+    "kg_star_triples", "simhash_hamming_check",
 ]
 
 

