@@ -255,6 +255,66 @@ def _hamming_band_pairs(base: DataFrame, bits: int, max_hamming: int,
     )
 
 
+def _hamming_combination_pairs(base: DataFrame, bits: int, max_hamming: int,
+                               n_blocks: int | None = None) -> DataFrame:
+    """Manku et al. (WWW'07) combination tables: split the signature into
+    ``n_blocks`` blocks and key one table on every (n_blocks −
+    max_hamming)-subset of blocks. A pair within Hamming ``h`` differs in
+    ≤ h blocks, so ≥ n_blocks − h blocks are identical and some subset
+    table matches — recall is EXACTLY 1.0, like banding, but each key
+    carries (n_blocks − h)/n_blocks of the signature's bits instead of
+    1/(h+1): at 10^9 docs a 16-bit band value buckets ~15k docs together
+    (quadratic blowup inside hot buckets) while a 32-bit combination key
+    keeps buckets sparse. Cost: C(n_blocks, n_blocks − h) tables instead
+    of h+1 — more explode rows, each far more selective. The default
+    n_blocks = h + min(h, 3) keeps each key 2-3 blocks wide and the
+    table count polynomial (20 tables at h=3, 165 at h=8); an
+    all-combinations 2h split is combinatorial (C(16,8) = 12870 tables
+    at h=8) and is rejected by the table-count guard."""
+    from itertools import combinations
+    from math import comb
+
+    b = n_blocks or (max_hamming + min(max_hamming, 3))
+    if b <= max_hamming:
+        raise ValueError(f"n_blocks must exceed max_hamming; got {b} <= {max_hamming}")
+    n_tab = comb(b, b - max_hamming)
+    if n_tab > 1024:
+        raise ValueError(
+            f"combination scheme with n_blocks={b}, max_hamming={max_hamming} "
+            f"needs {n_tab} tables; pick n_blocks closer to max_hamming "
+            f"(key width trades against table count)"
+        )
+    w = bits // b
+    blocks = []
+    for t in range(b):
+        start = t * w
+        width = w if t < b - 1 else bits - w * (b - 1)
+        mask = (1 << width) - 1
+        blocks.append(
+            F.shiftrightunsigned(F.col("_sim"), start).bitwiseAND(F.lit(mask))
+        )
+    keys = [
+        F.hash(*[blocks[i] for i in combo], F.lit(t))
+        for t, combo in enumerate(combinations(range(b), b - max_hamming))
+    ]
+    banded = base.select(
+        "_k", "_sim",
+        F.posexplode(F.array(*keys)).alias("band_pos", "band_val"),
+    )
+    a = banded.select(F.col("_k").alias("key_a"), F.col("_sim").alias("_sa"),
+                      "band_pos", "band_val")
+    bb = banded.select(F.col("_k").alias("key_b"), F.col("_sim").alias("_sb"),
+                       "band_pos", "band_val")
+    return (
+        a.join(bb, ["band_pos", "band_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
 def portable_simhash_pairs(
     df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3,
     bits: int = 32,
@@ -272,7 +332,8 @@ def portable_simhash_pairs(
 
 def simhash_dup_pairs(
     df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3,
-    n_tables: int | None = None,
+    n_tables: int | None = None, scheme: str = "bands",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on bit-bands of the 64-bit simhash,
     then verify exact Hamming distance via bit_count(xor).
@@ -282,11 +343,19 @@ def simhash_dup_pairs(
     least one band is identical — recall is EXACTLY 1.0, not
     probabilistic. ``n_tables`` defaults to that bound; passing fewer
     bands than the bound requires raises (round-1 judge: 4×16-bit bands
-    silently missed pairs at max_hamming 8/12). Tradeoff, documented:
-    wider radius → narrower bands → more candidate collisions; for
-    h ≳ 16 at web scale the production path is Manku et al. (WWW'07)
-    combination tables (key = union of several blocks), which trades
-    table count for selectivity — not needed at this radius.
+    silently missed pairs at max_hamming 8/12).
+
+    ``scheme`` picks the blocking family, both recall-exact:
+      - ``"bands"`` (default): h+1 disjoint bands — fewest tables; right
+        for corpora where a 64/(h+1)-bit band value still buckets
+        sparsely (up to ~10^7 docs at h=3);
+      - ``"combinations"``: Manku et al. (WWW'07) combination tables
+        (``_hamming_combination_pairs``) — C(n_blocks, h) tables keyed
+        on (n_blocks − h)-block unions. The web-scale path: at 10^9+
+        docs a 16-bit band value collides ~15k docs per bucket (the
+        self-join goes quadratic inside hot buckets) while a
+        combination key carries 2-3× the bits, keeping buckets sparse
+        at the price of more (but selective) index rows.
     """
     if n_tables is None:
         n_tables = max_hamming + 1
@@ -298,6 +367,10 @@ def simhash_dup_pairs(
     base = add_simhash(df, key_col, text_col).select(
         F.col(key_col).alias("_k"), "_sim"
     )
+    if scheme == "combinations":
+        return _hamming_combination_pairs(base, 64, max_hamming, n_blocks)
+    if scheme != "bands":
+        raise ValueError(f"unknown scheme {scheme!r}")
     # n_tables bands covering all 64 bits (last band takes the remainder)
     return _hamming_band_pairs(base, 64, max_hamming, n_tables)
 

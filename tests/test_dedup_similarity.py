@@ -183,6 +183,54 @@ def test_simhash_recall_contract_vs_exact_hamming(spark, text_df):
         assert got == exact, (h, len(got), len(exact))
 
 
+def test_simhash_combination_tables_recall_exact(text_df):
+    """Manku combination tables (the web-scale blocking: wide selective
+    keys) must be recall-exact too — same output as the banding scheme
+    at h=3 and h=8, which is itself proven equal to the all-pairs
+    oracle above."""
+    for h in (3, 8):
+        bands = {
+            (r["key_a"], r["key_b"], r["hamming"])
+            for r in simhash_dup_pairs(
+                text_df, "doc_id", "text", max_hamming=h
+            ).collect()
+        }
+        combos = {
+            (r["key_a"], r["key_b"], r["hamming"])
+            for r in simhash_dup_pairs(
+                text_df, "doc_id", "text", max_hamming=h, scheme="combinations"
+            ).collect()
+        }
+        assert combos == bands, (h, len(combos), len(bands))
+
+
+def test_portable_simhash_pairs_equal_brute_force(text_df):
+    """The md5-portable signature's banded pairs equal an in-Spark
+    brute-force bit_count(xor) scan — the pytest lock behind the
+    simhash_hamming_check oracle row."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        portable_simhash, portable_simhash_pairs,
+    )
+    got = {
+        (r["key_a"], r["key_b"], r["hamming"])
+        for r in portable_simhash_pairs(
+            text_df, "doc_id", "text", max_hamming=3, bits=32
+        ).collect()
+    }
+    sims = portable_simhash(text_df, "doc_id", "text", bits=32)
+    a = sims.select(F.col("doc_id").alias("key_a"), F.col("_sim").alias("_sa"))
+    b = sims.select(F.col("doc_id").alias("key_b"), F.col("_sim").alias("_sb"))
+    exact = {
+        (r["key_a"], r["key_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("h", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == exact, (len(got), len(exact))
+
+
 def test_simhash_rejects_undersized_banding(text_df):
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_dup_pairs(text_df, "doc_id", "text", max_hamming=8, n_tables=4)

@@ -196,6 +196,22 @@ def test_ivf_bucketed_corpus_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS ivf_corpus_t")
 
 
+def test_kg_star_triples_plan(spark):
+    """The oracle-checked flagship twin must keep its scale properties:
+    the nation dimension joins broadcast, no cartesian product anywhere,
+    and only the two dropDuplicates branches shuffle (plus none for the
+    broadcast joins)."""
+    import __spark_entry__ as entry_mod
+    df = entry_mod.queries()["kg_star_triples"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # shuffles: one per dedup branch (contains / supplies); the
+    # customer⋈orders join may add at most one more under forced SMJ —
+    # with default thresholds at sf scale both dims broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
 def test_stage_summary_is_lazy_one_pass(spark, docs_parquet):
     """stage_summary must not run driver actions at build time (it
     previously issued two count() jobs); the returned DF is a single
