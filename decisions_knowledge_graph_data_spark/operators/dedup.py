@@ -502,20 +502,27 @@ def embedding_dup_pairs(
     share the full sketch bucket; cosine verifies. For higher recall,
     bucket on two half-sketches (any pair differing in < n_planes/2 bits
     shares one half).
+
+    The hyperplane components are computed ONCE on the driver (sha256 of
+    (plane, dim) — deterministic, no RNG state) and embedded as literal
+    arrays, so each row pays n_planes fused multiply-add passes. The
+    previous formulation derived every component per ROW via xxhash64 —
+    n_planes × dims hash evaluations per vector, pure waste at 10^9
+    rows. Costs one bounded first() probe for the dimensionality.
     """
-    dims = F.size(F.col(vec_col))
-    # deterministic hyperplane component h(p, d) mapped to [-1, 1]
+    import hashlib as _hl
+
+    first = df.select(F.size(F.col(vec_col)).alias("_n")).first()
+    n_dims = int(first["_n"]) if first is not None else 0
+
+    def _comp(p: int, d: int) -> float:
+        h = int.from_bytes(_hl.sha256(f"srp:{p}:{d}".encode()).digest()[:8], "big")
+        return (h % 2001 - 1000) / 1000.0
+
     def plane_dot(p: int) -> Column:
+        plane = F.array(*[F.lit(_comp(p, d)) for d in range(n_dims)])
         return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), dims - 1),
-                    lambda d: (F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - 1000)
-                    / 1000.0,
-                ),
-                lambda v, r: v * r,
-            ),
+            F.zip_with(F.col(vec_col), plane, lambda v, r: v * r),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
