@@ -832,9 +832,19 @@ def q_ivf_topk_full_probe(spark, sf):
 
 
 def q_minhash_dups(spark, sf):
+    """MinHash+LSH with a DuckDB oracle: the band-blocked candidates are
+    verified against exact jaccard, so the output is a SUBSET of the
+    exhaustive all-pairs join; on the deterministic oracle corpus the
+    banding recall is complete (verified), so subset == equal and the
+    exhaustive SQL is a valid oracle. On arbitrary corpora recall is the
+    pytest-gated ≥0.9 contract (test_minhash_recall_vs_exact_jaccard) —
+    a future hash-mismatch here would mean banding recall regressed
+    below 1.0 on this corpus, which is exactly worth failing on."""
     from decisions_knowledge_graph_data_spark.operators.dedup import minhash_dup_pairs
     d = _t(spark, sf, "documents")
-    return minhash_dup_pairs(d, "doc_id", "text", jaccard_threshold=0.4)
+    return minhash_dup_pairs(d, "doc_id", "text", jaccard_threshold=0.4).select(
+        "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_simhash_pairs(spark, sf):
@@ -861,8 +871,14 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_embedding_dup_lsh(spark, sf):
-    """SRP-blocked near-dup detection; near-dups are planted in-query
-    (perturbed copies at vec_id+100000) so the result is non-trivial."""
+    """SRP-blocked near-dup detection with a DuckDB oracle; near-dups are
+    planted in-query (float-perturbed copies at vec_id+100000). The SRP
+    bucket candidates are cosine-verified, so the output ⊆ the exact
+    all-pairs scan; on the deterministic oracle corpus the sketch recall
+    is complete (verified), making the exhaustive SQL a valid oracle —
+    a hash mismatch would mean SRP recall regressed on this corpus.
+    Cosine parity recipe: perturb in float32 on both engines, cast to
+    DOUBLE for scoring, round(4) (the embedding_topk recipe)."""
     from decisions_knowledge_graph_data_spark.operators.dedup import embedding_dup_pairs
     em = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     perturbed = em.filter(F.col("vec_id") % 10 == 0).select(
@@ -871,8 +887,11 @@ def q_embedding_dup_lsh(spark, sf):
             "embedding", lambda v, i: v + F.when(i == 0, F.lit(0.01)).otherwise(0.0)
         ).cast("array<float>").alias("embedding"),
     )
-    return embedding_dup_pairs(
-        em.unionByName(perturbed), "vec_id", "embedding", threshold=0.99
+    u = em.unionByName(perturbed).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_dup_pairs(u, "vec_id", "embedding", threshold=0.99).select(
+        "key_a", "key_b", F.round("cosine", 4).alias("cosine")
     )
 
 
@@ -1098,6 +1117,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sg, b.sg)) AS INT) AS hamming
             FROM sig a, sig b
             WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sg, b.sg)) <= 3
+        """,
+        "minhash_dups": r"""
+            -- exhaustive all-pairs jaccard >= 0.4: valid oracle for the
+            -- MinHash+LSH path because candidates are exact-verified
+            -- (subset) and banding recall is complete on this corpus
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+              FROM toks
+            ), ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+            pairs AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                round(len(list_intersect(a.s,b.s))
+                      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+              FROM ne a, ne b WHERE a.doc_id < b.doc_id
+            )
+            SELECT * FROM pairs WHERE jaccard >= 0.4
+        """,
+        "embedding_dup_lsh": """
+            -- exhaustive scan over corpus + float-perturbed plants:
+            -- valid oracle because SRP candidates are cosine-verified
+            -- (subset) and sketch recall is complete on this corpus
+            WITH pert AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding,
+                       (v, i) -> CASE WHEN i = 1 THEN v + CAST(0.01 AS FLOAT)
+                                      ELSE v END) AS embedding
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM pert
+            ), pairs AS (
+              SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS cos
+              FROM u a, u b WHERE a.vec_id < b.vec_id
+            )
+            SELECT key_a, key_b, round(cos, 4) AS cosine
+            FROM pairs WHERE cos >= 0.99
         """,
         "ngram_jaccard": r"""
             -- exact all-pairs 3-word-shingle jaccard; the Spark side is
