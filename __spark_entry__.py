@@ -800,6 +800,46 @@ def q_kg_star_triples(spark, sf):
     return placed.unionByName(contains).unionByName(supplies).unionByName(located)
 
 
+def q_reference_extract(spark, sf):
+    """SQL-expressible twin of the Agent-2B reference extractor — the
+    green pair for the rows-only kg_references (completing the
+    twin-per-flagship set): deterministic CELEX/NUMAC/URL tokens with
+    valid AND invalid variants are synthesized per oracle document, the
+    REAL extract_references operator runs (regex families + year/month
+    validation + verified-vs-extracted split,
+    referenceExtractorN8N.ts:59-202,329-385), and DuckDB reproduces it
+    exhaustively. The oracle corpus text is digit-free (checked), so the
+    delimiter-based NUMAC pattern in the oracle matches Spark's
+    lookaround pattern exactly."""
+    from decisions_knowledge_graph_data_spark.operators.references import (
+        reference_counts,
+    )
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    celex = F.concat(
+        F.lit(" CELEX:3"), (F.lit(1900) + F.pmod(did, F.lit(200))).cast("string"),
+        F.lit("L"), F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0"),
+    )
+    numac = F.concat(
+        F.lit(" numac "),
+        (F.lit(1880) + F.pmod(did, F.lit(160))).cast("string"),
+        F.lpad((F.lit(1) + F.pmod(did, F.lit(14))).cast("string"), 2, "0"),
+        F.lpad(F.pmod(did * 7, F.lit(10000)).cast("string"), 4, "0"),
+    )
+    url = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" https://lex.example.eu/legal-content/d"), did.cast("string")),
+    ).otherwise(F.lit(""))
+    docs = d.select(
+        F.col("source").alias("repo"),
+        did.cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.concat(F.col("text"), celex, numac, url, F.lit(" .")).alias("content"),
+    )
+    return reference_counts(docs)
+
+
 def q_simhash_hamming_check(spark, sf):
     """SimHash with an ORACLE (round-2 VERDICT item 3): the md5-portable
     signature (dedup.portable_simhash) + pigeonhole-exact banding over a
@@ -1000,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "citation_snippets": q_citation_snippets,
         "jurisdiction_counts": q_jurisdiction_counts,
         "md_blocks": q_md_blocks,
+        "reference_extract": q_reference_extract,
         # ---- dedup / similarity family
         "simhash_hamming_check": q_simhash_hamming_check,
         "minhash_dups": q_minhash_dups,
@@ -1034,7 +1075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nway_intersection": q_nway_intersection,
         "dimension_lookup": q_dimension_lookup,
         "percentiles": q_percentiles,
-        "distinct_on": q_distinct_on,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
         "blocking_join_date": q_blocking_join_date,
@@ -1055,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_topn": q_freq_topn,            # top-N family: top_orders
         "temporal_histogram": q_temporal_histogram,  # bucket family
         "latest_run": q_latest_run,          # window family: top1_per_group
+        "distinct_on": q_distinct_on,        # window family: top1_per_group
         "embedding_dup_exact": q_embedding_dup_exact,
         "fingerprint": q_fingerprint,
         "date_parse": q_date_parse,
@@ -1095,6 +1136,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'CUST-' || CAST(c_custkey AS VARCHAR),
                    'located_in', 'NATION-' || n_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "reference_extract": r"""
+            -- mirrors q_reference_extract's token synthesis, then runs
+            -- the same regex families + year/month validation. NUMAC
+            -- uses a delimiter class instead of Spark's lookarounds
+            -- (RE2 has none) — equivalent here: the corpus text is
+            -- digit-free and every planted run is space-delimited.
+            WITH synth AS (
+              SELECT source, doc_id, lang,
+                text || ' CELEX:3' || CAST(1900 + doc_id % 200 AS VARCHAR)
+                     || 'L' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' numac ' || CAST(1880 + doc_id % 160 AS VARCHAR)
+                     || lpad(CAST(1 + doc_id % 14 AS VARCHAR), 2, '0')
+                     || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' https://lex.example.eu/legal-content/d'
+                                  || CAST(doc_id AS VARCHAR)
+                             ELSE '' END
+                     || ' .' AS content
+              FROM documents
+            ), ext AS (
+              SELECT substring(sha256(source || ':' || CAST(doc_id AS VARCHAR)
+                                      || '@c0'), 1, 12) AS doc_id,
+                     lang,
+                     list_sort(list_distinct(regexp_extract_all(content,
+                       'CELEX:3[0-9]{4}[LRD][0-9]{4}'))) AS celex,
+                     list_sort(list_distinct(regexp_extract_all(content,
+                       '[^0-9]([0-9]{10})[^0-9]', 1))) AS numac,
+                     list_sort(list_distinct(regexp_extract_all(content,
+                       'https://(?:lex|codex)\.example\.(?:eu|be)/[\w/.-]+'))) AS urls
+              FROM synth
+            )
+            SELECT doc_id,
+                   CAST(len(celex) AS INT) AS n_celex_extracted,
+                   CAST(len(list_filter(celex, c ->
+                     CAST(substring(c, 8, 4) AS INT) BETWEEN 1950 AND 2030))
+                     AS INT) AS n_celex_verified,
+                   CAST(len(numac) AS INT) AS n_numac_extracted,
+                   CAST(len(list_filter(numac, c ->
+                     CAST(substring(c, 1, 4) AS INT) BETWEEN 1900 AND 2030
+                     AND CAST(substring(c, 5, 2) AS INT) BETWEEN 1 AND 12))
+                     AS INT) AS n_numac_verified,
+                   CAST(len(urls) AS INT) AS n_urls
+            FROM ext
         """,
         "simhash_hamming_check": rf"""
             -- brute-force all-pairs oracle for the md5-portable SimHash:

@@ -26,8 +26,13 @@ SQL_URL = r"https://(?:lex|codex)\.example\.(?:eu|be)/[\w/.-]+"
 
 def _valid_celex(c):
     """Year component in [1950, 2030] (year-range validation,
-    referenceExtractorN8N.ts:94-140)."""
-    year = F.substring(c, 7, 4).cast("int")
+    referenceExtractorN8N.ts:94-140). The year starts at char 8:
+    ``CELEX:`` is 6 chars, char 7 is the sector digit '3' — round-3 bug
+    fix: the check previously read chars 7-10 ('3YYY' ≥ 3000), silently
+    failing EVERY CELEX including the fixture's ref_valid=True plants;
+    no test compared verified arrays to the goldens (now one does:
+    test_aggregate.py::test_reference_validation_matches_goldens)."""
+    year = F.substring(c, 8, 4).cast("int")
     return (year >= 1950) & (year <= 2030)
 
 

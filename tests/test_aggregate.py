@@ -22,6 +22,38 @@ from decisions_knowledge_graph_data_spark.plans.aggregate import merged_document
 from decisions_knowledge_graph_data_spark.plans.pipeline import ingest
 
 
+def test_reference_validation_matches_goldens(spark, corpus20):
+    """The verified/extracted split must agree with the fixture's
+    ref_valid flags PER REFERENCE — round 3 found celex_verified had
+    been empty forever (the year check read the sector digit, chars
+    7-10 = '3YYY' ≥ 3000) because nothing compared validation output
+    to the goldens; this test closes that hole for all three families."""
+    tables, bundle, _ = corpus20
+    refs = extract_references(tables["documents"]).toPandas()
+    by_doc = refs.set_index("doc_id")
+    em = bundle.expected_mentions
+    planted = em[em["mention_kind"] == "REF"]
+    assert len(planted) > 0 and planted["ref_valid"].notna().all()
+    n_checked = {"celex": 0, "numac": 0, "url": 0}
+    for r in planted.itertuples():
+        row = by_doc.loc[r.doc_id]
+        if r.surface.startswith("CELEX:"):
+            assert r.surface in list(row["celex_extracted"]), r.surface
+            assert (r.surface in list(row["celex_verified"])) == bool(r.ref_valid), r.surface
+            n_checked["celex"] += 1
+        elif r.surface.startswith("https://"):
+            assert r.surface in list(row["urls"]), r.surface
+            n_checked["url"] += 1
+        else:  # 10-digit NUMAC
+            assert r.surface in list(row["numac_extracted"]), r.surface
+            assert (r.surface in list(row["numac_verified"])) == bool(r.ref_valid), r.surface
+            n_checked["numac"] += 1
+    # the fixture must exercise valid AND invalid variants of each family
+    assert all(v > 0 for v in n_checked.values()), n_checked
+    assert (~planted["ref_valid"].astype(bool)).sum() > 0
+    assert planted["ref_valid"].astype(bool).sum() > 0
+
+
 def test_merged_documents(spark, corpus20):
     tables, bundle, _ = corpus20
     docs, _ = ingest(tables["documents"])
