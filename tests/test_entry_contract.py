@@ -32,6 +32,31 @@ def test_oracle_keys_subset_of_queries():
     }
 
 
+def test_driver_window_composition():
+    """The external driver records only the FIRST 50 queries() entries.
+    Lock the curation invariant: every operator family's representatives
+    — the flagship KG set with its green twins and the full dedup/ANN
+    family — must sit inside that window, so a future reorder cannot
+    silently push a family off the driver board."""
+    qs = list(entry_mod.queries())
+    first_50 = set(qs[:50])
+    must_be_visible = {
+        # flagship KG + green twins
+        "kg_star_triples", "kg_triples", "kg_references", "kg_citations",
+        "kg_jurisdiction", "reference_extract", "citation_snippets",
+        "jurisdiction_counts", "md_blocks",
+        # dedup / similarity family
+        "simhash_hamming_check", "minhash_dups", "simhash_pairs",
+        "ngram_jaccard", "embedding_dup_lsh", "ivf_topk",
+        "ivf_topk_full_probe", "embedding_topk", "exact_dedup",
+        # text-analysis family
+        "token_counts", "language_id", "quality_score",
+        # streaming family
+        "events_windowed",
+    }
+    assert must_be_visible <= first_50, must_be_visible - first_50
+
+
 def test_all_queries_runnable_sf0001(spark):
     """Every query must run at sf0.001 (schema-stable, >= 0 rows)."""
     sf = "/root/testdata/sf0.001"
