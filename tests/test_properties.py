@@ -81,3 +81,79 @@ def test_salvage_json_roundtrip(d):
     import json
     assert salvage_json(json.dumps(d)) == d
     assert salvage_json("junk ```json\n" + json.dumps(d) + "\n``` tail") == d
+
+
+@st.composite
+def shingle_corpora(draw):
+    """Random doc → shingle-set maps over a small shingle universe (small
+    universe forces overlap, so high-jaccard pairs actually occur)."""
+    n_docs = draw(st.integers(2, 12))
+    universe = [f"s{i}" for i in range(draw(st.integers(3, 15)))]
+    docs = {}
+    for d in range(n_docs):
+        size = draw(st.integers(1, len(universe)))
+        docs[d] = frozenset(draw(st.permutations(universe))[:size])
+    return docs
+
+
+@given(shingle_corpora(), st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_principle(docs, t):
+    """The lossless-prefix-filter math used by ngram_jaccard_pairs
+    (prefix length = |A| - ceil(t*|A|) + 1 under a rarest-first global
+    order): EVERY pair with jaccard >= t must share a prefix shingle.
+    Mirrors the exact formulas in operators/dedup.py."""
+    import math
+
+    df = {}
+    for s in {x for sh in docs.values() for x in sh}:
+        df[s] = sum(1 for sh in docs.values() if s in sh)
+    order = lambda s: (df[s], s)  # noqa: E731
+
+    def prefix(sh):
+        ranked = sorted(sh, key=order)
+        plen = len(sh) - math.ceil(t * len(sh)) + 1
+        return set(ranked[:plen])
+
+    ids = sorted(docs)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (
+                    f"pair ({i},{j}) j={jac:.3f} missed by prefixes")
+
+
+@given(st.integers(0, 2 ** 64 - 1), st.integers(1, 8),
+       st.data())
+@settings(max_examples=300, deadline=None)
+def test_combination_table_pigeonhole(sig_a, h, data):
+    """Manku combination-table math used by _hamming_combination_pairs:
+    flipping <= h bits of a 64-bit signature always leaves some
+    (n_blocks - h)-block subset identical (recall-exact blocking).
+    Mirrors the block layout (w = bits // b, last block takes the
+    remainder) and the default n_blocks = h + min(h, 3)."""
+    from itertools import combinations
+
+    bits = 64
+    b = h + min(h, 3)
+    flips = data.draw(st.lists(st.integers(0, bits - 1), min_size=0,
+                               max_size=h, unique=True))
+    sig_b = sig_a
+    for f in flips:
+        sig_b ^= 1 << f
+
+    w = bits // b
+    def block(sig, t):
+        start = t * w
+        width = w if t < b - 1 else bits - w * (b - 1)
+        return (sig >> start) & ((1 << width) - 1)
+
+    match = any(
+        all(block(sig_a, i) == block(sig_b, i) for i in combo)
+        for combo in combinations(range(b), b - h)
+    )
+    assert match
