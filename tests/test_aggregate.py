@@ -84,5 +84,15 @@ def test_merged_documents(spark, corpus20):
     # triples attributed to their subject doc
     some = pdf[pdf["n_triples"] > 0].iloc[0]
     for t in some["triples"]:
-        assert some.doc_id in t["subj"] or t["pred"] == "decided_by" or True
+        assert some.doc_id in t["subj"]
     assert (pdf["n_triples"].sum()) > 0
+    # nested reference arrays equal the flat stage output per doc
+    # (round-3 hardening: nested refs were never content-checked)
+    flat_refs = refs.toPandas().set_index("doc_id")
+    for r in pdf.itertuples():
+        fr = flat_refs.loc[r.doc_id]
+        assert sorted(r.celex_verified) == sorted(fr["celex_verified"])
+        assert sorted(r.numac_verified) == sorted(fr["numac_verified"])
+        assert sorted(r.urls) == sorted(fr["urls"])
+    assert pdf["celex_verified"].str.len().sum() > 0, (
+        "corpus plants valid CELEX refs; nested arrays must carry them")

@@ -48,14 +48,38 @@ def test_self_reference_filtered(corpus20):
 
 
 def test_cluster_windows(corpus20, spark):
+    """Window extent AND the HIGH/MEDIUM/LOW region confidence are
+    recomputed independently per cluster from the mention table
+    (round-3 hardening: confidence was previously only membership-
+    checked — the CELEX lesson: a field no test recomputes can be
+    silently wrong forever)."""
     tables, _, _ = corpus20
     m = extract_mentions(tables["documents"])
+    mp = m.toPandas()
     w = cluster_windows(m, tables["documents"]).toPandas()
     assert (w["window"].str.len() <= 1200).all()
-    assert (w["n_triggers"] >= 1).all()
-    assert set(w["confidence"]) <= {"HIGH", "MEDIUM", "LOW"}
-    # every window contains at least part of its cluster's trigger text
     assert len(w) > 0
+
+    clustered = mp[mp["cluster_id"] >= 0]
+    by_cluster = dict(iter(clustered.groupby(["doc_id", "cluster_id"])))
+    assert set(zip(w["doc_id"], w["cluster_id"])) == set(by_cluster)
+    for r in w.itertuples():
+        grp = by_cluster[(r.doc_id, r.cluster_id)]
+        assert r.n_triggers == len(grp)
+        kinds = set(grp["mention_kind"])
+        expected = (
+            "HIGH" if kinds & {"IDENT", "CASE_NUM"}
+            else "MEDIUM" if kinds & {"NAME_DATE", "COURT_DATE"}
+            else "LOW"
+        )
+        assert r.confidence == expected, (r.doc_id, r.cluster_id, kinds)
+        # the window is centered on the cluster: every trigger surface
+        # whose extent fits inside the 1200-char window appears in it
+        c_start, c_end = grp["char_start"].min(), grp["char_end"].max()
+        if c_end - c_start < 1100:  # margin for boundary clamping
+            center_surface = grp.sort_values("char_start").iloc[len(grp) // 2]
+            assert center_surface["surface"] in r.window, (
+                r.doc_id, r.cluster_id)
 
 
 def test_fast_matchers_equal_spec_patterns(registry):
