@@ -258,6 +258,24 @@ def run_pipeline(
     # guarded: a workdir where every stage resumed (or was partially
     # copied) may have no run_metrics yet — return an empty, typed DF
     mp = os.path.join(workdir, "run_metrics")
+    return _finish(spark, workdir, out, mp)
+
+
+def publish_graph(out: dict[str, DataFrame], root: str) -> dict[str, int]:
+    """Atomically publish the materialized graph as VERSIONED tables
+    (sources/versioned.py — the Iceberg-catalog-swap analog): each run
+    commits a new snapshot of ``{root}/nodes`` and ``{root}/edges``;
+    readers time-travel across graph versions while a publish is in
+    flight. Returns {'nodes': version, 'edges': version}."""
+    from ..sources.versioned import write_snapshot
+
+    return {
+        "nodes": write_snapshot(out["s6_nodes"], os.path.join(root, "nodes")),
+        "edges": write_snapshot(out["s6_edges"], os.path.join(root, "edges")),
+    }
+
+
+def _finish(spark, workdir, out, mp):
     out["run_metrics"] = (
         spark.read.parquet(mp)
         if os.path.isdir(mp)

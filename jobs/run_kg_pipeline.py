@@ -24,6 +24,15 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--strict-invariant", action="store_true")
+    ap.add_argument("--input-format", choices=["parquet", "versioned"],
+                    default="parquet",
+                    help="'versioned' reads a sources/versioned.py table "
+                         "(the Iceberg-table analog) at --input-version "
+                         "or its current pointer")
+    ap.add_argument("--input-version", type=int, default=None)
+    ap.add_argument("--publish-versioned", default=None, metavar="ROOT",
+                    help="atomically commit s6 nodes/edges as versioned "
+                         "snapshots under ROOT (time-travel-able graph)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,7 +43,13 @@ def main() -> None:
     from decisions_knowledge_graph_data_spark.plans.pipeline import run_pipeline
     from decisions_knowledge_graph_data_spark.sources.corpus import gen_registry
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "versioned":
+        from decisions_knowledge_graph_data_spark.sources.versioned import (
+            read_snapshot,
+        )
+        docs = read_snapshot(spark, args.input, version=args.input_version)
+    else:
+        docs = spark.read.parquet(args.input)
     reg = gen_registry()
     dicts = {
         "entity_registry": spark.createDataFrame(reg.entity_registry),
@@ -47,13 +62,17 @@ def main() -> None:
         spark, docs, dicts, args.workdir,
         resume=args.resume, strict_invariant=args.strict_invariant,
     )
-    print(json.dumps({
+    summary = {
         "docs": out["s0_ingest"].count(),
         "mentions": out["s1_mentions"].count(),
         "matches": out["s3_matches"].count(),
         "triples": out["s5_triples"].count(),
         "nodes": out["s6_nodes"].count(),
-    }))
+    }
+    if args.publish_versioned:
+        from decisions_knowledge_graph_data_spark.plans.pipeline import publish_graph
+        summary["published_versions"] = publish_graph(out, args.publish_versioned)
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -73,3 +73,34 @@ def test_single_writer_lock(spark, tmp_path):
     # no version behind
     assert write_snapshot(_df(spark, 3, 6), root, mode="append") == 2
     assert read_snapshot(spark, root).count() == 6
+
+
+def test_pipeline_publish_and_versioned_input(spark, corpus20, tmp_path):
+    """End-to-end versioned integration: the source table committed as a
+    versioned snapshot feeds the pipeline; each run's graph publishes as
+    a new atomic version; version 1 stays readable (time travel) after
+    version 2 commits."""
+    from decisions_knowledge_graph_data_spark.plans.pipeline import (
+        publish_graph, run_pipeline,
+    )
+    tables, _, _ = corpus20
+    dicts = {k: tables[k] for k in
+             ("entity_registry", "popular_entities", "alias_map",
+              "known_missing", "family_map")}
+    src_root = str(tmp_path / "src_tbl")
+    assert write_snapshot(tables["documents"], src_root) == 1
+    docs = read_snapshot(spark, src_root)
+
+    wd = str(tmp_path / "wd")
+    out = run_pipeline(spark, docs, dicts, wd, resume=True)
+    graph_root = str(tmp_path / "graph")
+    v1 = publish_graph(out, graph_root)
+    assert v1 == {"nodes": 1, "edges": 1}
+    n_edges_1 = read_snapshot(spark, graph_root + "/edges").count()
+    assert n_edges_1 == out["s6_edges"].count() > 0
+
+    # second publish (e.g. a re-run) → v2; v1 still time-travel readable
+    v2 = publish_graph(out, graph_root)
+    assert v2 == {"nodes": 2, "edges": 2}
+    assert read_snapshot(spark, graph_root + "/edges", version=1).count() == n_edges_1
+    assert read_snapshot(spark, graph_root + "/nodes").count() == out["s6_nodes"].count()
