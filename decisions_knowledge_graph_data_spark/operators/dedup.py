@@ -228,15 +228,20 @@ def _hamming_band_pairs(base: DataFrame, bits: int, max_hamming: int,
     ``n_tables`` bit-bands covering ``bits`` bits, verify exact Hamming
     via bit_count(xor). Pigeonhole-exact recall when
     ``n_tables >= max_hamming + 1``."""
-    w = bits // n_tables
-    bands = []
-    for t in range(n_tables):
-        start = t * w
-        width = w if t < n_tables - 1 else bits - w * (n_tables - 1)
-        mask = (1 << width) - 1
-        bands.append(
-            F.shiftrightunsigned(F.col("_sim"), start).bitwiseAND(F.lit(mask))
-        )
+    if n_tables == 1:
+        # max_hamming == 0: the single "band" is the whole signature (a
+        # 64-bit mask literal would overflow a signed long)
+        bands = [F.col("_sim")]
+    else:
+        w = bits // n_tables
+        bands = []
+        for t in range(n_tables):
+            start = t * w
+            width = w if t < n_tables - 1 else bits - w * (n_tables - 1)
+            mask = (1 << width) - 1
+            bands.append(
+                F.shiftrightunsigned(F.col("_sim"), start).bitwiseAND(F.lit(mask))
+            )
     banded = base.select(
         "_k", "_sim",
         F.posexplode(F.array(*bands)).alias("band_pos", "band_val"),

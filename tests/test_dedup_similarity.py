@@ -231,6 +231,19 @@ def test_portable_simhash_pairs_equal_brute_force(text_df):
     assert got == exact, (len(got), len(exact))
 
 
+def test_simhash_h0_exact_signature_duplicates(text_df):
+    """max_hamming=0 (one whole-signature band — previously overflowed
+    the 64-bit mask literal) finds exactly the identical-signature pairs:
+    the two planted exact duplicates of d00a."""
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in simhash_dup_pairs(text_df, "doc_id", "text", max_hamming=0).collect()
+    }
+    assert {("d00a", "dup1"), ("d00a", "dup2"), ("dup1", "dup2")} <= got
+    for a, b in got:
+        assert a < b
+
+
 def test_simhash_rejects_undersized_banding(text_df):
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_dup_pairs(text_df, "doc_id", "text", max_hamming=8, n_tables=4)
