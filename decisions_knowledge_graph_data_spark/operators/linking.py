@@ -8,10 +8,12 @@ Plan shape (the north-star design, BASELINE.json:6):
       ├─ EXACT_ID fast path: entity-id equality → score 100
       │    (ECLI-equality analog, `mapping/steps.ts:837-858`)
       └─ remainder: MinHash/LSH blocking over character-trigram shingles
-           → Jaccard + edit-distance scorer → sim ≥ 0.15 gate, top-200 per
-           mention (`mapping/steps.ts:645-667` similarity(title) >= 0.15
-           ORDER BY sim DESC LIMIT 200) → temporal cutoff
-           valid_from <= doc_date (`mapping/steps.ts:452-454`) → top-1 with
+           → Jaccard + edit-distance scorer → sim ≥ 0.15 gate
+           (`mapping/steps.ts:645-667` similarity(title) >= 0.15)
+           → per-mention temporal cutoff valid_from < doc_date
+           (`mapping/steps.ts:452-454`) → top-200 by sim DESC
+           (`ORDER BY sim DESC LIMIT 200`, applied AFTER the date
+           predicate, as in the reference candidate query) → top-1 with
            score ≥ 80 (`aggregate-decision-mappings.ts:22, 65-82`)
 
 Scale notes:
@@ -305,18 +307,22 @@ def link_rule_mentions(
         distinct_names, reg, "name_norm", "name_norm", "entity_id", "title_norm",
         top_k=None,  # the array agg below re-caps; skip the rank shuffle
     )
-    # candidates per name → one array row, joined back to mentions;
-    # cutoff + top-1 become per-row array expressions (no fan-out shuffle).
-    # Cap ordering follows the reference's candidate query (`ORDER BY
-    # sim_score DESC LIMIT 200`, mapping/steps.ts:336-338): jaccard DESC,
-    # then score DESC, then entity_id ASC. Known deviation (documented):
-    # the reference applies the per-mention date predicate *inside* the
-    # candidate query before LIMIT 200; here the cap is per distinct
-    # surface form (the date varies per mention), so for a name with >200
-    # gate-passing candidates a date-eligible candidate beyond the top-200
-    # by similarity can be dropped. At the reference's candidate gate
-    # (sim >= 0.15 on titles) real names have far fewer than 200
-    # candidates; raise TOP_K_CANDIDATES if a corpus violates that.
+    # candidates per name → one SORTED array row (jaccard DESC, score
+    # DESC, entity_id ASC — the reference's `ORDER BY sim_score DESC`,
+    # mapping/steps.ts:336-338), joined back to mentions; cutoff + LIMIT
+    # 200 + top-1 become per-row array expressions (no fan-out shuffle).
+    # The LIMIT 200 cap is NOT applied here: the reference evaluates the
+    # per-mention date predicate *inside* the candidate query before
+    # LIMIT 200 (`valid_from < decisionDate ... LIMIT 200`), and the date
+    # varies per mention while this aggregate is per distinct surface
+    # form. Capping here would drop date-eligible candidates beyond the
+    # top-200-by-similarity (a round-3-fixed deviation); instead the
+    # per-mention `best` expression below filters by eligibility FIRST,
+    # then slices the (already sorted) survivors to TOP_K_CANDIDATES —
+    # exact reference order of operations. Memory bound: the uncapped
+    # array holds only gate-passing candidates (trigram jaccard >= 0.15
+    # is selective on titles); the fan-back size gate below already
+    # degrades from broadcast to shuffle join when these rows get big.
     reg_dates = registry.select("entity_id", F.col("valid_from").alias("_vf"))
     by_sim_desc = lambda a, b: (  # noqa: E731
         F.when(a["jaccard"] > b["jaccard"], -1)
@@ -331,12 +337,9 @@ def link_rule_mentions(
         cand.join(F.broadcast(reg_dates), "entity_id")
         .groupBy("name_norm")
         .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("score", "jaccard", "entity_id", "_vf")),
-                    by_sim_desc,
-                ),
-                1, TOP_K_CANDIDATES,
+            F.array_sort(
+                F.collect_list(F.struct("score", "jaccard", "entity_id", "_vf")),
+                by_sim_desc,
             ).alias("_cands")
         )
     )
@@ -347,12 +350,15 @@ def link_rule_mentions(
     # dependencies.py's blocking join; corpus doc 7 plants the
     # valid_from == doc_date boundary fixture that locks this in.
     eligible = lambda c: c["_vf"] < F.col("doc_date")  # noqa: E731
+    # Reference order of operations (mapping/steps.ts:452-454, 336-338):
+    # date predicate first, THEN `LIMIT 200` over the sim-DESC ordering —
+    # filter the sorted array, slice to TOP_K, then pick top-1.
     # top-1 pick: score DESC, jaccard DESC, entity_id ASC — the min-id
     # tie-break every other path uses (family fanout picks min(entity_id);
     # similarity_join's rank window ties ascending on candidate key).
     _cand_t = "struct<score:int,jaccard:double,entity_id:string,_vf:string>"
     best = F.aggregate(
-        F.filter(F.col("_cands"), eligible),
+        F.slice(F.filter(F.col("_cands"), eligible), 1, TOP_K_CANDIDATES),
         F.lit(None).cast(_cand_t),
         lambda acc, x: (
             F.when(acc.isNull(), x)

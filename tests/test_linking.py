@@ -182,3 +182,22 @@ def test_plan_has_broadcast_fast_path(corpus20):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_date_filter_before_limit_200(spark):
+    """Reference order of operations: the date predicate applies inside the
+    candidate query BEFORE ``LIMIT 200`` (mapping/steps.ts:452-454 then
+    336-338). Plant 210 future-dated exact-title decoys that outrank (by
+    entity_id tie-break) one date-eligible exact-title candidate: the
+    eligible one sits past position 200 in the similarity ordering, so a
+    cap-first implementation drops it (the round-3-fixed deviation) while
+    the reference — and this engine — still links it."""
+    title = "unified kernel zzzzz charter 777"
+    decoys = [(f"E{i:04d}", title, "2030-01-01") for i in range(1, 211)]
+    mentions, registry, popular = _mini_frames(
+        spark, decoys + [("E9999", title, "2001-01-01")]
+    )
+    got = link_rule_mentions(mentions, registry, popular).toPandas()
+    assert list(got["entity_id"]) == ["E9999"]
+    assert got["score"].iloc[0] == 100
+    assert got["matched_on"].iloc[0] == "SIMILARITY"
