@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -86,74 +87,164 @@ _FAMILIES: list[tuple[str, str]] = [
 
 # ---------------------------------------------------------------- fast matchers
 # CPython's re only fast-skips on LITERAL PREFIXES; patterns that open with
-# a lookbehind or \b scan every position (~100 ms/2.4 MB vs ~1.5 ms for a
-# literal-anchored pattern — measured). The matchers below produce the
-# EXACT same match sets as the _FAMILIES patterns (kernel-equivalence is
-# locked by the golden exact-set test) but move boundary/¶ checks to
-# Python post-checks on the few actual candidates, anchor mid-pattern
-# literals with str.find, and scan digit runs maximally. ~3.5× kernel
-# speedup at corpus scale.
+# a lookbehind, \b, or a character class scan every position (~100 ms/2.4 MB
+# vs ~1.5 ms for a literal-anchored pattern — measured). The matchers below
+# produce the EXACT same match sets as the _FAMILIES patterns (locked by the
+# raw-finditer equivalence test) via CANDIDATE GENERATION + ANCHORED MATCH:
+#
+#   1. generate a superset of every position where the raw pattern could
+#      start — memchr-fast ``str.find`` on a required literal, or a
+#      vectorized numpy shape mask over the UTF-32 codepoint array (char
+#      offsets == array indices, so accents never skew positions);
+#   2. run the ORIGINAL compiled pattern with ``rx.match(text, pos)`` at
+#      each candidate — unlike ^/\A, lookbehinds and \b evaluate against
+#      the real text before ``pos``, so the raw pattern's ¶ filters and
+#      Unicode word boundaries apply bit-for-bit;
+#   3. emulate ``finditer`` consumption (non-overlapping, leftmost) by
+#      skipping candidates that start before the previous match's end.
+#
+# Round-3 rework of the round-2 post-check matchers: ~2× further kernel
+# speedup, and strictly MORE exact (the old ASCII boundary post-check
+# approximated re's Unicode \b).
 
-_WORD = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+def _codepoints(text: str, cache: dict | None = None) -> "np.ndarray":
+    """UTF-32 view: one uint32 per character, index == char offset.
+    ``cache`` (one dict per document, passed by the kernel) shares the
+    array and derived masks across the three vectorized matchers."""
+    if cache is None:
+        return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    cp = cache.get("cp")
+    if cp is None:
+        cp = cache["cp"] = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        )
+    return cp
 
 
-def _boundary_ok(text: str, s: int, e: int) -> bool:
-    return (s == 0 or text[s - 1] not in _WORD) and (
-        e == len(text) or text[e] not in _WORD
-    )
-
-
-def _not_para(text: str, s: int) -> bool:
-    """The ¶ negative filter: (?<!¶ )(?<!¶) as a post-check."""
-    return not (text[s - 1:s] == "¶" or text[s - 2:s] == "¶ ")
+def _digit_mask(cp: "np.ndarray", cache: dict | None = None) -> "np.ndarray":
+    if cache is None:
+        return (cp >= 48) & (cp <= 57)
+    dig = cache.get("dig")
+    if dig is None:
+        dig = cache["dig"] = (cp >= 48) & (cp <= 57)
+    return dig
 
 
 def _plain(pattern: str):
     rx = re.compile(pattern)
 
-    def scan(text: str):
+    def scan(text: str, cache: dict | None = None):
         for m in rx.finditer(text):
             yield m.start(), m.end()
 
     return scan
 
 
-def _case_matcher(core_pattern: str):
-    """Boundary-class pattern without \\b/lookbehinds + Python checks."""
-    rx = re.compile(core_pattern)
+def _anchored(rx: "re.Pattern", text: str, starts):
+    """finditer-equivalent over a sorted candidate-start superset."""
+    last_end = 0
+    for p in starts:
+        if p < last_end:
+            continue
+        m = rx.match(text, p)
+        if m is not None:
+            yield p, m.end()
+            last_end = m.end()
 
-    def scan(text: str):
-        for m in rx.finditer(text):
-            s, e = m.start(), m.end()
-            if _boundary_ok(text, s, e) and _not_para(text, s):
-                yield s, e
 
-    return scan
-
-
-def _prescreened(pattern: str, literals: tuple[str, ...]):
-    """Run the EXACT original finditer, but only on documents containing
-    one of the pattern's required literal substrings — ``str.find`` is
-    memchr-fast, so documents without the literal (the vast majority for
-    sparse families) cost ~0.5 ms/MB instead of a full backtracking scan.
-    Semantics are identical to the raw pattern by construction."""
+def _literal_candidates(pattern: str, literals: tuple[str, ...],
+                        doc_prescreen: tuple[str, ...] | None = None):
+    """Every raw match starts with one of ``literals`` (by the pattern's
+    own structure) → candidates via str.find, verified by the raw
+    pattern. ``doc_prescreen``: skip whole docs missing a required
+    mid-pattern literal (cheaper than even the find loop)."""
     rx = re.compile(pattern)
 
-    def scan(text: str):
-        if not any(lit in text for lit in literals):
+    def scan(text: str, cache: dict | None = None):
+        if doc_prescreen is not None and not any(
+            lit in text for lit in doc_prescreen
+        ):
             return
-        for m in rx.finditer(text):
-            yield m.start(), m.end()
+        starts: list[int] = []
+        for lit in literals:
+            p = text.find(lit)
+            while p != -1:
+                starts.append(p)
+                p = text.find(lit, p + 1)
+        if len(literals) > 1:
+            starts.sort()
+        yield from _anchored(rx, text, starts)
 
     return scan
 
 
-def _numac_matcher():
+def _biblio_matcher():
+    """Biblio anchors on its most selective fixed shape: the second
+    ``". "`` — preceded by the journal name's last letter (o/g/b/m for
+    Proto/Leg/Arb/Com) and followed by the year's first digit. From each
+    anchor the match start is anchor − (len(name) + 2 + len(abbrev)) for
+    name ∈ {Proto, Leg, Arb, Com} × abbrev ∈ {Rev, Bull, Ann, J} — a
+    closed set of five back-offsets; the raw pattern verifies each."""
+    rx = re.compile(RE_BIBLIO)
+    back_offsets = sorted({
+        nl + 2 + al for nl in (5, 3) for al in (3, 4, 1)
+    })  # {6, 8, 9, 10, 11}
+
+    def scan(text: str, cache: dict | None = None):
+        n = len(text)
+        if n < 12:
+            return
+        cp = _codepoints(text, cache)
+        dig = _digit_mask(cp, cache)
+        last = cp[:n - 3]
+        anchor = (
+            (cp[1:n - 2] == 46) & (cp[2:n - 1] == 32) & dig[3:]
+            & ((last == 111) | (last == 103) | (last == 98) | (last == 109))
+        )
+        hits = np.nonzero(anchor)[0]
+        if not hits.size:
+            return
+        starts = sorted({
+            p + 1 - off for p in hits.tolist() for off in back_offsets
+            if p + 1 - off >= 0
+        })
+        yield from _anchored(rx, text, starts)
+
+    return scan
+
+
+def _case_shape_matcher(pattern: str, punct: str):
+    """Dotted/spaced case numbers are FIXED-SHAPE (len 11):
+    ``L ? d d ? d d d d ? L`` with ``?`` = the separator. Candidates =
+    positions where the separator sits at +1/+4/+9 and digits at +2/+5 —
+    five shifted boolean ANDs on the codepoint array; the raw pattern
+    (incl. the ¶ lookbehinds and \\b) then verifies each candidate."""
+    rx = re.compile(pattern)
+    pc = ord(punct)
+
+    def scan(text: str, cache: dict | None = None):
+        n = len(text)
+        if n < 11:
+            return
+        cp = _codepoints(text, cache)
+        dig = _digit_mask(cp, cache)
+        is_p = cp == pc
+        cand = (
+            is_p[1:n - 9] & is_p[4:n - 6] & is_p[9:n - 1]
+            & dig[2:n - 8] & dig[5:n - 5]
+        )
+        yield from _anchored(rx, text, np.nonzero(cand)[0].tolist())
+
+    return scan
+
+
+def _numac_re_matcher():
     """Maximal digit runs (the engine skips whole runs) filtered to
-    exactly 10 — equivalent to (?<!\\d)\\d{10}(?!\\d), ~2× faster."""
+    exactly 10 — equivalent to (?<!\\d)\\d{10}(?!\\d)."""
     rx = re.compile(r"\d{10,}")
 
-    def scan(text: str):
+    def scan(text: str, cache: dict | None = None):
         for m in rx.finditer(text):
             if m.end() - m.start() == 10:
                 yield m.start(), m.end()
@@ -161,21 +252,53 @@ def _numac_matcher():
     return scan
 
 
+def _numac_matcher():
+    """Vectorized maximal-ASCII-digit runs of length exactly 10. ``\\d``
+    also matches non-ASCII Unicode decimal digits, so any document
+    containing one (``str.isdigit`` over the rare >0x7F codepoints — a
+    superset of re's Nd category, i.e. the fallback can only over-fire)
+    falls back to the regex-run path for exact parity."""
+    fallback = _numac_re_matcher()
+
+    def scan(text: str, cache: dict | None = None):
+        if not text:
+            return
+        cp = _codepoints(text, cache)
+        hi = cp[cp > 127]
+        if hi.size and any(chr(c).isdigit() for c in np.unique(hi).tolist()):
+            yield from fallback(text)
+            return
+        dig = _digit_mask(cp, cache)
+        edges = np.diff(dig.astype(np.int8))
+        starts = np.nonzero(edges == 1)[0] + 1
+        ends = np.nonzero(edges == -1)[0] + 1
+        if dig[0]:
+            starts = np.concatenate(([0], starts))
+        if dig[-1]:
+            ends = np.concatenate((ends, [dig.size]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s == 10:
+                yield s, e
+
+    return scan
+
+
 def _build_matchers():
     return [
-        ("IDENT", _plain(RE_IDENT)),
-        ("NAME_DATE", _plain(RE_NAME_DATE)),
-        ("RULE", _plain(RE_RULE)),
-        ("FAMILY", _plain(RE_FAMILY)),
-        ("PARTY", _plain(RE_PARTY)),
-        ("CASE_NUM", _case_matcher(r"[CDFGHPS]\.\d{2}\.\d{4}\.[NFD]")),
-        ("CASE_NUM", _case_matcher(r"[CDFGHPS] \d{2} \d{4} [NFD]")),
-        ("CASE_NUM", _case_matcher(r"C-\d{1,4}/\d{2}")),
-        ("COURT_DATE", _prescreened(RE_COURT_DATE, (" dated ",))),
-        ("BIBLIO", _prescreened(RE_BIBLIO, ("Rev. ", "Bull. ", "Ann. ", "J. "))),
-        ("REF", _plain(RE_CELEX)),
+        ("IDENT", _literal_candidates(RE_IDENT, ("DOC:",))),
+        ("NAME_DATE", _literal_candidates(RE_NAME_DATE, ("Reviewed by ",))),
+        ("RULE", _literal_candidates(RE_RULE, ("rule ",))),
+        ("FAMILY", _literal_candidates(RE_FAMILY, ("rule ",))),
+        ("PARTY", _literal_candidates(RE_PARTY, ("PARTIES: ",))),
+        ("CASE_NUM", _case_shape_matcher(RE_CASE_DOT, ".")),
+        ("CASE_NUM", _case_shape_matcher(RE_CASE_SP, " ")),
+        ("CASE_NUM", _literal_candidates(RE_CASE_EU, ("C-",))),
+        ("COURT_DATE", _literal_candidates(
+            RE_COURT_DATE, ("per ",), doc_prescreen=(" dated ",))),
+        ("BIBLIO", _biblio_matcher()),
+        ("REF", _literal_candidates(RE_CELEX, ("CELEX:",))),
         ("REF", _numac_matcher()),
-        ("REF", _plain(RE_URL)),
+        ("REF", _literal_candidates(RE_URL, ("https://",))),
     ]
 
 MENTION_SCHEMA = (
@@ -202,8 +325,9 @@ def _scan_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if content is None or content == "":
                 continue
             hits: list[dict] = []
+            doc_cache: dict = {}  # shared codepoint/digit masks per doc
             for kind, scan in matchers:
-                for s, e in scan(content):
+                for s, e in scan(content, doc_cache):
                     surface = content[s:e]
                     hits.append({
                         "mention_kind": kind, "surface": surface,
