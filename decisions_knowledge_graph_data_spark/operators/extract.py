@@ -10,9 +10,10 @@ Parity targets:
     WINDOW_SIZE at :481);
   - region confidence HIGH/MEDIUM/LOW (`regex-extractor.ts:505-553`).
 
-Execution: one ``mapInPandas`` kernel (Arrow-batched; regexes compiled once
-per partition, C-level ``finditer`` over each document — no per-row Python
-UDF). Clustering is per-document, so it never shuffles: at 100 TB the
+Execution: one ``mapInPandas`` kernel (Arrow-batched; per family a cheap
+candidate-position pass — memchr ``str.find`` or vectorized numpy shape
+masks — then the raw compiled pattern anchored at each candidate; no
+per-row Python UDF). Clustering is per-document, so it never shuffles: at 100 TB the
 kernel is embarrassingly parallel over input splits. Cluster windows are
 pure column expressions (JVM-side ``substring``) over a per-(doc, cluster)
 aggregate.
