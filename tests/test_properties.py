@@ -157,3 +157,43 @@ def test_combination_table_pigeonhole(sig_a, h, data):
         for combo in combinations(range(b), b - h)
     )
     assert match
+
+
+_MATCHER_TOKENS = [
+    "DOC:12:3456789", "DOC:12:345678", "C.12.3456.N", "D.12.3456.D",
+    "C 12 3456 F", "S 11 2222 D", "C-1/23", "C-9999/99", "¶", "¶ ",
+    "1234567890", "12345678901", "123456789", "٣٤٥٦٧٨٩٠١٢", "١٢٣",
+    "Rev. Proto. 2019, 12", "Bull. Arb. 1999, 1", "J. Com. 2001, 9",
+    "Ann. Leg. 2000, 1234", "Rev. Proto.", "o. 2",
+    "per X dated 2020-01-01", "per ", " dated ", "dated 2020-01-01",
+    "Reviewed by someone on 3 mars 2021", "rule 12 of family-02",
+    "rule 3 of unified charter 123", "rule 99 of E0042",
+    "PARTIES: Alpha Corp vs Beta NV", "CELEX:32019L0001",
+    "https://lex.example.eu/a-b", "é", "û", " ", ".", "-", "/", ",",
+    "x", "N", "F", "D", "C", "2020", "..", "C.", ".N", "per",
+]
+
+
+@given(st.lists(st.sampled_from(_MATCHER_TOKENS), min_size=0, max_size=40))
+@settings(max_examples=400, deadline=None)
+def test_fast_matchers_equal_raw_patterns_property(tokens):
+    """Property form of the matcher-equivalence contract: on text composed
+    of adversarial fragments (trigger prefixes, ¶ filters, Unicode digits,
+    overlap-inducing case-number tails), every fast matcher yields exactly
+    the raw _FAMILIES finditer match set — with and without the shared
+    per-doc cache."""
+    import re as _re
+    from decisions_knowledge_graph_data_spark.operators.extract import (
+        _FAMILIES, _build_matchers,
+    )
+
+    text = "".join(tokens)
+    compiled = [(k, _re.compile(p)) for k, p in _FAMILIES]
+    matchers = _build_matchers()
+    ref = sorted((k, m.start(), m.end())
+                 for k, rx in compiled for m in rx.finditer(text))
+    bare = sorted((k, s, e) for k, scan in matchers for s, e in scan(text))
+    cache = {}
+    shared = sorted((k, s, e)
+                    for k, scan in matchers for s, e in scan(text, cache))
+    assert ref == bare == shared, text[:120]
