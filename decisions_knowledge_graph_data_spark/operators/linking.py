@@ -323,6 +323,13 @@ def link_rule_mentions(
     # array holds only gate-passing candidates (trigram jaccard >= 0.15
     # is selective on titles); the fan-back size gate below already
     # degrades from broadcast to shuffle join when these rows get big.
+    # If a corpus ever produces huge per-name candidate sets, there is
+    # an EXACT prune that preserves these semantics: a candidate at
+    # sim-rank p can appear in some mention's post-filter top-200 only
+    # if fewer than 200 earlier-ranked candidates have valid_from <=
+    # its own (the most favorable doc_date is just past the candidate's
+    # valid_from) — a running-rank filter computable before the array
+    # agg, bounding kept rows to ~200 + the date-inversion tail.
     reg_dates = registry.select("entity_id", F.col("valid_from").alias("_vf"))
     by_sim_desc = lambda a, b: (  # noqa: E731
         F.when(a["jaccard"] > b["jaccard"], -1)
