@@ -1019,6 +1019,68 @@ def q_citation_snippets(spark, sf):
     )
 
 
+def q_graph_pagerank(spark, sf):
+    """Fixed-iteration damped PageRank (3 iters, d=0.85) over the
+    customer→order→supplier edge chain — the engine's second iterative
+    graph kernel as an ORACLE-CHECKED query (the first, connected
+    components, powers canonicalization and is locked by pytest
+    goldens; iterative algorithms are usually rows-only, this one is
+    SQL-expressible because the iteration count is fixed). The DuckDB
+    twin runs the identical recurrence as chained CTEs. Float parity:
+    identical IEEE op tree both engines ((1.0-0.85) + 0.85*sum),
+    round(4), deterministic (pr DESC, node) top-100."""
+    from decisions_knowledge_graph_data_spark.operators.graph import pagerank
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(o.unionByName(li), iterations=3, damping=0.85)
+    return (
+        pr.select("node", F.round("pr", 4).alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(100)
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """The same fixed-iteration recurrence as chained CTEs. Constants are
+    written as (1.0 - 0.85) / 0.85 so DuckDB builds the exact IEEE
+    doubles the Spark side uses (F.lit(1.0 - damping) / F.lit(damping))."""
+    ctes = [
+        """edges AS (
+            SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                   'O' || CAST(o_orderkey AS VARCHAR) AS dst
+            FROM orders
+            UNION ALL
+            SELECT 'O' || CAST(l_orderkey AS VARCHAR),
+                   'S' || CAST(l_suppkey AS VARCHAR)
+            FROM lineitem)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""p{i} AS (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                   + CAST(0.85 AS DOUBLE) * COALESCE(c.c, CAST(0 AS DOUBLE)) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr / deg.d) AS c
+                FROM edges e
+                JOIN p{i - 1} p ON p.node = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) c ON c.node = n.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(pr, 4) AS pr FROM p{iterations}"
+        + "\nORDER BY pr DESC, node LIMIT 100"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver records exactly the FIRST 50 dict
     # entries. Round-3 curation (round-2 VERDICT items 1-3): the first 50
@@ -1103,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_ellipsis": q_truncate_ellipsis,
         "score_histogram": q_score_histogram,
         "error_taxonomy": q_error_taxonomy,
+        # round-3 addition: the second iterative graph kernel (PageRank),
+        # oracle-checked via chained-CTE recurrence (CC, the first, is
+        # pytest-golden-locked inside canonicalization)
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -1821,4 +1887,5 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "graph_pagerank": _pagerank_oracle_sql(3),
     }
