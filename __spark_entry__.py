@@ -1046,6 +1046,62 @@ def q_graph_pagerank(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """Generic as-of join (pandas merge_asof semantics, backward
+    inclusive) as ONE union-sort shuffle — the operator behind the
+    reference's temporal-cutoff candidate pick (latest valid_from <=/<
+    doc_date, mapping/steps.ts:452-454), generalized. Latest purchase
+    at-or-before each click per user; ties on ts broken by largest
+    event_id (determinism is part of the contract). DuckDB oracle is
+    the quadratic theta-join + row_number formulation."""
+    from decisions_knowledge_graph_data_spark.operators.temporal import asof_join
+    ev = _t(spark, sf, "events")
+    ts_s = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ(UTC) → s
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_s.alias("ts_s")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_s.alias("ts_s"), "value"
+    )
+    j = asof_join(
+        clicks, buys, on="user_id", probe_ts="ts_s", build_ts="ts_s",
+        payload_cols=["event_id", "value"], build_seq="event_id",
+    )
+    return j.filter(F.col("asof_ts").isNotNull()).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+def q_range_join(spark, sf):
+    """Point-in-interval range join as a bucketed equi-join (the classic
+    range-join optimization — no cartesian/theta join in the plan,
+    locked by test_temporal.py): lineitems shipped within 7 days of ANY
+    order's date (deliberately not keyed — a pure range predicate),
+    aggregated per order for bounded output. DuckDB oracle is the
+    direct inequality join."""
+    from decisions_knowledge_graph_data_spark.operators.temporal import (
+        range_join_buckets,
+    )
+    day = 86400.0
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("w_start"),
+        (F.col("o_orderdate").cast("timestamp").cast("double") + 7 * day).alias("w_end"),
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", F.col("l_shipdate").cast("timestamp").cast("double").alias("ship")
+    )
+    pairs = range_join_buckets(li, "ship", o, "w_start", "w_end",
+                               bucket_width=7 * day)
+    return pairs.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_in_window"),
+        F.min("l_partkey").alias("min_partkey"),
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 3) -> str:
     """The same fixed-iteration recurrence as chained CTEs. Constants are
     written as (1.0 - 0.85) / 0.85 so DuckDB builds the exact IEEE
@@ -1165,10 +1221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_ellipsis": q_truncate_ellipsis,
         "score_histogram": q_score_histogram,
         "error_taxonomy": q_error_taxonomy,
-        # round-3 addition: the second iterative graph kernel (PageRank),
-        # oracle-checked via chained-CTE recurrence (CC, the first, is
-        # pytest-golden-locked inside canonicalization)
+        # round-3 additions: the second iterative graph kernel (PageRank,
+        # oracle-checked via chained-CTE recurrence; CC, the first, is
+        # pytest-golden-locked inside canonicalization) and the generic
+        # temporal joins (as-of, bucketed range) the linking cutoff
+        # specializes
         "graph_pagerank": q_graph_pagerank,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1888,4 +1948,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "graph_pagerank": _pagerank_oracle_sql(3),
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 b AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 j AS (SELECT p.event_id AS click_id, p.user_id,
+                              b.event_id AS purchase_id,
+                              b.value AS purchase_value,
+                              row_number() OVER (
+                                  PARTITION BY p.event_id
+                                  ORDER BY b.ts DESC, b.event_id DESC
+                              ) AS rn
+                       FROM p JOIN b ON b.user_id = p.user_id
+                                    AND b.ts <= p.ts)
+            SELECT click_id, user_id, purchase_id, purchase_value
+            FROM j WHERE rn = 1
+        """,
+        "range_join": """
+            SELECT o_orderkey, count(*) AS n_in_window,
+                   min(l_partkey) AS min_partkey
+            FROM orders JOIN lineitem
+              ON l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+            GROUP BY o_orderkey
+        """,
     }

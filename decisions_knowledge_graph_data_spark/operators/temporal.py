@@ -1,0 +1,131 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+The reference's temporal-cutoff candidate selection (latest registry
+entry with ``valid_from < doc_date`` per mention, mapping/steps.ts:
+452-454) is an as-of join specialized to linking; this module provides
+the generic operators, Spark-first:
+
+``asof_join``
+    pandas ``merge_asof`` semantics (backward, inclusive) as ONE
+    shuffle: union the tagged probe and build rows, sort within each
+    key by (ts, side, seq), and carry the last build payload forward
+    with ``last(ignorenulls)`` over a running window. No range
+    explosion, no per-key driver loop; skewed keys cost what a
+    sort-merge join on the same key would. A naive theta-join
+    (``b.ts <= p.ts`` + top-1) shuffles |P|×|B| candidate pairs per
+    key; this shuffles |P|+|B| rows total.
+
+``range_join_buckets``
+    point-in-interval join as a bucketed equi-join (the classic range-
+    join optimization): intervals explode to the buckets they cover,
+    points map to their single bucket, the equi-join on bucket bounds
+    the candidate set, and the exact predicate filters afterwards.
+    Output is exact (each point lives in exactly one bucket, so no
+    dedup is needed). ``bucket_width`` trades fanout (interval copies
+    ≈ interval_len/width + 1) against candidate precision — set it
+    near the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    builds: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload_cols: list[str],
+    build_seq: str,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """For each probe row, attach the latest build row of the same ``on``
+    key with ``build_ts <= probe_ts`` (ties on build_ts broken by the
+    largest ``build_seq`` — determinism is a contract, not an accident).
+    Returns all probe columns plus ``asof_<payload>`` columns and
+    ``asof_ts`` (NULL when no eligible build exists). ``tolerance``
+    (seconds) optionally voids matches older than ``probe_ts - tol``.
+    """
+    b_struct = F.struct(
+        F.col(build_ts).cast("double").alias("_bts"),
+        F.col(build_seq).alias("_bseq"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    b_rows = builds.select(
+        F.col(on).alias("_k"),
+        F.col(build_ts).cast("double").alias("_ts"),
+        F.lit(0).alias("_side"),
+        b_struct.alias("_b"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{t}" for c, t in probes.dtypes) + ">"
+        ).alias("_p"),
+    )
+    p_rows = probes.select(
+        F.col(on).alias("_k"),
+        F.col(probe_ts).cast("double").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(b_rows.schema["_b"].dataType.simpleString()).alias("_b"),
+        F.struct(*probes.columns).alias("_p"),
+    )
+    # builds (side 0) sort before probes (side 1) at equal ts → inclusive
+    # <=; among same-ts builds ascending _bseq puts the largest last, and
+    # last(ignorenulls) carries exactly that one forward.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_b._bseq").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        b_rows.unionByName(p_rows)
+        .withColumn("_m", F.last("_b", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_m",
+            F.when(
+                F.col("_ts") - F.col("_m._bts") <= F.lit(float(tolerance)),
+                F.col("_m"),
+            ),
+        )
+    out = [F.col(f"_p.{c}").alias(c) for c in probes.columns]
+    out.append(F.col("_m._bts").alias("asof_ts"))
+    out.extend(F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload_cols)
+    return matched.select(*out)
+
+
+def range_join_buckets(
+    probes: DataFrame,
+    point_col: str,
+    builds: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """All (probe, build) pairs with ``start <= point <= end`` — as a
+    bucketed equi-join instead of a cartesian/theta join. Numeric (or
+    pre-cast-to-double) columns; exact and duplicate-free by
+    construction. Column-name collisions between the two sides must be
+    resolved by the caller (standard join hygiene)."""
+    w = float(bucket_width)
+    b = builds.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    p = probes.withColumn("_bkt", F.floor(F.col(point_col) / w).cast("long"))
+    return (
+        p.join(b, "_bkt")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )

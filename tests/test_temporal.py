@@ -1,0 +1,120 @@
+"""As-of join and bucketed range join vs brute-force references."""
+
+from pyspark.sql import functions as F
+
+from decisions_knowledge_graph_data_spark.operators.temporal import (
+    asof_join,
+    range_join_buckets,
+)
+
+# (event_id, user, ts) probes; (event_id, user, ts, value) builds.
+PROBES = [
+    (101, "u1", 10.0), (102, "u1", 20.0), (103, "u1", 5.0),
+    (104, "u2", 15.0),            # u2 has no build at all
+    (105, "u3", 30.0),            # probe ts == build ts (inclusive)
+    (106, "u3", 29.0),            # just before the tied builds
+]
+BUILDS = [
+    (1, "u1", 8.0, 1.5), (2, "u1", 10.0, 2.5),   # build at probe ts: matches
+    (3, "u1", 12.0, 3.5),
+    (4, "u3", 30.0, 4.5), (5, "u3", 30.0, 5.5),  # tie on ts → max event_id
+]
+
+
+def _expected(tolerance=None):
+    out = {}
+    for pid, pu, pts in PROBES:
+        best = None
+        for bid, bu, bts, bv in BUILDS:
+            if bu != pu or bts > pts:
+                continue
+            if tolerance is not None and pts - bts > tolerance:
+                continue
+            if best is None or (bts, bid) > (best[1], best[0]):
+                best = (bid, bts, bv)
+        out[pid] = best
+    return out
+
+
+def _frames(spark):
+    p = spark.createDataFrame(PROBES, "event_id int, user_id string, ts double")
+    b = spark.createDataFrame(
+        BUILDS, "event_id int, user_id string, ts double, value double"
+    )
+    return p, b
+
+
+def _run(spark, **kw):
+    p, b = _frames(spark)
+    got = asof_join(
+        p, b, on="user_id", probe_ts="ts", build_ts="ts",
+        payload_cols=["event_id", "value"], build_seq="event_id", **kw
+    ).collect()
+    return {
+        r["event_id"]: (
+            None if r["asof_ts"] is None
+            else (r["asof_event_id"], r["asof_ts"], r["asof_value"])
+        )
+        for r in got
+    }
+
+
+def test_asof_join_backward_inclusive_with_ties(spark):
+    assert _run(spark) == _expected()
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance voids matches older than probe_ts - tol: probe 102
+    (ts 20) keeps build 2 (ts 10) only when tol >= 10."""
+    assert _run(spark, tolerance=10.0) == _expected(tolerance=10.0)
+    tight = _run(spark, tolerance=1.0)
+    assert tight == _expected(tolerance=1.0)
+    assert tight[102] is None and tight[101] is not None
+
+
+def test_asof_join_single_shuffle_no_theta_join(spark):
+    """The whole point: one union-sort, not a per-key theta join."""
+    p, b = _frames(spark)
+    plan = asof_join(
+        p, b, on="user_id", probe_ts="ts", build_ts="ts",
+        payload_cols=["value"], build_seq="event_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+INTERVALS = [  # (okey, start, end)
+    (1, 0.0, 10.0), (2, 5.0, 5.0),      # degenerate single-point interval
+    (3, 9.0, 30.0),                     # spans multiple 10-wide buckets
+    (4, 100.0, 110.0),                  # matches nothing
+]
+POINTS = [  # (pkey, pt)
+    (10, 0.0), (11, 5.0), (12, 10.0), (13, 9.5), (14, 30.0), (15, 31.0),
+]
+
+
+def test_range_join_buckets_exact_vs_bruteforce(spark):
+    b = spark.createDataFrame(INTERVALS, "okey int, s double, e double")
+    p = spark.createDataFrame(POINTS, "pkey int, pt double")
+    got = {
+        (r["pkey"], r["okey"])
+        for r in range_join_buckets(p, "pt", b, "s", "e", 10.0).collect()
+    }
+    exp = {
+        (pk, ok)
+        for pk, pt in POINTS
+        for ok, s, e in INTERVALS
+        if s <= pt <= e
+    }
+    assert got == exp
+    assert (10, 1) in exp and (11, 2) in exp and (14, 3) in exp
+    assert all(ok != 4 for _, ok in exp)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    b = spark.createDataFrame(INTERVALS, "okey int, s double, e double")
+    p = spark.createDataFrame(POINTS, "pkey int, pt double")
+    plan = range_join_buckets(
+        p, "pt", b, "s", "e", 10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
