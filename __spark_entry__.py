@@ -1169,9 +1169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_full_probe": q_ivf_topk_full_probe,
         "embedding_topk": q_embedding_topk,
         "exact_dedup": q_exact_dedup,
+        # ---- iterative-graph + temporal-join families (round-3 ops)
+        "graph_pagerank": q_graph_pagerank,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # ---- operator-family representatives (all oracle-green)
         "translate_cache": q_translate_cache,
-        "filename_sanitize": q_filename_sanitize,
         "coerce_cast": q_coerce_cast,
         "keyword_validation": q_keyword_validation,
         "teaching_pivot": q_teaching_pivot,
@@ -1184,7 +1187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "block_numbering": q_block_numbering,
         "snippet_extract": q_snippet_extract,
-        "union_families": q_union_families,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "top1_per_group": q_top1_per_group,
@@ -1198,7 +1200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_join_date": q_blocking_join_date,
         "regex_scan": q_regex_scan,
         "token_counts": q_token_counts,
-        "language_id": q_language_id,
         "quality_score": q_quality_score,
         "length_buckets": q_length_buckets,
         "events_windowed": q_events_windowed,
@@ -1221,14 +1222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_ellipsis": q_truncate_ellipsis,
         "score_histogram": q_score_histogram,
         "error_taxonomy": q_error_taxonomy,
-        # round-3 additions: the second iterative graph kernel (PageRank,
-        # oracle-checked via chained-CTE recurrence; CC, the first, is
-        # pytest-golden-locked inside canonicalization) and the generic
-        # temporal joins (as-of, bucketed range) the linking cutoff
-        # specializes
-        "graph_pagerank": q_graph_pagerank,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        # displaced to make room for the round-3 families above — each a
+        # family twin with a green row on a prior driver board (r1/r2)
+        "language_id": q_language_id,        # textstats: token_counts, quality_score
+        "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
+        "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
     }
 
 

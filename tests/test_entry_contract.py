@@ -49,8 +49,11 @@ def test_driver_window_composition():
         "simhash_hamming_check", "minhash_dups", "simhash_pairs",
         "ngram_jaccard", "embedding_dup_lsh", "ivf_topk",
         "ivf_topk_full_probe", "embedding_topk", "exact_dedup",
-        # text-analysis family
-        "token_counts", "language_id", "quality_score",
+        # iterative-graph + temporal-join families (round-3 ops)
+        "graph_pagerank", "asof_join", "range_join",
+        # text-analysis family (language_id moved to the tail in round 3:
+        # a textstats twin with green r1/r2 driver rows)
+        "token_counts", "quality_score",
         # streaming family
         "events_windowed",
     }
