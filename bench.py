@@ -138,10 +138,18 @@ def main() -> None:
     # once, untimed — the same setup/leg protocol as
     # tools/bench_scaling.py. Small scan splits so the 32-thread
     # extraction kernel isn't starved by 128 MB bin-packing of a
-    # ~160 MB corpus.
-    docs_path = f"/tmp/kg_bench_docs_{KG_DOCS}.parquet"
+    # ~160 MB corpus. The cache path is keyed by doc count AND a hash
+    # of the generator source, so a corpus.py change (or a stale /tmp
+    # leftover from an older build) regenerates instead of silently
+    # benchmarking old data.
+    import hashlib
+    from decisions_knowledge_graph_data_spark.sources import corpus as _corpus_mod
+    from decisions_knowledge_graph_data_spark.sources.corpus import documents_df
+    gen_fp = hashlib.sha256(
+        open(_corpus_mod.__file__, "rb").read()
+    ).hexdigest()[:12]
+    docs_path = f"/tmp/kg_bench_docs_{KG_DOCS}_{gen_fp}.parquet"
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
-        from decisions_knowledge_graph_data_spark.sources.corpus import documents_df
         documents_df(spark, KG_DOCS).write.mode("overwrite").parquet(docs_path)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))

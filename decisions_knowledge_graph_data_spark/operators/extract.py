@@ -169,10 +169,19 @@ def _literal_candidates(pattern: str, literals: tuple[str, ...],
             return
         starts: list[int] = []
         for lit in literals:
-            p = text.find(lit)
-            while p != -1:
-                starts.append(p)
-                p = text.find(lit, p + 1)
+            # per-doc cache shares the find pass between matchers that
+            # anchor on the same literal (RULE and FAMILY both scan
+            # "rule "); extend() copies, so the cached list stays clean
+            pos = None if cache is None else cache.get(("lit", lit))
+            if pos is None:
+                pos = []
+                p = text.find(lit)
+                while p != -1:
+                    pos.append(p)
+                    p = text.find(lit, p + 1)
+                if cache is not None:
+                    cache[("lit", lit)] = pos
+            starts.extend(pos)
         if len(literals) > 1:
             starts.sort()
         yield from _anchored(rx, text, starts)

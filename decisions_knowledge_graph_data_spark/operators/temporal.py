@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join(
@@ -49,33 +50,47 @@ def asof_join(
     ``asof_ts`` (NULL when no eligible build exists). ``tolerance``
     (seconds) optionally voids matches older than ``probe_ts - tol``.
     """
+    def _qc(name: str) -> Column:
+        # top-level column by exact name — backticks keep dots/spaces in
+        # caller-supplied names from being parsed as nested-field paths
+        return F.col(f"`{name}`")
+
     b_struct = F.struct(
-        F.col(build_ts).cast("double").alias("_bts"),
-        F.col(build_seq).alias("_bseq"),
-        *[F.col(c).alias(c) for c in payload_cols],
+        _qc(build_ts).cast("double").alias("_bts"),
+        _qc(build_seq).alias("_bseq"),
+        *[_qc(c).alias(c) for c in payload_cols],
     )
-    b_rows = builds.select(
-        F.col(on).alias("_k"),
-        F.col(build_ts).cast("double").alias("_ts"),
+    # SQL join semantics: a NULL key or NULL ts on the build side can
+    # never satisfy `b.key = p.key AND b.ts <= p.ts` — drop those rows
+    # up front (otherwise a NULL-ts build would sort NULLS FIRST and be
+    # carried forward as a phantom match). NULL-key/ts probes need no
+    # filter: they sort before every build in their partition (or group
+    # with no surviving builds) and come out unmatched.
+    b_rows = builds.filter(
+        _qc(on).isNotNull() & _qc(build_ts).isNotNull()
+    ).select(
+        _qc(on).alias("_k"),
+        _qc(build_ts).cast("double").alias("_ts"),
         F.lit(0).alias("_side"),
         b_struct.alias("_b"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"`{c}`:{t}" for c, t in probes.dtypes) + ">"
-        ).alias("_p"),
+        F.lit(None).cast(StructType(probes.schema.fields)).alias("_p"),
     )
     p_rows = probes.select(
-        F.col(on).alias("_k"),
-        F.col(probe_ts).cast("double").alias("_ts"),
+        _qc(on).alias("_k"),
+        _qc(probe_ts).cast("double").alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(b_rows.schema["_b"].dataType.simpleString()).alias("_b"),
-        F.struct(*probes.columns).alias("_p"),
+        F.lit(None).cast(b_rows.schema["_b"].dataType).alias("_b"),
+        F.struct(*[_qc(c).alias(c) for c in probes.columns]).alias("_p"),
     )
     # builds (side 0) sort before probes (side 1) at equal ts → inclusive
     # <=; among same-ts builds ascending _bseq puts the largest last, and
     # last(ignorenulls) carries exactly that one forward.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side"), F.col("_b._bseq").asc_nulls_first())
+        .orderBy(
+            F.col("_ts"), F.col("_side"),
+            F.col("_b").getField("_bseq").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -87,13 +102,15 @@ def asof_join(
         matched = matched.withColumn(
             "_m",
             F.when(
-                F.col("_ts") - F.col("_m._bts") <= F.lit(float(tolerance)),
+                F.col("_ts") - F.col("_m").getField("_bts")
+                <= F.lit(float(tolerance)),
                 F.col("_m"),
             ),
         )
-    out = [F.col(f"_p.{c}").alias(c) for c in probes.columns]
-    out.append(F.col("_m._bts").alias("asof_ts"))
-    out.extend(F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload_cols)
+    p_col, m_col = F.col("_p"), F.col("_m")
+    out = [p_col.getField(c).alias(c) for c in probes.columns]
+    out.append(m_col.getField("_bts").alias("asof_ts"))
+    out.extend(m_col.getField(c).alias(f"asof_{c}") for c in payload_cols)
     return matched.select(*out)
 
 

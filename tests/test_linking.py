@@ -201,3 +201,56 @@ def test_date_filter_before_limit_200(spark):
     assert list(got["entity_id"]) == ["E9999"]
     assert got["score"].iloc[0] == 100
     assert got["matched_on"].iloc[0] == "SIMILARITY"
+
+
+def test_per_vf_prune_keeps_semantics(spark):
+    """The per-(name, valid_from) top-200 prune is exact: 300 same-vf
+    FUTURE-dated decoys collapse to 200 stored candidates, but since
+    ≥200 same-vf candidates outranking another are eligible whenever it
+    is, no mention's post-filter top-200 changes — the lone eligible
+    candidate still links, and among 300 same-vf ELIGIBLE candidates the
+    min-entity-id winner is unchanged."""
+    title = "unified kernel zzzzz charter 777"
+    # case 1: 300 ineligible same-vf decoys + 1 eligible → eligible wins
+    rows = [(f"E{i:04d}", title, "2030-01-01") for i in range(1, 301)]
+    mentions, registry, popular = _mini_frames(
+        spark, rows + [("E9999", title, "2001-01-01")]
+    )
+    got = link_rule_mentions(mentions, registry, popular).toPandas()
+    assert list(got["entity_id"]) == ["E9999"]
+    # case 2: 300 eligible same-vf candidates → min id (inside the kept
+    # 200 by the entity_id tie-break) wins
+    rows = [(f"E{i:04d}", title, "2001-01-01") for i in range(1, 301)]
+    mentions, registry, popular = _mini_frames(spark, rows)
+    got = link_rule_mentions(mentions, registry, popular).toPandas()
+    assert list(got["entity_id"]) == ["E0001"]
+
+
+def test_fanback_pairs_gate(spark, corpus20, monkeypatch):
+    """Dropping FANBACK_BROADCAST_PAIRS to 1 must force the shuffle
+    fan-back (total candidate pairs now bound broadcast bytes, not just
+    row count) — with identical results."""
+    import pandas as pd
+    import decisions_knowledge_graph_data_spark.operators.linking as L
+    tables, _, _ = corpus20
+    mentions = filter_self_references(extract_mentions(tables["documents"]))
+    base = (
+        L.link_rule_mentions(mentions, tables["entity_registry"],
+                             tables["popular_entities"])
+        .toPandas().sort_values(["doc_id", "rule_seq"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(L, "FANBACK_BROADCAST_PAIRS", 1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = L.link_rule_mentions(mentions, tables["entity_registry"],
+                                   tables["popular_entities"])
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = big.toPandas().sort_values(["doc_id", "rule_seq"]).reset_index(drop=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    pd.testing.assert_frame_equal(
+        base[["doc_id", "rule_seq", "entity_id", "score", "matched_on"]],
+        got[["doc_id", "rule_seq", "entity_id", "score", "matched_on"]],
+    )

@@ -118,3 +118,38 @@ def test_range_join_plan_is_equi_join(spark):
         p, "pt", b, "s", "e", 10.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_join_null_build_ts_is_not_a_match(spark):
+    """SQL semantics: b.ts <= p.ts is NULL for a NULL build ts, so a
+    timestampless build must never be carried forward as a phantom
+    match; NULL-key builds likewise; NULL-ts probes come out unmatched."""
+    p = spark.createDataFrame(
+        [(1, "u1", 10.0), (2, "u1", None)],
+        "event_id int, user_id string, ts double",
+    )
+    b = spark.createDataFrame(
+        [(91, "u1", None, 9.9), (92, None, 5.0, 8.8)],
+        "event_id int, user_id string, ts double, value double",
+    )
+    got = {r["event_id"]: (r["asof_ts"], r["asof_value"])
+           for r in asof_join(
+               p, b, on="user_id", probe_ts="ts", build_ts="ts",
+               payload_cols=["value"], build_seq="event_id").collect()}
+    assert got == {1: (None, None), 2: (None, None)}
+
+
+def test_asof_join_awkward_column_names(spark):
+    """Probe/payload columns with dots must survive the struct round-trip
+    (getField, not string paths)."""
+    p = spark.createDataFrame([(1, "u1", 10.0)], ["evt.id", "user_id", "ts"])
+    b = spark.createDataFrame(
+        [(7, "u1", 8.0, 1.5)], ["evt.id", "user_id", "ts", "the.value"]
+    )
+    got = asof_join(
+        p, b, on="user_id", probe_ts="ts", build_ts="ts",
+        payload_cols=["the.value"], build_seq="evt.id",
+    ).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["evt.id"] == 1 and r["asof_the.value"] == 1.5 and r["asof_ts"] == 8.0
