@@ -1106,6 +1106,45 @@ def q_range_join(spark, sf):
     )
 
 
+def q_overlap_join(spark, sf):
+    """Interval×interval OVERLAP join (the third temporal-join member
+    next to asof_join and range_join) as a bucketed equi-join with the
+    first-shared-bucket emission trick — exact, duplicate-free, zero
+    dedup shuffle. Each order's 7-day window vs every other order's;
+    aggregated per order for bounded output. DuckDB oracle is the
+    direct inequality self-join (IEJoin territory)."""
+    from decisions_knowledge_graph_data_spark.operators.temporal import (
+        overlap_join_buckets,
+    )
+    day = 86400.0
+    base = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("s"),
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("s").alias("a_start"), (F.col("s") + 7 * day).alias("a_end"),
+    )
+    b = base.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("s").alias("b_start"), (F.col("s") + 7 * day).alias("b_end"),
+    )
+    pairs = overlap_join_buckets(
+        a, "a_start", "a_end", b, "b_start", "b_end", 7 * day
+    )
+    return (
+        pairs.filter(F.col("a_key") != F.col("b_key"))
+        .groupBy("a_key")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.min("b_key").alias("min_other"),
+        )
+        .select(
+            F.col("a_key").alias("o_orderkey"), "n_overlaps", "min_other"
+        )
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 3) -> str:
     """The same fixed-iteration recurrence as chained CTEs. Constants are
     written as (1.0 - 0.85) / 0.85 so DuckDB builds the exact IEEE
@@ -1229,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced to make room for the round-3 families above — each a
         # family twin with a green row on a prior driver board (r1/r2)
         "language_id": q_language_id,        # textstats: token_counts, quality_score
+        "overlap_join": q_overlap_join,      # temporal family: asof_join, range_join
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
     }
@@ -1974,5 +2014,14 @@ def oracle_sql() -> dict[str, str]:
               ON l_shipdate >= o_orderdate
              AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
             GROUP BY o_orderkey
+        """,
+        "overlap_join": """
+            SELECT a.o_orderkey, count(*) AS n_overlaps,
+                   min(b.o_orderkey) AS min_other
+            FROM orders a JOIN orders b
+              ON a.o_orderkey <> b.o_orderkey
+             AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+            GROUP BY a.o_orderkey
         """,
     }

@@ -114,6 +114,52 @@ def asof_join(
     return matched.select(*out)
 
 
+def overlap_join_buckets(
+    left: DataFrame,
+    l_start: str,
+    l_end: str,
+    right: DataFrame,
+    r_start: str,
+    r_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP
+    (``l_start <= r_end AND r_start <= l_end``), as a bucketed
+    equi-join. Both sides explode to the buckets they cover; a pair
+    sharing several buckets would surface once per shared bucket, so
+    instead of a dedup shuffle each pair is emitted ONLY from the
+    bucket that contains the overlap's start (``max(l_start,
+    r_start)``) — exact and duplicate-free with zero extra exchanges.
+    Column-name collisions are the caller's to resolve."""
+    w = float(bucket_width)
+
+    def _explode(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / w).cast("long"),
+                    F.floor(F.col(e) / w).cast("long"),
+                )
+            ),
+        )
+
+    return (
+        _explode(left, l_start, l_end)
+        .join(_explode(right, r_start, r_end), "_bkt")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            # emit from the overlap-start bucket only (dedup-free)
+            & (
+                F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w).cast("long")
+                == F.col("_bkt")
+            )
+        )
+        .drop("_bkt")
+    )
+
+
 def range_join_buckets(
     probes: DataFrame,
     point_col: str,

@@ -153,3 +153,44 @@ def test_asof_join_awkward_column_names(spark):
     assert len(got) == 1
     r = got[0].asDict()
     assert r["evt.id"] == 1 and r["asof_the.value"] == 1.5 and r["asof_ts"] == 8.0
+
+
+from decisions_knowledge_graph_data_spark.operators.temporal import (
+    overlap_join_buckets,
+)
+
+OVL_LEFT = [  # (akey, start, end) — spans chosen to share multiple buckets
+    (1, 0.0, 35.0), (2, 12.0, 14.0), (3, 90.0, 95.0), (4, 5.0, 5.0),
+]
+OVL_RIGHT = [  # (bkey, start, end)
+    (11, 30.0, 60.0), (12, 0.0, 100.0), (13, 36.0, 40.0), (14, 5.0, 5.0),
+]
+
+
+def test_overlap_join_exact_and_duplicate_free(spark):
+    """Brute-force equivalence AND no duplicate pairs: a pair sharing
+    many buckets (e.g. 1×12 share buckets 0-3) must surface exactly
+    once (the first-shared-bucket emission rule)."""
+    a = spark.createDataFrame(OVL_LEFT, "akey int, a_s double, a_e double")
+    b = spark.createDataFrame(OVL_RIGHT, "bkey int, b_s double, b_e double")
+    rows = overlap_join_buckets(a, "a_s", "a_e", b, "b_s", "b_e", 10.0).collect()
+    got = [(r["akey"], r["bkey"]) for r in rows]
+    exp = {
+        (ak, bk)
+        for ak, as_, ae in OVL_LEFT
+        for bk, bs, be in OVL_RIGHT
+        if as_ <= be and bs <= ae
+    }
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    assert set(got) == exp
+    # sanity on the fixture: multi-bucket-sharing and point-interval cases
+    assert (1, 12) in exp and (4, 14) in exp and (3, 13) not in exp
+
+
+def test_overlap_join_plan_is_equi_join(spark):
+    a = spark.createDataFrame(OVL_LEFT, "akey int, a_s double, a_e double")
+    b = spark.createDataFrame(OVL_RIGHT, "bkey int, b_s double, b_e double")
+    plan = overlap_join_buckets(
+        a, "a_s", "a_e", b, "b_s", "b_e", 10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
