@@ -1106,6 +1106,56 @@ def q_range_join(spark, sf):
     )
 
 
+def q_label_propagation(spark, sf):
+    """Fixed-iteration hash-min label propagation over the same
+    customer→order→supplier graph as graph_pagerank — the
+    oracle-expressible bounded-round variant of connected components
+    (the production CC with star acceleration is pytest-locked in
+    canonicalize.py). String-min semantics only: exact cross-engine
+    parity with zero float risk."""
+    from decisions_knowledge_graph_data_spark.operators.graph import (
+        min_label_propagation,
+    )
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return min_label_propagation(o.unionByName(li), iterations=3)
+
+
+def _label_prop_oracle_sql(iterations: int = 3) -> str:
+    """Chained-CTE twin of min_label_propagation over the same edges."""
+    ctes = [
+        """edges AS (
+            SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                   'O' || CAST(o_orderkey AS VARCHAR) AS dst
+            FROM orders
+            UNION ALL
+            SELECT 'O' || CAST(l_orderkey AS VARCHAR),
+                   'S' || CAST(l_suppkey AS VARCHAR)
+            FROM lineitem)""",
+        """sym AS (SELECT src, dst FROM edges
+                   UNION ALL SELECT dst, src FROM edges)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""l{i} AS (
+            SELECT p.node,
+                   least(p.label, COALESCE(m.mn, p.label)) AS label
+            FROM l{i - 1} p LEFT JOIN (
+                SELECT s.dst AS node, min(pl.label) AS mn
+                FROM sym s JOIN l{i - 1} pl ON pl.node = s.src
+                GROUP BY s.dst) m ON m.node = p.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations}"
+    )
+
+
 def q_overlap_join(spark, sf):
     """Interval×interval OVERLAP join (the third temporal-join member
     next to asof_join and range_join) as a bucketed equi-join with the
@@ -1269,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family twin with a green row on a prior driver board (r1/r2)
         "language_id": q_language_id,        # textstats: token_counts, quality_score
         "overlap_join": q_overlap_join,      # temporal family: asof_join, range_join
+        "label_propagation": q_label_propagation,  # graph family: graph_pagerank
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
     }
@@ -1990,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "graph_pagerank": _pagerank_oracle_sql(3),
+        "label_propagation": _label_prop_oracle_sql(3),
         "asof_join": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),

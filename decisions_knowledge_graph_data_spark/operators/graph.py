@@ -35,6 +35,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def min_label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration hash-min label propagation over the UNDIRECTED
+    closure of ``edges``: ``label'(v) = min(label(v), min over
+    neighbors u of label(u))``, labels initialized to the node id.
+    After k iterations every node holds the minimum node id within its
+    k-hop neighborhood; run to diameter it IS connected components
+    (the full CC operator with large-star/small-star acceleration
+    lives in operators/canonicalize.py — this is the bounded-round,
+    oracle-expressible variant). All-integer/string min semantics:
+    unlike PageRank there is no floating-point at all, so cross-engine
+    parity is exact by construction. Returns (node, label).
+
+    Same plan discipline as :func:`pagerank`: two shuffles per
+    iteration (neighbor join + min agg), localCheckpoint truncation,
+    no driver-side state. Parallel/duplicate edges need no dedup —
+    min() is idempotent over duplicates, so the symmetric union skips
+    the distinct shuffle entirely.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.unionAll(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    sym = sym.localCheckpoint(eager=False)
+    nodes = sym.select(F.col("_s").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    lab = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        nbr_min = (
+            sym.join(lab, sym["_s"] == lab["node"])
+            .select(F.col("_d").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("_mn"))
+        )
+        lab = (
+            lab.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_mn"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

@@ -56,3 +56,33 @@ def test_pagerank_plan_is_join_agg_only(spark):
     assert "Cartesian" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_min_label_propagation_matches_khop_reference(spark):
+    """After k rounds each node holds the min node id within k hops
+    (undirected); run to diameter it equals connected components."""
+    from decisions_knowledge_graph_data_spark.operators.graph import (
+        min_label_propagation,
+    )
+    # two components: chain A-B-C-D (diameter 3) and pair X-Y; plus a
+    # duplicate edge (must not need dedup)
+    edges = [("B", "A"), ("B", "C"), ("C", "D"), ("X", "Y"), ("B", "A")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def ref(k):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        lab = {n: n for n in adj}
+        for _ in range(k):
+            lab = {n: min([lab[n]] + [lab[u] for u in adj[n]]) for n in adj}
+        return lab
+
+    for k in (1, 2, 3):
+        got = {r["node"]: r["label"]
+               for r in min_label_propagation(df, iterations=k).collect()}
+        assert got == ref(k), k
+    # k=3 covers the chain diameter → labels are component minima
+    assert {r["label"] for r in
+            min_label_propagation(df, iterations=3).collect()} == {"A", "X"}
