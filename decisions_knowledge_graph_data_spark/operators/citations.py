@@ -28,11 +28,15 @@ case-INsensitive with the reference's flexible forms — ECLI tolerates
 ``\\s*:\\s*`` colon spacing (citation-finder.ts:48-57), case numbers
 match exact / any-separator (``[\\s.\\-/]*``) / Cassation-core
 zero-padded variants (:60-96), court tokens get flexible whitespace and
-optional dots (:139-151), dates match ISO plus numeric-separator and
-FR/NL month-name forms (:98-137). Tier 1/2 and court probes compile one
-regex per candidate row — exactly the reference's per-search pattern
-build; the pattern is tiny and the candidate side is orders of magnitude
-smaller than the corpus scan it joins.
+optional dots (:139-151), dates match the reference's 3 regex forms —
+month-name with abbreviations and the 1er/1ère ordinal, numeric with
+any separator/spacing/zero-padding, and short-year DD/MM/YY — plus the
+ISO literal as an extension (:97-128; round-3 ADVICE). Tier-1 probes
+are gated on the reference's ≥5-colon-parts ECLI structural guard
+(:48-57). Every probe compiles one regex per candidate row — exactly
+the reference's per-search pattern build; the pattern is tiny and the
+candidate side is orders of magnitude smaller than the corpus scan it
+joins.
 """
 
 from __future__ import annotations
@@ -45,12 +49,22 @@ from .blocks import sentence_snippet
 PROXIMITY = 200   # court↔date max distance (citation-finder.ts:172-224)
 CONTEXT = 300     # snippet half-window (citation-finder.ts:253-313)
 
-# FR/NL month-name surfaces by month number (citation-finder.ts:17-32);
-# index = month, used to build the "15 mars 2022" date variants
-_MONTHS_FR = ["janvier", "février", "mars", "avril", "mai", "juin", "juillet",
-              "août", "septembre", "octobre", "novembre", "décembre"]
-_MONTHS_NL = ["januari", "februari", "maart", "april", "mei", "juni", "juli",
-              "augustus", "september", "oktober", "november", "december"]
+# month alternations by month number (citation-finder.ts:19-32): full
+# FR + NL names plus the reference's dotted abbreviations
+_MONTH_PATTERNS = [
+    r"(?:janvier|januari|jan\.?)",
+    r"(?:février|februari|feb\.?)",
+    r"(?:mars|maart|mar\.?)",
+    r"(?:avril|april|apr\.?)",
+    r"(?:mai|mei)",
+    r"(?:juin|juni|jun\.?)",
+    r"(?:juillet|juli|jul\.?)",
+    r"(?:août|augustus|aug\.?)",
+    r"(?:septembre|september|sept?\.?)",
+    r"(?:octobre|oktober|oct\.?|okt\.?)",
+    r"(?:novembre|november|nov\.?)",
+    r"(?:décembre|december|dec\.?)",
+]
 
 
 def _regex_escape(col: Column) -> Column:
@@ -102,50 +116,56 @@ def _court_pattern(alias: Column) -> Column:
     return F.concat(F.lit("(?i)"), p)
 
 
-def _date_variants(iso: Column) -> Column:
-    """Surface forms of a YYYY-MM-DD date (citation-finder.ts:98-137):
-    ISO, padded/unpadded numeric with / - . separators, and FR/NL
-    month-name forms — matched by (cheap) instr over lowercased text."""
+def _date_patterns(iso: Column) -> Column:
+    """The reference's 3 date regexes for a YYYY-MM-DD date
+    (citation-finder.ts:97-128), built as column expressions:
+
+      1. ``day(?:er|ère)?\\s+<month-name>\\s+year`` — "15 mars 2022",
+         "1er juin 2022", dotted abbreviations ("15 sept. 2022");
+      2. ``day\\s*[/.-]\\s*month\\s*[/.-]\\s*YYYY`` — numeric with any
+         separator, optional zero padding, spaces around separators
+         ("5 / 3 / 2019");
+      3. the same with a 2-digit year and a trailing ``\\b``
+         ("05/03/19").
+
+    Day/month tolerate missing zero padding exactly as the reference
+    does (``0?5`` when < 10, the padded literal otherwise). A malformed
+    date yields no patterns (buildDatePatterns returns []). The ISO form
+    itself is kept as pattern 0 — an extension beyond the reference for
+    ISO-formatted corpora like the test fixtures."""
     y = F.substring(iso, 1, 4)
     mm = F.substring(iso, 6, 2)
     dd = F.substring(iso, 9, 2)
-    m = F.regexp_replace(mm, "^0", "")  # "03"→"3", "10"→"10"
-    d = F.regexp_replace(dd, "^0", "")
-    month_fr = F.element_at(F.array(*[F.lit(x) for x in _MONTHS_FR]), mm.cast("int"))
-    month_nl = F.element_at(F.array(*[F.lit(x) for x in _MONTHS_NL]), mm.cast("int"))
-    num = [
-        F.concat_ws(sep, dv, mv, y)
-        for sep in ("/", "-", ".")
-        for dv in (dd, d)
-        for mv in (mm, m)
-    ]
-    named = [
-        F.concat_ws(" ", dv, mo, y)
-        for dv in (dd, d)
-        for mo in (month_fr, month_nl)
-    ]
-    return F.array_distinct(F.array(iso, *num, *named))
-
-
-def _first_hit(content: Column, needles: Column) -> Column:
-    """struct<p,l> of the earliest-found literal needle (1-based pos,
-    length); null when none occur. All JVM-side: transform → filter →
-    array_min (struct ordering is by first field, i.e. position)."""
-    hits = F.filter(
-        F.transform(
-            needles,
-            lambda s: F.struct(
-                F.instr(content, s).alias("p"), F.length(s).alias("l")
-            ),
-        ),
-        lambda x: x["p"] > 0,
+    day_pat = F.when(
+        F.substring(dd, 1, 1) == "0", F.concat(F.lit("0?"), F.substring(dd, 2, 1))
+    ).otherwise(dd)
+    mon_pat = F.when(
+        F.substring(mm, 1, 1) == "0", F.concat(F.lit("0?"), F.substring(mm, 2, 1))
+    ).otherwise(mm)
+    month_name = F.element_at(
+        F.array(*[F.lit(x) for x in _MONTH_PATTERNS]), mm.cast("int")
     )
-    return F.array_min(hits)
+    sep = F.lit(r"\s*[/\-.]\s*")
+    named = F.concat(
+        F.lit("(?i)"), day_pat, F.lit(r"(?:er|ère)?\s+"), month_name,
+        F.lit(r"\s+"), y,
+    )
+    numeric = F.concat(F.lit("(?i)"), day_pat, sep, mon_pat, sep, y)
+    short = F.concat(
+        F.lit("(?i)"), day_pat, sep, mon_pat, sep, F.substring(iso, 3, 2),
+        F.lit(r"\b"),
+    )
+    return F.when(
+        iso.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+        F.array(_regex_escape(iso), named, numeric, short),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _first_hit_re(content: Column, patterns: Column) -> Column:
-    """Regex version of ``_first_hit``: earliest match across patterns,
-    with the MATCHED length (flexible separators can change it)."""
+    """struct<p,l> of the earliest regex match across ``patterns``
+    (1-based pos, MATCHED length — flexible separators can change it);
+    null when none match. All JVM-side: transform → filter → array_min
+    (struct ordering is by first field, i.e. position)."""
     hits = F.filter(
         F.transform(
             patterns,
@@ -165,11 +185,18 @@ def find_citations(
     alias_map: DataFrame,
     proximity: int = PROXIMITY,
     context: int = CONTEXT,
+    min_ident_parts: int = 3,
 ) -> DataFrame:
     """docs(doc_id | repo/path/commit, content) × candidates(doc_id,
     target_id, ident, case_canonical, org_code, decision_date) →
     (doc_id, target_id, tier, method, pos, snippet). Rows with no
     evidence at any tier are dropped (the reference returns null).
+
+    ``min_ident_parts`` is the identifier grammar's colon-part arity:
+    an ident with fewer parts is structurally malformed and skips the
+    tier-1 probe entirely (buildEcliPattern returns null below 5 parts
+    for true ECLIs, citation-finder.ts:48-57; this corpus's DOC:rr:nnn
+    grammar has 3).
     """
     if "doc_id" not in docs.columns:
         from ..functions.ids import doc_uid
@@ -189,9 +216,13 @@ def find_citations(
     )
 
     c = F.col("_c")
-    # tier 1: case-insensitive ECLI with flexible colon spacing
+    # tier 1: case-insensitive ECLI with flexible colon spacing — gated
+    # on the reference's structural guard (buildEcliPattern returns null
+    # below the grammar's colon-part count, citation-finder.ts:48-57),
+    # so a short/malformed ident never becomes a bare substring probe
     ident_hit = F.when(
-        F.col("ident").isNotNull(),
+        F.col("ident").isNotNull()
+        & (F.size(F.split(F.col("ident"), ":")) >= min_ident_parts),
         F.struct(
             F.regexp_instr(c, _ecli_pattern(F.col("ident"))).alias("p"),
             F.length(F.regexp_substr(c, _ecli_pattern(F.col("ident")))).alias("l"),
@@ -201,11 +232,10 @@ def find_citations(
     court_hit = _first_hit_re(
         c, F.transform(F.coalesce(F.col("_aliases"), F.array()), _court_pattern)
     )
-    # date surfaces are literal variants — instr over lowercased text
-    # (length-preserving for this corpus, so positions stay aligned)
+    # dates probe with the reference's 3 regex forms (+ ISO extension)
     date_hit = F.when(
         F.col("decision_date").isNotNull(),
-        _first_hit(F.lower(c), _date_variants(F.col("decision_date"))),
+        _first_hit_re(c, _date_patterns(F.col("decision_date"))),
     )
 
     probed = paired.select(

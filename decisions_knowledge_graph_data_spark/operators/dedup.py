@@ -362,6 +362,16 @@ def simhash_dup_pairs(
         combination key carries 2-3× the bits, keeping buckets sparse
         at the price of more (but selective) index rows.
     """
+    if scheme not in ("bands", "combinations"):
+        raise ValueError(f"unknown scheme {scheme!r}")
+    base = add_simhash(df, key_col, text_col).select(
+        F.col(key_col).alias("_k"), "_sim"
+    )
+    if scheme == "combinations":
+        # band-count bound is a bands-only constraint: combination-table
+        # count is C(n_blocks, n_blocks-h), n_tables does not apply
+        # (round-3 ADVICE, low)
+        return _hamming_combination_pairs(base, 64, max_hamming, n_blocks)
     if n_tables is None:
         n_tables = max_hamming + 1
     if max_hamming > n_tables - 1:
@@ -369,13 +379,6 @@ def simhash_dup_pairs(
             f"simhash banding guarantees recall only for max_hamming <= "
             f"n_tables-1; got max_hamming={max_hamming}, n_tables={n_tables}"
         )
-    base = add_simhash(df, key_col, text_col).select(
-        F.col(key_col).alias("_k"), "_sim"
-    )
-    if scheme == "combinations":
-        return _hamming_combination_pairs(base, 64, max_hamming, n_blocks)
-    if scheme != "bands":
-        raise ValueError(f"unknown scheme {scheme!r}")
     # n_tables bands covering all 64 bits (last band takes the remainder)
     return _hamming_band_pairs(base, 64, max_hamming, n_tables)
 

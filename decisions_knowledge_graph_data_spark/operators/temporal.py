@@ -55,6 +55,23 @@ def asof_join(
         # caller-supplied names from being parsed as nested-field paths
         return F.col(f"`{name}`")
 
+    # internal scratch names must not collide with user columns — a
+    # probes._b, say, would be silently overwritten by the null-cast
+    # build struct and produce wrong output (round-3 ADVICE, low)
+    reserved = {"_k", "_ts", "_side", "_b", "_p", "_m"}
+    clash = reserved & (set(probes.columns) | set(builds.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; rename "
+            f"input columns {sorted(clash)} before joining"
+        )
+    payload_clash = {"_bts", "_bseq"} & set(payload_cols)
+    if payload_clash:
+        raise ValueError(
+            f"asof_join reserves payload names ['_bseq', '_bts']; rename "
+            f"{sorted(payload_clash)} before joining"
+        )
+
     b_struct = F.struct(
         _qc(build_ts).cast("double").alias("_bts"),
         _qc(build_seq).alias("_bseq"),

@@ -131,6 +131,65 @@ def test_date_variants_fr_nl_month_names(spark):
     assert got == {"T1": "COURT_DATE", "T2": "COURT_DATE"}
 
 
+def test_date_reference_regex_forms(spark):
+    """Round-3 ADVICE (low): the forms the reference's buildDatePatterns
+    covers (citation-finder.ts:97-128) that literal variants missed —
+    month abbreviations, the 1er ordinal, spaces around numeric
+    separators, short-year DD/MM/YY — now satisfy tier 3; and the
+    short-year probe must NOT fire inside a longer different year."""
+    docs = spark.createDataFrame(
+        [("d1", "cour de cassation, arrêt du 15 sept. 2022 sur le fond."),
+         ("d2", "cour de cassation, arrêt du 1er juin 2022 précité."),
+         ("d3", "cour de cassation, audience du 5 / 3 / 2019 au greffe."),
+         ("d4", "cour de cassation, zitting van 05/03/19 te Brussel."),
+         # short-year 19 must not match inside 05/03/1998 (\b guard)
+         ("d5", "cour de cassation, audience du 05/03/1998 au greffe.")],
+        "doc_id string, content string",
+    )
+    cands = spark.createDataFrame(
+        [("d1", "T1", None, None, "ORG-1", "2022-09-15"),
+         ("d2", "T2", None, None, "ORG-1", "2022-06-01"),
+         ("d3", "T3", None, None, "ORG-1", "2019-03-05"),
+         ("d4", "T4", None, None, "ORG-1", "2019-03-05"),
+         ("d5", "T5", None, None, "ORG-1", "2019-03-05")],
+        "doc_id string, target_id string, ident string, case_canonical string,"
+        " org_code string, decision_date string",
+    )
+    aliases = spark.createDataFrame(
+        [("ORG-1", "cour de cassation")], "canonical_code string, alias string"
+    )
+    got = {r["target_id"]: r["method"]
+           for r in find_citations(docs, cands, aliases).collect()}
+    assert got["T1"] == "COURT_DATE"
+    assert got["T2"] == "COURT_DATE"
+    assert got["T3"] == "COURT_DATE"
+    assert got["T4"] == "COURT_DATE"
+    assert got["T5"] == "COURT_ONLY"  # 1998 is not 2019; degrade to tier 4
+
+
+def test_ecli_structural_guard(spark):
+    """Round-3 ADVICE (low): buildEcliPattern returns null for idents
+    with fewer colon-separated parts than the grammar's arity
+    (citation-finder.ts:48-57 — 5 for real ECLIs, 3 for this corpus's
+    DOC:rr:nnnnnnn analog); a malformed short ident must not become a
+    bare substring probe that lands a spurious tier-1 hit."""
+    docs = spark.createDataFrame(
+        [("d1", "the cass ruling mentioned above controls this case.")],
+        "doc_id string, content string",
+    )
+    cands = spark.createDataFrame(
+        # "cass" appears in the text, but a 1-part ident is structurally
+        # not an ECLI — the reference would never attempt the search
+        [("d1", "T1", "cass", None, "ORG-1", None)],
+        "doc_id string, target_id string, ident string, case_canonical string,"
+        " org_code string, decision_date string",
+    )
+    aliases = spark.createDataFrame(
+        [("ORG-1", "cour de cassation")], "canonical_code string, alias string"
+    )
+    assert find_citations(docs, cands, aliases).count() == 0
+
+
 def test_paragraph_negative_not_extracted(corpus20):
     """'¶ C-999/99' is planted raw — the ¶ negative filter
     (regex-extractor.ts:362-368) must keep it out of the mention table."""

@@ -249,6 +249,21 @@ def test_simhash_rejects_undersized_banding(text_df):
         simhash_dup_pairs(text_df, "doc_id", "text", max_hamming=8, n_tables=4)
 
 
+def test_simhash_combinations_ignores_band_bound(text_df):
+    """Round-3 ADVICE (low): the n_tables band bound is a bands-only
+    constraint — an explicit n_tables that would be illegal for bands
+    must not reject scheme='combinations' (where table count is
+    C(n_blocks, n_blocks-h) and n_tables is irrelevant). Output must
+    equal the bands scheme (both recall-exact)."""
+    combo = simhash_dup_pairs(
+        text_df, "doc_id", "text", max_hamming=3, n_tables=2,
+        scheme="combinations",
+    )
+    bands = simhash_dup_pairs(text_df, "doc_id", "text", max_hamming=3)
+    assert sorted(map(tuple, combo.collect())) == sorted(
+        map(tuple, bands.collect()))
+
+
 @pytest.fixture(scope="module")
 def vec_df(spark):
     import numpy as np

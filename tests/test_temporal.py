@@ -1,5 +1,6 @@
 """As-of join and bucketed range join vs brute-force references."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from decisions_knowledge_graph_data_spark.operators.temporal import (
@@ -165,6 +166,25 @@ OVL_LEFT = [  # (akey, start, end) — spans chosen to share multiple buckets
 OVL_RIGHT = [  # (bkey, start, end)
     (11, 30.0, 60.0), (12, 0.0, 100.0), (13, 36.0, 40.0), (14, 5.0, 5.0),
 ]
+
+
+def test_asof_join_rejects_reserved_column_names(spark):
+    """Round-3 ADVICE (low): user columns named like the internal
+    scratch columns would be silently overwritten (probes._b eaten by
+    the null-cast build struct) — they must raise instead."""
+    from decisions_knowledge_graph_data_spark.operators.temporal import asof_join
+    probes = spark.createDataFrame([(1, 1.0, "x")], "k long, ts double, _b string")
+    builds = spark.createDataFrame([(1, 0.5, 7, "p")],
+                                   "k long, ts double, seq long, pay string")
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(probes, builds, "k", "ts", "ts", ["pay"], "seq")
+    ok_probes = probes.withColumnRenamed("_b", "b_ok")
+    bad_builds = builds.withColumnRenamed("pay", "_bts")
+    with pytest.raises(ValueError, match="reserves payload names"):
+        asof_join(ok_probes, bad_builds, "k", "ts", "ts", ["_bts"], "seq")
+    # clean names still work
+    got = asof_join(ok_probes, builds, "k", "ts", "ts", ["pay"], "seq").collect()
+    assert len(got) == 1 and got[0]["asof_pay"] == "p"
 
 
 def test_overlap_join_exact_and_duplicate_free(spark):
