@@ -744,7 +744,7 @@ _DOC_SCHEMA = (
 )
 
 
-def documents_df(spark, n_docs: int):
+def documents_df(spark, n_docs: int, n_partitions: int | None = None):
     """Distributed deterministic corpus for bench scale.
 
     ``spark.range`` partitions the index space; each worker builds its
@@ -760,4 +760,10 @@ def documents_df(spark, n_docs: int):
             yield out[["repo", "path", "commit", "lang", "content", "content_sha256",
                        "doc_ident", "doc_date", "md_length", "length_category"]]
 
-    return spark.range(n_docs).repartition(64).mapInPandas(gen, schema=_DOC_SCHEMA)
+    # 2× defaultParallelism: enough tasks to keep every core busy with
+    # mild imbalance, without the fixed 64-task cap that throttled
+    # generation above 32 cores (round-3 VERDICT nit)
+    if n_partitions is None:
+        n_partitions = 2 * spark.sparkContext.defaultParallelism
+    return spark.range(n_docs).repartition(n_partitions).mapInPandas(
+        gen, schema=_DOC_SCHEMA)

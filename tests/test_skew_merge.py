@@ -47,6 +47,24 @@ def test_skew_profile(spark):
     assert prof[0]["key"] == "hub" and abs(prof[0]["share"] - 0.9) < 1e-6
 
 
+def test_skew_profile_is_lazy_one_pass(spark):
+    """Round-3 VERDICT nit: the profile used to run an eager count()
+    action at build time. Now it's one rollup aggregation, fully lazy —
+    building the frame must launch zero jobs, and a genuine NULL key
+    must stay a key row, not get eaten by the grand-total row."""
+    df = spark.createDataFrame(
+        [("hub",)] * 6 + [("tail",)] * 3 + [(None,)], "key string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("skew_build", "skew_profile build must be lazy")
+    prof_df = skew_profile(df, "key")
+    assert sc.statusTracker().getJobIdsForGroup("skew_build") == []
+    prof = {r["key"]: (r["n"], r["share"]) for r in prof_df.collect()}
+    assert prof["hub"] == (6, 0.6)
+    assert prof["tail"] == (3, 0.3)
+    assert prof[None] == (1, 0.1)
+
+
 def test_merge_stage_outputs(spark):
     s1 = spark.createDataFrame(
         [("d1", "fr", 1), ("d2", "fr", 2), ("d3", "nl", 3)],
