@@ -56,6 +56,8 @@ def test_driver_window_composition():
         "token_counts", "quality_score",
         # streaming family
         "events_windowed",
+        # versioned-table (Iceberg-semantics) read path (round 4)
+        "versioned_pruned_read",
     }
     assert must_be_visible <= first_50, must_be_visible - first_50
 
