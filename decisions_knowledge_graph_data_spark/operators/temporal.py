@@ -42,6 +42,7 @@ def asof_join(
     payload_cols: list[str],
     build_seq: str,
     tolerance: float | None = None,
+    time_bucket: float | None = None,
 ) -> DataFrame:
     """For each probe row, attach the latest build row of the same ``on``
     key with ``build_ts <= probe_ts`` (ties on build_ts broken by the
@@ -49,7 +50,20 @@ def asof_join(
     Returns all probe columns plus ``asof_<payload>`` columns and
     ``asof_ts`` (NULL when no eligible build exists). ``tolerance``
     (seconds) optionally voids matches older than ``probe_ts - tol``.
-    """
+
+    ``time_bucket`` is the skew escape hatch for mega-keys (the north
+    rule's hub entities): the default plan sorts each key's full history
+    in ONE window partition, which AQE cannot split (skew-join splitting
+    applies to joins, not windows) — a key carrying 50% of rows serializes
+    on one task. With ``time_bucket=w`` the sort partitions on
+    ``(key, floor(ts/w))`` so a hot key spreads across its time span,
+    and cross-bucket matches are restored EXACTLY by a carry-in pass at
+    bucket granularity: per (key, bucket) the last build is a map-side-
+    combinable aggregation, the carry across buckets is a window whose
+    per-key row count is the bucket count (tiny), and probes that found
+    no in-bucket build coalesce to the carry-in. An in-bucket match
+    always outranks any earlier bucket's build, so results are identical
+    to the unbucketed plan (equality is test-locked, planted hot key)."""
     def _qc(name: str) -> Column:
         # top-level column by exact name — backticks keep dots/spaces in
         # caller-supplied names from being parsed as nested-field paths
@@ -58,7 +72,7 @@ def asof_join(
     # internal scratch names must not collide with user columns — a
     # probes._b, say, would be silently overwritten by the null-cast
     # build struct and produce wrong output (round-3 ADVICE, low)
-    reserved = {"_k", "_ts", "_side", "_b", "_p", "_m"}
+    reserved = {"_k", "_ts", "_side", "_b", "_p", "_m", "_tb", "_bb", "_ci"}
     clash = reserved & (set(probes.columns) | set(builds.columns))
     if clash:
         raise ValueError(
@@ -99,11 +113,18 @@ def asof_join(
         F.lit(None).cast(b_rows.schema["_b"].dataType).alias("_b"),
         F.struct(*[_qc(c).alias(c) for c in probes.columns]).alias("_p"),
     )
+    union = b_rows.unionByName(p_rows)
+    part_cols = ["_k"]
+    if time_bucket is not None:
+        union = union.withColumn(
+            "_tb", F.floor(F.col("_ts") / F.lit(float(time_bucket))).cast("long")
+        )
+        part_cols = ["_k", "_tb"]
     # builds (side 0) sort before probes (side 1) at equal ts → inclusive
     # <=; among same-ts builds ascending _bseq puts the largest last, and
     # last(ignorenulls) carries exactly that one forward.
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*part_cols)
         .orderBy(
             F.col("_ts"), F.col("_side"),
             F.col("_b").getField("_bseq").asc_nulls_first(),
@@ -111,10 +132,45 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
-        b_rows.unionByName(p_rows)
-        .withColumn("_m", F.last("_b", ignorenulls=True).over(w))
+        union.withColumn("_m", F.last("_b", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if time_bucket is not None:
+        # restore cross-bucket matches: last build per (key, bucket) is a
+        # partial-aggregable groupBy (no skew); the carry across buckets
+        # runs at bucket granularity (rows per key == bucket count); a
+        # NULL-ts probe has a NULL bucket, joins nothing, stays unmatched
+        # — same as the unbucketed plan.
+        bb = (
+            union.filter(F.col("_side") == 0)
+            .groupBy("_k", "_tb")
+            .agg(
+                F.max_by(
+                    "_b",
+                    F.struct(
+                        F.col("_b").getField("_bts"),
+                        F.col("_b").getField("_bseq"),
+                    ),
+                ).alias("_bb")
+            )
+        )
+        buckets = (
+            union.select("_k", "_tb").distinct()
+            .join(bb, ["_k", "_tb"], "left")
+        )
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy("_tb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = buckets.select(
+            "_k", "_tb",
+            F.last("_bb", ignorenulls=True).over(wb).alias("_ci"),
+        )
+        matched = (
+            matched.join(carry, ["_k", "_tb"], "left")
+            .withColumn("_m", F.coalesce("_m", "_ci"))
+        )
     if tolerance is not None:
         matched = matched.withColumn(
             "_m",

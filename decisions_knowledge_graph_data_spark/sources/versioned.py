@@ -420,7 +420,7 @@ def table_history(root: str) -> list[dict]:
         m = _read_manifest(root, v)
         out.append({k: m[k] for k in
                     ("version", "parent", "mode", "rows_written",
-                     "committed_at")})
+                     "committed_at", "meta")})
     return out
 
 

@@ -50,6 +50,49 @@ def stream_documents(
     )
 
 
+def publish_batch_versioned(batch_df: DataFrame, batch_id: int, root: str) -> int | None:
+    """foreachBatch body: append one micro-batch as a versioned snapshot,
+    exactly once. Spark replays the in-flight batch after a restart (the
+    sink may see the same batch_id twice); the committed manifests are
+    the source of truth — if any retained manifest already carries this
+    batch_id, the append is skipped. Returns the committed version, or
+    None when the batch was already published."""
+    from ..sources.versioned import table_history, write_snapshot
+
+    done = {
+        h["meta"].get("batch_id")
+        for h in table_history(root)
+        if h.get("meta")
+    }
+    if batch_id in done:
+        return None
+    return write_snapshot(
+        batch_df, root, mode="append", meta={"batch_id": batch_id}
+    )
+
+
+def stream_publish_versioned(
+    spark: SparkSession, input_dir: str, root: str, doc_schema: str,
+    checkpoint_dir: str,
+):
+    """Structured-Streaming → versioned-table publish: each micro-batch
+    commits atomically as an append snapshot keyed by batchId, so the
+    published table is always a consistent prefix of the stream and a
+    crashed/restarted query never double-appends (the incremental-KG
+    story the reference's resume machinery implies,
+    ConcurrentRunner.ts:194-233). Readers time-travel to any published
+    batch boundary; `availableNow` drains pending files then stops."""
+    stream = spark.readStream.schema(doc_schema).parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: publish_batch_versioned(df, bid, root)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Event-time tumbling-window counts with a watermark (late-data bound).

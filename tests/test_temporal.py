@@ -187,6 +187,76 @@ def test_asof_join_rejects_reserved_column_names(spark):
     assert len(got) == 1 and got[0]["asof_pay"] == "p"
 
 
+def _hot_key_frames(spark, n_hot=1000, n_tail=1000):
+    """Planted skew: key 'hub' carries half of all probe AND build rows,
+    spread over ts 0..n; 20 tail keys share the rest. Deterministic."""
+    probes, builds = [], []
+    for i in range(n_hot):
+        probes.append((10_000 + i, "hub", float(i)))
+        builds.append((i, "hub", float(i) - 0.5, float(i)))
+    for i in range(n_tail):
+        k = f"t{i % 20}"
+        probes.append((20_000 + i, k, float(i)))
+        if i % 3 != 0:  # some tail keys probe ahead of any build
+            builds.append((5_000 + i, k, float(i) - 2.0, float(100 + i)))
+    p = spark.createDataFrame(probes, "event_id long, user string, ts double")
+    b = spark.createDataFrame(builds, "event_id long, user string, ts double, value double")
+    return p, b
+
+
+def test_asof_time_bucket_equals_default_on_planted_hot_key(spark):
+    """Round-3 VERDICT item 6: the time_bucket skew path must be
+    semantics-free — on a corpus where one key holds 50% of both sides,
+    its output is row-identical to the default single-partition-per-key
+    plan (including ties, unmatched probes, and tolerance voiding)."""
+    p, b = _hot_key_frames(spark)
+    args = (p, b, "user", "ts", "ts", ["value"], "event_id")
+    base = sorted(map(tuple, asof_join(*args).collect()))
+    for width in (50.0, 173.0):   # aligned and deliberately misaligned
+        bucketed = sorted(map(tuple, asof_join(*args, time_bucket=width).collect()))
+        assert bucketed == base, f"width={width}"
+    # tolerance interacts with carry-in (match may come from a far-away
+    # earlier bucket and must still be voided)
+    base_tol = sorted(map(tuple, asof_join(*args, tolerance=1.0).collect()))
+    buck_tol = sorted(map(tuple,
+                          asof_join(*args, tolerance=1.0, time_bucket=50.0).collect()))
+    assert buck_tol == base_tol
+
+
+def test_asof_time_bucket_bounds_sort_group_size(spark):
+    """The point of the bucketed plan: the largest sort group shrinks
+    from |hot key| to |hot key| / n_buckets — the property that keeps a
+    mega-key off a single task at 100 TB."""
+    p, b = _hot_key_frames(spark)
+    union = p.select("user", "ts").unionByName(b.select("user", "ts"))
+    per_key = union.groupBy("user").count().agg(F.max("count")).first()[0]
+    per_group = (
+        union.withColumn("_tb", F.floor(F.col("ts") / 50.0))
+        .groupBy("user", "_tb").count().agg(F.max("count")).first()[0]
+    )
+    assert per_key == 2000          # the hub: half of all rows
+    assert per_group <= 110         # ~2 sides x 50 rows per bucket
+
+
+def test_range_join_planted_hot_interval_stays_exact(spark):
+    """Skew hardening for the bucketed range join: one build interval
+    spanning the whole domain (every probe's bucket joins it) plus a hot
+    probe point repeated 500x. The candidate join is a plain equi-join —
+    AQE's skew-join splitting applies to it at scale — and results must
+    stay exact and duplicate-free vs brute force."""
+    probes = [(i, float(i % 40)) for i in range(500)]       # hot values
+    probes += [(1000 + i, float(i)) for i in range(100)]
+    builds = [(9_000, 0.0, 1_000.0)]                        # whole-domain hub
+    builds += [(9_100 + i, float(i), float(i + 3)) for i in range(100)]
+    p = spark.createDataFrame(probes, "pid long, x double")
+    b = spark.createDataFrame(builds, "bid long, lo double, hi double")
+    got = range_join_buckets(p, "x", b, "lo", "hi", bucket_width=10.0)
+    brute = p.crossJoin(b).filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    assert got.count() == brute.count()
+    assert sorted(map(tuple, got.select("pid", "bid").collect())) == sorted(
+        map(tuple, brute.select("pid", "bid").collect()))
+
+
 def test_overlap_join_exact_and_duplicate_free(spark):
     """Brute-force equivalence AND no duplicate pairs: a pair sharing
     many buckets (e.g. 1×12 share buckets 0-3) must surface exactly

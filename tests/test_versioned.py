@@ -234,6 +234,48 @@ def test_expire_versions(spark, tmp_path):
     assert read_snapshot(spark, root).count() == 7
 
 
+def test_stream_publish_versioned_exactly_once(spark, tmp_path):
+    """Streaming → versioned publish (round-3 VERDICT item 7): each
+    micro-batch appends as an atomic snapshot keyed by batchId; a
+    restart drains only NEW files (no duplicate appends, monotone
+    versions), and a replayed foreachBatch call for an already-committed
+    batchId is a no-op."""
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned, stream_publish_versioned,
+    )
+    input_dir = str(tmp_path / "in")
+    root = str(tmp_path / "published")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v long"
+
+    _df(spark, 0, 10).write.mode("append").parquet(input_dir)
+    q = stream_publish_versioned(spark, input_dir, root, schema, ckpt)
+    q.awaitTermination(120)
+    assert read_snapshot(spark, root).count() == 10
+    hist1 = table_history(root)
+    assert [h["version"] for h in hist1] == list(range(1, len(hist1) + 1))
+    published_batches = {h["meta"]["batch_id"] for h in hist1}
+
+    # crash-replay of an already-committed batch: no-op, no new version
+    assert publish_batch_versioned(
+        _df(spark, 0, 10), max(published_batches), root) is None
+    assert len(table_history(root)) == len(hist1)
+
+    # restart with one NEW input file: only the delta is appended
+    _df(spark, 10, 17).write.mode("append").parquet(input_dir)
+    q2 = stream_publish_versioned(spark, input_dir, root, schema, ckpt)
+    q2.awaitTermination(120)
+    got = read_snapshot(spark, root)
+    assert got.count() == 17
+    # exactly-once: every id exactly once
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    hist2 = table_history(root)
+    assert len(hist2) == len(hist1) + 1
+    assert [h["version"] for h in hist2] == list(range(1, len(hist2) + 1))
+    # older published prefixes stay time-travel readable
+    assert read_snapshot(spark, root, version=hist1[-1]["version"]).count() == 10
+
+
 def test_pipeline_publish_and_versioned_input(spark, corpus20, tmp_path):
     """End-to-end versioned integration: the source table committed as a
     versioned snapshot feeds the pipeline; each run's graph publishes as
