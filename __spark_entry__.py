@@ -344,6 +344,21 @@ def q_quality_score(spark, sf):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def _versioned_orders_root(sf: str) -> str:
+    """Cache location for the versioned orders table: keyed by sf path +
+    source-file fingerprint + manifest-format version, so regenerated
+    test data or a format change rolls the cache instead of silently
+    serving stale rows."""
+    import hashlib
+    import tempfile
+
+    st = os.stat(os.path.join(sf, "orders.parquet"))
+    tag = hashlib.sha256(
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:fmt2".encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"kg_versioned_orders_{tag}")
+
+
 def q_versioned_pruned_read(spark, sf):
     """Iceberg-semantics table read as an oracle-checked query (round-3
     VERDICT item 1): orders is committed ONCE per sf-dir as a versioned
@@ -354,14 +369,11 @@ def q_versioned_pruned_read(spark, sf):
     (file-count assertions live in test_versioned.py +
     test_plan_quality.py), and the residual filter makes the result
     exactly a WHERE-scan — which is what DuckDB runs as the oracle."""
-    import hashlib
-    import tempfile
-
     from decisions_knowledge_graph_data_spark.sources.versioned import (
         current_version, read_snapshot, write_snapshot,
     )
-    tag = hashlib.sha256(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"kg_versioned_orders_{tag}")
+
+    root = _versioned_orders_root(sf)
     if current_version(root) is None:
         write_snapshot(
             _t(spark, sf, "orders").repartitionByRange(8, "o_orderdate"),

@@ -130,9 +130,15 @@ def _date_patterns(iso: Column) -> Column:
 
     Day/month tolerate missing zero padding exactly as the reference
     does (``0?5`` when < 10, the padded literal otherwise). A malformed
-    date yields no patterns (buildDatePatterns returns []). The ISO form
-    itself is kept as pattern 0 — an extension beyond the reference for
-    ISO-formatted corpora like the test fixtures."""
+    OR out-of-range date yields no patterns (buildDatePatterns returns
+    []; the gate range-checks month/day so ``element_at`` on the month
+    array can never go out of bounds under ANSI mode). Two documented
+    deviations, both strict improvements: the ISO form itself is kept as
+    pattern 0 (for ISO-formatted corpora like the test fixtures), and
+    every day-first pattern carries a leading ``(?<!\\d)`` so the day
+    can't anchor inside a longer digit run (the reference's patterns
+    have only the trailing ``\\b`` on the short-year form — '05/03/19'
+    would match inside '105/03/19')."""
     y = F.substring(iso, 1, 4)
     mm = F.substring(iso, 6, 2)
     dd = F.substring(iso, 9, 2)
@@ -145,18 +151,17 @@ def _date_patterns(iso: Column) -> Column:
     month_name = F.element_at(
         F.array(*[F.lit(x) for x in _MONTH_PATTERNS]), mm.cast("int")
     )
+    lead = F.lit(r"(?i)(?<!\d)")
     sep = F.lit(r"\s*[/\-.]\s*")
     named = F.concat(
-        F.lit("(?i)"), day_pat, F.lit(r"(?:er|ère)?\s+"), month_name,
-        F.lit(r"\s+"), y,
+        lead, day_pat, F.lit(r"(?:er|ère)?\s+"), month_name, F.lit(r"\s+"), y,
     )
-    numeric = F.concat(F.lit("(?i)"), day_pat, sep, mon_pat, sep, y)
+    numeric = F.concat(lead, day_pat, sep, mon_pat, sep, y)
     short = F.concat(
-        F.lit("(?i)"), day_pat, sep, mon_pat, sep, F.substring(iso, 3, 2),
-        F.lit(r"\b"),
+        lead, day_pat, sep, mon_pat, sep, F.substring(iso, 3, 2), F.lit(r"\b"),
     )
     return F.when(
-        iso.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+        iso.rlike(r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$"),
         F.array(_regex_escape(iso), named, numeric, short),
     ).otherwise(F.array().cast("array<string>"))
 

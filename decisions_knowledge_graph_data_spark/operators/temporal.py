@@ -72,7 +72,9 @@ def asof_join(
     # internal scratch names must not collide with user columns — a
     # probes._b, say, would be silently overwritten by the null-cast
     # build struct and produce wrong output (round-3 ADVICE, low)
-    reserved = {"_k", "_ts", "_side", "_b", "_p", "_m", "_tb", "_bb", "_ci"}
+    reserved = {"_k", "_ts", "_side", "_b", "_p", "_m"}
+    if time_bucket is not None:
+        reserved |= {"_tb", "_bb", "_ci"}  # bucket-path scratch names only
     clash = reserved & (set(probes.columns) | set(builds.columns))
     if clash:
         raise ValueError(

@@ -168,6 +168,47 @@ def _merge_schemas(parent: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+def _acquire_lock(root: str) -> int:
+    """Single-writer lock with staleness recovery: the lock file records
+    the holder's pid; if that process is gone (SIGKILL/OOM mid-commit —
+    the `finally` unlink never ran), the lock is stolen and commit
+    proceeds (the dead writer's half-commit is invisible by the pointer
+    rule and GC'd). A live holder still raises."""
+    lock_path = os.path.join(root, LOCK)
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            return fd
+        except FileExistsError:
+            try:
+                with open(lock_path) as f:
+                    holder = int(f.read().strip() or "-1")
+            except (OSError, ValueError):
+                holder = -1
+            if holder <= 0:
+                alive = True  # no/unreadable pid: be conservative, don't steal
+            else:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive or attempt == 1:
+                raise RuntimeError(
+                    f"another writer (pid {holder}) holds {lock_path}; "
+                    "versioned tables are single-writer"
+                ) from None
+            # holder is dead: steal the stale lock and retry once
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
+    raise AssertionError("unreachable")
+
+
 def _gc_orphans(root: str) -> None:
     """Crash recovery, run under the commit lock: drop manifests above the
     pointer (commit never completed) and data dirs no surviving manifest
@@ -210,13 +251,7 @@ def write_snapshot(
     lock_path = os.path.join(root, LOCK)
     fd = None
     try:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise RuntimeError(
-                f"another writer holds {lock_path}; versioned tables are "
-                "single-writer (remove the lock only if that writer died)"
-            ) from e
+        fd = _acquire_lock(root)
 
         _gc_orphans(root)
         parent = current_version(root)
@@ -418,9 +453,10 @@ def table_history(root: str) -> list[dict]:
     out = []
     for v in _committed_versions(root):
         m = _read_manifest(root, v)
-        out.append({k: m[k] for k in
-                    ("version", "parent", "mode", "rows_written",
-                     "committed_at", "meta")})
+        h = {k: m[k] for k in
+             ("version", "parent", "mode", "rows_written", "committed_at")}
+        h["meta"] = m.get("meta", {})  # absent in pre-round-4 manifests
+        out.append(h)
     return out
 
 
@@ -434,12 +470,7 @@ def expire_versions(root: str, keep_last: int) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     lock_path = os.path.join(root, LOCK)
-    try:
-        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as e:
-        raise RuntimeError(
-            f"another writer holds {lock_path}; retry expiration later"
-        ) from e
+    fd = _acquire_lock(root)
     try:
         _gc_orphans(root)
         committed = _committed_versions(root)

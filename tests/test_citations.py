@@ -167,6 +167,32 @@ def test_date_reference_regex_forms(spark):
     assert got["T5"] == "COURT_ONLY"  # 1998 is not 2019; degrade to tier 4
 
 
+def test_date_out_of_range_and_leading_boundary(spark):
+    """Code-review round 4: (a) a shape-valid but out-of-range
+    decision_date ('2022-13-05') must degrade to tier 4, not crash the
+    job via element_at(months, 13) under ANSI mode; (b) day-first
+    patterns must not anchor inside a longer digit run ('105/03/19'
+    must not read as 05/03/19 — leading (?<!\\d) guard)."""
+    docs = spark.createDataFrame(
+        [("d1", "cour de cassation ruling of 13 mai 2022 cited here."),
+         ("d2", "cour de cassation, rolnummer 105/03/19 in zake x.")],
+        "doc_id string, content string",
+    )
+    cands = spark.createDataFrame(
+        [("d1", "T1", None, None, "ORG-1", "2022-13-05"),   # month 13
+         ("d2", "T2", None, None, "ORG-1", "2019-03-05")],
+        "doc_id string, target_id string, ident string, case_canonical string,"
+        " org_code string, decision_date string",
+    )
+    aliases = spark.createDataFrame(
+        [("ORG-1", "cour de cassation")], "canonical_code string, alias string"
+    )
+    got = {r["target_id"]: r["method"]
+           for r in find_citations(docs, cands, aliases).collect()}
+    assert got["T1"] == "COURT_ONLY"
+    assert got["T2"] == "COURT_ONLY"
+
+
 def test_ecli_structural_guard(spark):
     """Round-3 ADVICE (low): buildEcliPattern returns null for idents
     with fewer colon-separated parts than the grammar's arity

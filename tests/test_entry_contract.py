@@ -18,16 +18,14 @@ def test_oracle_keys_subset_of_queries():
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
     # the non-oracle set is exactly the documented non-SQL-expressible ops
-    # (round 3: ngram_jaccard, minhash_dups and embedding_dup_lsh gained
-    # exhaustive DuckDB oracles — their verify passes make the output a
-    # subset of the exhaustive join, and recall is complete on the
-    # deterministic oracle corpus. Still rows-only by nature:
-    # simhash_pairs (xxhash64 signatures DuckDB cannot reproduce — the
-    # md5-portable twin simhash_hamming_check is the oracle-green proxy),
-    # ivf_topk at n_probe<C (approximate by design; ivf_topk_full_probe
-    # is the oracle-green mode), and the synthetic-corpus KG queries)
+    # (round 4: simhash_pairs switched its query to the md5-portable
+    # signature with a full-corpus brute-force oracle — the xxhash64
+    # production kernel stays pytest-locked and bench-timed. Still
+    # rows-only by nature: ivf_topk at n_probe<C (approximate by design;
+    # ivf_topk_full_probe is the oracle-green mode), and the
+    # synthetic-corpus KG queries locked by goldens + green SQL twins)
     assert qs - os_ == {
-        "simhash_pairs", "ivf_topk",
+        "ivf_topk",
         "kg_triples", "kg_references", "kg_citations", "kg_jurisdiction",
     }
 

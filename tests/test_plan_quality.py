@@ -227,3 +227,28 @@ def test_stage_summary_is_lazy_one_pass(spark, docs_parquet):
     row = sdf.collect()[0]
     assert row["total_records"] == row["successful"] + row["failed"]
     assert row["total_records"] == docs.count()
+
+
+def test_versioned_pruned_read_scans_fewer_files(spark):
+    """The driver query versioned_pruned_read must actually SKIP files:
+    the manifest stats rule out range-partitions entirely before 1997,
+    and the Spark scan lists exactly the surviving files — pruning is a
+    scan-cost property, locked here so a regression (stats not recorded,
+    predicate not applied at plan time) shows up as a perf bug."""
+    import __spark_entry__ as entry_mod
+    from decisions_knowledge_graph_data_spark.sources.versioned import plan_files
+
+    sf = "/root/testdata/sf0.001"
+    df = entry_mod.queries()["versioned_pruned_read"](spark, sf)
+    assert df.count() > 0
+    root = entry_mod._versioned_orders_root(sf)
+    files, skipped, _ = plan_files(
+        root, predicates={"o_orderdate": (">=", "1997-01-01")}
+    )
+    assert skipped >= 1, "stats must prune at least the pre-1997 range files"
+    assert len(files) >= 1
+    # the executed scan reads only the kept files — pruning happened at
+    # planning time, not as a post-scan filter
+    assert sorted(df.inputFiles()) == sorted(
+        "file://" + f if not f.startswith("file:") else f for f in files
+    )

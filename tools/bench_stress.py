@@ -43,14 +43,24 @@ def setup(n_docs: int) -> None:
     print("setup done:", docs_path(n_docs))
 
 
-def _rest_metrics(spark) -> dict:
-    """Sum spill/peak-memory over all completed stages via the UI REST
-    API (public monitoring surface; same numbers the History Server
-    shows on a real cluster)."""
+def _list_stages(spark) -> list[dict]:
     base = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
     app_id = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages") as r:
-        stages = json.load(r)
+    url = f"{base}/api/v1/applications/{app_id}/stages"
+    with urllib.request.urlopen(url) as r:
+        return json.load(r)
+
+
+def _rest_metrics(spark, exclude_stage_ids: set) -> dict:
+    """Sum spill/peak-memory over the TIMED run's stages via the UI REST
+    API (public monitoring surface; same numbers the History Server
+    shows on a real cluster). Stages in ``exclude_stage_ids`` belong to
+    the untimed warmup and are dropped, so '0 spill' describes exactly
+    the measured leg."""
+    stages = [
+        s for s in _list_stages(spark)
+        if s.get("stageId") not in exclude_stage_ids
+    ]
     mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
     disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
     peak_exec = max(
@@ -71,7 +81,10 @@ def run(n_docs: int, cpus: int, heap: str) -> None:
     from bench import kg_end_to_end
 
     spark = get_spark(
-        "kg-stress", parallelism=cpus, shuffle_partitions=max(cpus * 8, 64),
+        # 32x shuffle partitions: at 20M docs a 64-partition mention
+        # shuffle makes single tasks own GBs under a capped heap — more,
+        # smaller partitions spill gracefully and AQE re-coalesces
+        "kg-stress", parallelism=cpus, shuffle_partitions=max(cpus * 32, 64),
         extra_conf={
             # capped heap: the executor-memory analog for local mode —
             # shuffles must fit-or-spill inside it, as on a real executor
@@ -84,6 +97,7 @@ def run(n_docs: int, cpus: int, heap: str) -> None:
         },
     )
     kg_end_to_end(spark, 200)  # warm codegen/JVM paths, untimed
+    warmup_ids = {s.get("stageId") for s in _list_stages(spark)}
     phases: dict = {}
     t0 = time.time()
     n = kg_end_to_end(spark, n_docs, phase_times=phases, docs_path=docs_path(n_docs))
@@ -95,7 +109,7 @@ def run(n_docs: int, cpus: int, heap: str) -> None:
         "triples_per_sec": round(n / dt, 1),
         "phases": phases,
     }
-    out.update(_rest_metrics(spark))
+    out.update(_rest_metrics(spark, warmup_ids))
     print(json.dumps(out))
 
 
