@@ -93,6 +93,61 @@ def stream_publish_versioned(
     )
 
 
+def stream_asof_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    event_schema: str,
+    builds_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload_cols: list[str],
+    build_seq: str,
+    time_bucket: float | None = None,
+):
+    """Streaming as-of enrichment: each micro-batch of events is joined
+    to the LATEST build row at-or-before its timestamp — the streaming
+    face of the temporal-cutoff semantics the reference applies in batch
+    (mapping/steps.ts:452-454), composed from three engine pieces:
+
+      - the build side is a VERSIONED table (``sources/versioned.py``)
+        re-resolved per batch, so a dimension published mid-stream is
+        picked up at the next micro-batch with snapshot consistency
+        (a half-written build table can never be observed);
+      - the join is ``operators/temporal.asof_join`` — same tie-break,
+        tolerance and (optional) time-bucket skew contract as batch;
+      - results append to ``out_dir``; exactly-once comes from the
+        streaming checkpoint + append-per-batch idempotency of the
+        file sink (same recipe as ``stream_documents``).
+
+    A true stream-stream as-of (late build rows re-matching already
+    emitted events) is a retraction semantics Structured Streaming
+    does not express; per-batch enrichment against the committed build
+    snapshot is the well-defined contract (same as Kafka Streams'
+    stream-table temporal join)."""
+    from ..operators.temporal import asof_join
+    from ..sources.versioned import read_snapshot
+
+    stream = spark.readStream.schema(event_schema).parquet(input_dir)
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        builds = read_snapshot(batch_df.sparkSession, builds_root)
+        out = asof_join(
+            batch_df, builds, on, probe_ts, build_ts, payload_cols,
+            build_seq, time_bucket=time_bucket,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Event-time tumbling-window counts with a watermark (late-data bound).

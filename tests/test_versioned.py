@@ -116,6 +116,31 @@ def test_crashed_commit_never_blocks_table(spark, tmp_path):
     assert not os.path.isdir(orphan_dir)
 
 
+def test_stale_lock_from_dead_writer_is_stolen(spark, tmp_path):
+    """A writer killed hard (SIGKILL/OOM) while holding _commit.lock
+    must not block the table forever: the lock records the holder pid,
+    and a provably-dead holder's lock is stolen on the next commit. A
+    pid-less (legacy/corrupt) lock stays conservative and raises."""
+    import subprocess
+    root = str(tmp_path / "tbl_lock")
+    write_snapshot(_df(spark, 0, 3), root)
+
+    # dead holder: a subprocess that has already exited
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(root, "_commit.lock"), "w") as f:
+        f.write(str(proc.pid))
+    assert write_snapshot(_df(spark, 3, 6), root, mode="append") == 2
+    assert read_snapshot(spark, root).count() == 6
+
+    # pid-less lock: refuse to steal
+    with open(os.path.join(root, "_commit.lock"), "w") as f:
+        f.write("")
+    with pytest.raises(RuntimeError, match="another writer"):
+        write_snapshot(_df(spark, 6, 9), root)
+    os.unlink(os.path.join(root, "_commit.lock"))
+
+
 def test_file_skipping_by_manifest_stats(spark, tmp_path):
     """Iceberg-style predicate file pruning: per-file min/max recorded at
     commit (parquet footers, no rescan) let a predicated read skip files
@@ -274,6 +299,58 @@ def test_stream_publish_versioned_exactly_once(spark, tmp_path):
     assert [h["version"] for h in hist2] == list(range(1, len(hist2) + 1))
     # older published prefixes stay time-travel readable
     assert read_snapshot(spark, root, version=hist1[-1]["version"]).count() == 10
+
+
+def test_stream_asof_enrich_against_versioned_builds(spark, tmp_path):
+    """Streaming as-of enrichment composed with versioned tables: each
+    micro-batch resolves the build side through the committed manifest,
+    so a build version published between batches is visible to the next
+    batch (and only whole versions are ever visible); the temporal
+    semantics are exactly batch asof_join's."""
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        stream_asof_enrich,
+    )
+    input_dir = str(tmp_path / "events_in")
+    builds_root = str(tmp_path / "builds")
+    out_dir = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt_asof")
+
+    write_snapshot(
+        spark.createDataFrame(
+            [("u1", 0.0, 1, 100.0)], "user string, bts double, seq long, val double"
+        ),
+        builds_root,
+    )
+    spark.createDataFrame(
+        [(1, "u1", 5.0), (2, "u2", 5.0)], "eid long, user string, ts double"
+    ).write.mode("append").parquet(input_dir)
+
+    kwargs = dict(on="user", probe_ts="ts", build_ts="bts",
+                  payload_cols=["val"], build_seq="seq")
+    q = stream_asof_enrich(
+        spark, input_dir, "eid long, user string, ts double",
+        builds_root, out_dir, ckpt, **kwargs)
+    q.awaitTermination(120)
+    got = {r["eid"]: r["asof_val"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: 100.0, 2: None}  # u2 has no build → unmatched
+
+    # publish a NEWER build version, then stream a second batch: the
+    # restart resolves the new snapshot; the older event stays as-is
+    write_snapshot(
+        spark.createDataFrame(
+            [("u1", 10.0, 2, 200.0)], "user string, bts double, seq long, val double"
+        ),
+        builds_root, mode="append",
+    )
+    spark.createDataFrame(
+        [(3, "u1", 15.0), (4, "u1", 7.0)], "eid long, user string, ts double"
+    ).write.mode("append").parquet(input_dir)
+    q2 = stream_asof_enrich(
+        spark, input_dir, "eid long, user string, ts double",
+        builds_root, out_dir, ckpt, **kwargs)
+    q2.awaitTermination(120)
+    got = {r["eid"]: r["asof_val"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: 100.0, 2: None, 3: 200.0, 4: 100.0}
 
 
 def test_pipeline_publish_and_versioned_input(spark, corpus20, tmp_path):
