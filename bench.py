@@ -32,6 +32,22 @@ HEADLINE = [
 ]
 
 
+def _simhash_prod(spark, sf_dir):
+    """Bench override: the board query `simhash_pairs` switched to the
+    md5-portable signature in round 4 (to gain a DuckDB oracle), but the
+    BENCH entry keeps timing the PRODUCTION xxhash64 kernel — the same
+    workload rounds 1-3 timed — so cross-round comparisons stay
+    like-for-like and the production path does not go untimed."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity with queries)
+    from decisions_knowledge_graph_data_spark.operators.dedup import simhash_dup_pairs
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# name → bench-specific callable overriding queries()[name]
+BENCH_OVERRIDES = {"simhash_pairs": _simhash_prod}
+
+
 def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
                   docs_path: str | None = None):
     """Full pipeline; returns n_triples. Pass phase_times={} to collect
@@ -78,10 +94,24 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
         "known_missing": spark.createDataFrame(reg.known_missing),
         "family_map": spark.createDataFrame(reg.family_map),
     }
-    # localCheckpoint truncates the logical plan: mentions feeds five
-    # downstream branches, and without truncation each carries the full
-    # kernel lineage into (driver-serial) analysis/optimization.
-    mentions = filter_self_references(extract_mentions(docs)).localCheckpoint()
+    # The shared intermediates (mentions → five branches, matches → two)
+    # are persisted DISK_ONLY and materialized once by an explicit count.
+    # The 20M-doc capped-heap legs showed the failure modes of the
+    # alternatives at corpus scale: localCheckpoint unrolls DESERIALIZED
+    # row partitions (8 concurrent ~100 MiB unrolls OOM a 16g heap —
+    # broadcast-join branches inherit the scan's fine partitioning, so
+    # BOTH intermediates live at corpus granularity), while default
+    # MEMORY_AND_DISK persist EVICTS under pressure and trips Spark 4's
+    # CacheManager.tryRebuildCacheEntry NPE via AQE's
+    # TableCacheQueryStage. DISK_ONLY columnar blocks never evict and
+    # never hold deserialized rows — memory stays bounded at any corpus
+    # size, and the cached relation still serves every branch once.
+    from pyspark import StorageLevel
+
+    mentions = filter_self_references(extract_mentions(docs)).persist(
+        StorageLevel.DISK_ONLY
+    )
+    mentions.count()
     mark("extract")
     matches = (
         link_rule_mentions(
@@ -90,7 +120,7 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
         .unionByName(
             link_family_mentions(mentions, tables["family_map"], tables["entity_registry"])
         )
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     matches.count()
     mark("link")
@@ -110,6 +140,7 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
     mark("triples")
     if not docs_path:
         docs.unpersist()
+    mentions.unpersist()
     matches.unpersist()
     return n
 
@@ -126,7 +157,7 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
+        df = BENCH_OVERRIDES.get(name, qs[name])(spark, SF_DIR)
         n = df.count()
         dt = round(time.time() - t0, 3)
         timings[name] = dt
@@ -176,7 +207,7 @@ def main() -> None:
         "triples_per_sec": triples_per_sec,
         "docs_per_sec": round(KG_DOCS / kg_dt, 1) if kg_dt else 0.0,
         "cpus": CPUS,
-        "scaling": "see BENCH/BASELINE.md: efficiency 0.97 at N=1 vs 4N=4 cores on 2M docs (same-day repeat band 0.91-0.97; full 1/2/4/8 ladder reported; identical triples every leg)",
+        "scaling": "see BENCH/BASELINE.md: efficiency 1.01 at N=1 vs 4N=4 cores on 2M docs (round-4 final code; cross-round repeat band 0.91-1.01; identical triples every leg) + 10x stress: 20M docs / 54 GB at local[8] under a 16g heap cap in 1010s with ZERO spill, local[16] 561s (0.90 eff), identical 138,981,374 triples both legs",
     }))
 
 
