@@ -316,6 +316,16 @@ def _file_can_match(stats: dict | None, predicates: dict) -> bool:
     min/max (which exclude nulls) stay a sound bound."""
     if stats is None:
         return True
+    try:
+        return _stats_can_match(stats, predicates)
+    except TypeError:
+        # predicate value not comparable with the stored stat type
+        # (e.g. int vs string-typed stats): pruning silently keeps the
+        # file — the residual filter still guarantees exact results
+        return True
+
+
+def _stats_can_match(stats: dict, predicates: dict) -> bool:
     for col, (op, val) in predicates.items():
         st = stats.get(col)
         if st is None:

@@ -206,6 +206,38 @@ def test_append_stats_carry_forward(spark, tmp_path):
     assert read_snapshot(spark, root, predicates={"id": ("<", 25)}).count() == 25
 
 
+def test_pruning_with_evolved_column_and_mismatched_types(spark, tmp_path):
+    """Pruning composes with schema evolution: a predicate on a column
+    the parent's files don't have keeps those files (no stats → can't
+    prune) and the residual filter still yields exact results (the
+    evolved column reads as NULL there, and NULL never matches). A
+    type-mismatched predicate value degrades to no-pruning, never to a
+    crash or a wrong answer."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import plan_files
+
+    root = str(tmp_path / "tbl_evo_prune")
+    write_snapshot(
+        spark.range(0, 50).select("id"), root, stats_cols=["id"])
+    write_snapshot(
+        spark.range(50, 100).select(
+            "id", (F.col("id") * 10).alias("score")),
+        root, mode="append", stats_cols=["id", "score"])
+
+    # predicate on the evolved column: v1 files have no 'score' stats →
+    # kept; v2 files prune normally; results == full scan + filter
+    files, skipped, _ = plan_files(root, predicates={"score": (">=", 990)})
+    got = read_snapshot(spark, root, predicates={"score": (">=", 990)})
+    assert got.count() == 1 and got.first()["id"] == 99
+    assert len(files) + skipped == len(plan_files(root)[0])
+
+    # type-mismatched predicate: int stats vs string value → keep all
+    # files (no crash), residual filter decides
+    files2, skipped2, _ = plan_files(root, predicates={"id": (">=", "90")})
+    assert skipped2 == 0
+    assert read_snapshot(
+        spark, root, predicates={"id": (">=", 90)}).count() == 10
+
+
 def test_schema_evolution_on_append(spark, tmp_path):
     """An append may ADD columns: old versions keep their schema, the new
     version reads the union (old files' new columns are NULL), and a
