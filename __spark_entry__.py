@@ -1108,14 +1108,7 @@ def q_graph_pagerank(spark, sf):
     )
 
 
-def q_asof_join(spark, sf):
-    """Generic as-of join (pandas merge_asof semantics, backward
-    inclusive) as ONE union-sort shuffle — the operator behind the
-    reference's temporal-cutoff candidate pick (latest valid_from <=/<
-    doc_date, mapping/steps.ts:452-454), generalized. Latest purchase
-    at-or-before each click per user; ties on ts broken by largest
-    event_id (determinism is part of the contract). DuckDB oracle is
-    the quadratic theta-join + row_number formulation."""
+def _asof_clicks_purchases(spark, sf, time_bucket=None):
     from decisions_knowledge_graph_data_spark.operators.temporal import asof_join
     ev = _t(spark, sf, "events")
     ts_s = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ(UTC) → s
@@ -1128,6 +1121,7 @@ def q_asof_join(spark, sf):
     j = asof_join(
         clicks, buys, on="user_id", probe_ts="ts_s", build_ts="ts_s",
         payload_cols=["event_id", "value"], build_seq="event_id",
+        time_bucket=time_bucket,
     )
     return j.filter(F.col("asof_ts").isNotNull()).select(
         F.col("event_id").alias("click_id"),
@@ -1135,6 +1129,28 @@ def q_asof_join(spark, sf):
         F.col("asof_event_id").alias("purchase_id"),
         F.col("asof_value").alias("purchase_value"),
     )
+
+
+def q_asof_join(spark, sf):
+    """Generic as-of join (pandas merge_asof semantics, backward
+    inclusive) as ONE union-sort shuffle — the operator behind the
+    reference's temporal-cutoff candidate pick (latest valid_from <=/<
+    doc_date, mapping/steps.ts:452-454), generalized. Latest purchase
+    at-or-before each click per user; ties on ts broken by largest
+    event_id (determinism is part of the contract). DuckDB oracle is
+    the quadratic theta-join + row_number formulation."""
+    return _asof_clicks_purchases(spark, sf)
+
+
+def q_asof_join_bucketed(spark, sf):
+    """The mega-key skew plan of the same as-of join (round 4): the
+    window sort partitions on (key, 7-day time bucket) and an exact
+    bucket-granularity carry-in restores cross-bucket matches — AQE
+    cannot split a window partition, so this is the plan a hub key
+    carrying half the corpus needs. Semantics-free by contract, so it
+    shares q_asof_join's DuckDB oracle verbatim: any hash divergence
+    between the two rows is a carry-in bug."""
+    return _asof_clicks_purchases(spark, sf, time_bucket=7 * 86400.0)
 
 
 def q_range_join(spark, sf):
@@ -1376,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_taxonomy": q_error_taxonomy,
         # displaced to make room for the round-3 families above — each a
         # family twin with a green row on a prior driver board (r1/r2)
+        "asof_join_bucketed": q_asof_join_bucketed,  # skew plan of asof_join, same oracle
         "language_id": q_language_id,        # textstats: token_counts, quality_score
         "length_buckets": q_length_buckets,  # filter family: exclusion_filter (green r1-r3)
         "overlap_join": q_overlap_join,      # temporal family: asof_join, range_join
@@ -1397,6 +1414,13 @@ _SIMHASH_SIG = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the time-bucketed asof plan is semantics-free: same oracle
+    d["asof_join_bucketed"] = d["asof_join"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "kg_star_triples": """
             SELECT 'CUST-' || CAST(c_custkey AS VARCHAR) AS subj,

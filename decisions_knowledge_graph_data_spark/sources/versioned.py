@@ -458,6 +458,65 @@ def read_snapshot(
     return df
 
 
+BUCKET_COL = "_pt_bucket"
+
+
+def write_snapshot_bucketed(
+    df: DataFrame,
+    root: str,
+    col: str,
+    n_buckets: int,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Iceberg ``bucket(N, col)`` partition-transform write: a point
+    lookup on an UNORDERED key can't use min/max stats (hash-scattered
+    values span every file), so a deterministic bucket id
+    (``pmod(xxhash64(col), N)``) is materialized as a narrow column,
+    files are range-laid-out by it, and its per-file stats go in the
+    manifest. ``read_snapshot_bucket_eq`` then turns ``col == v`` into
+    a bucket-id prune — at 100 TB, a point lookup touches ~1/N of the
+    files instead of all of them. The transform spec is recorded in the
+    manifest meta; extra ``stats_cols`` still apply to other columns."""
+    bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    laid_out = df.withColumn(BUCKET_COL, bucket).repartitionByRange(
+        n_files or n_buckets, BUCKET_COL
+    )
+    return write_snapshot(
+        laid_out, root, mode=mode,
+        stats_cols=[BUCKET_COL, *(stats_cols or [])],
+        meta={**(meta or {}), "bucket_transform": {"col": col, "n": n_buckets}},
+    )
+
+
+def read_snapshot_bucket_eq(
+    spark: SparkSession, root: str, value, version: int | None = None,
+) -> DataFrame:
+    """Point lookup through the bucket transform: resolve the manifest's
+    recorded ``bucket(N, col)`` spec, compute the value's bucket id (one
+    1-row Spark job — xxhash64 must match the write-side JVM hash), and
+    read only files whose bucket-id stats admit it; the exact equality
+    filter runs on the survivors. Result equals a full scan + filter."""
+    v = _resolve_version(root, version, None)
+    m = _read_manifest(root, v)
+    spec = m.get("meta", {}).get("bucket_transform")
+    if not spec:
+        raise ValueError(f"{root} v{v} was not written with a bucket transform")
+    # the literal must hash EXACTLY like the stored column: cast it to
+    # the column's manifest type (xxhash64 of int32 != xxhash64 of int64)
+    col_type = StructType.fromJson(m["schema"])[spec["col"]].dataType
+    lit = F.lit(value).cast(col_type)
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(lit), F.lit(spec["n"])).cast("int").alias("b")
+    ).first()["b"]
+    df = read_snapshot(
+        spark, root, version=version, predicates={BUCKET_COL: ("==", b)}
+    )
+    return df.filter(F.col(spec["col"]) == lit).drop(BUCKET_COL)
+
+
 def table_history(root: str) -> list[dict]:
     """All committed manifests, oldest first (version/mode/rows/time)."""
     out = []
