@@ -480,6 +480,21 @@ def write_snapshot_bucketed(
     a bucket-id prune — at 100 TB, a point lookup touches ~1/N of the
     files instead of all of them. The transform spec is recorded in the
     manifest meta; extra ``stats_cols`` still apply to other columns."""
+    if mode == "append":
+        parent = current_version(root)
+        if parent is not None:
+            pspec = _read_manifest(root, parent).get("meta", {}).get(
+                "bucket_transform"
+            )
+            if pspec != {"col": col, "n": n_buckets}:
+                # a spec mismatch (or a non-bucketed parent) would make
+                # read_snapshot_bucket_eq prune/filter the parent's rows
+                # with the wrong bucket ids — silently wrong answers
+                raise ValueError(
+                    f"bucketed append requires the parent's transform to "
+                    f"match: parent has {pspec!r}, append wants "
+                    f"{{'col': {col!r}, 'n': {n_buckets}}}"
+                )
     bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
     laid_out = df.withColumn(BUCKET_COL, bucket).repartitionByRange(
         n_files or n_buckets, BUCKET_COL
@@ -508,11 +523,22 @@ def read_snapshot_bucket_eq(
     # the column's manifest type (xxhash64 of int32 != xxhash64 of int64)
     col_type = StructType.fromJson(m["schema"])[spec["col"]].dataType
     lit = F.lit(value).cast(col_type)
-    b = spark.range(1).select(
-        F.pmod(F.xxhash64(lit), F.lit(spec["n"])).cast("int").alias("b")
-    ).first()["b"]
+    probe = spark.range(1).select(
+        F.pmod(F.xxhash64(lit), F.lit(spec["n"])).cast("int").alias("b"),
+        # a lossy cast (1.5 probing a bigint column truncates to 1)
+        # would RETURN rows a full scan + filter would not — reject it
+        (lit == F.lit(value)).alias("ok"),
+    ).first()
+    if not probe["ok"]:
+        raise ValueError(
+            f"probe value {value!r} is not exactly representable as the "
+            f"bucketed column's type {col_type.simpleString()}"
+        )
+    # pin the read to the version whose spec we just resolved — a commit
+    # landing between two resolutions must not pair v's bucket id with
+    # v+1's files (snapshot isolation)
     df = read_snapshot(
-        spark, root, version=version, predicates={BUCKET_COL: ("==", b)}
+        spark, root, version=v, predicates={BUCKET_COL: ("==", probe["b"])}
     )
     return df.filter(F.col(spec["col"]) == lit).drop(BUCKET_COL)
 

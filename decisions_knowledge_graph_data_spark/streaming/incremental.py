@@ -118,9 +118,13 @@ def stream_asof_enrich(
         (a half-written build table can never be observed);
       - the join is ``operators/temporal.asof_join`` — same tie-break,
         tolerance and (optional) time-bucket skew contract as batch;
-      - results append to ``out_dir``; exactly-once comes from the
-        streaming checkpoint + append-per-batch idempotency of the
-        file sink (same recipe as ``stream_documents``).
+      - results publish through ``publish_batch_versioned``, so the
+        output is itself a versioned table whose committed manifests
+        are the exactly-once source of truth: foreachBatch is
+        at-least-once (a crash after the write but before the offset
+        commit replays the batch), and a replayed batch_id is a no-op
+        instead of a duplicate append — read the result with
+        ``read_snapshot(out_dir)``.
 
     A true stream-stream as-of (late build rows re-matching already
     emitted events) is a retraction semantics Structured Streaming
@@ -138,7 +142,7 @@ def stream_asof_enrich(
             batch_df, builds, on, probe_ts, build_ts, payload_cols,
             build_seq, time_bucket=time_bucket,
         )
-        out.write.mode("append").parquet(out_dir)
+        publish_batch_versioned(out, batch_id, out_dir)
 
     return (
         stream.writeStream.foreachBatch(enrich)
