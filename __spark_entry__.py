@@ -395,6 +395,28 @@ def q_versioned_pruned_read(spark, sf):
     )
 
 
+def q_bucket_lookup(spark, sf):
+    """Iceberg bucket(N, col) partition-transform point lookup (round
+    4): orders is committed once per sf-dir bucketed on o_custkey —
+    min/max stats are useless on an unordered key, so the materialized
+    pmod(xxhash64, N) bucket-id column drives the file skip and the
+    lookup reads ~1/N of the files (skip count asserted in
+    test_versioned.py). Oracle: the plain WHERE-scan the pruned read
+    must equal."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot_bucket_eq, write_snapshot_bucketed,
+    )
+    root = _versioned_orders_root(sf) + "_bucketed"
+    if current_version(root) is None:
+        write_snapshot_bucketed(
+            _t(spark, sf, "orders"), root, "o_custkey", n_buckets=8)
+    hit = read_snapshot_bucket_eq(spark, root, 371)
+    return hit.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    ).orderBy("o_orderkey")
+
+
 def q_length_buckets(spark, sf):
     d = _t(spark, sf, "documents")
     bucket = (
@@ -1393,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced to make room for the round-3 families above — each a
         # family twin with a green row on a prior driver board (r1/r2)
         "asof_join_bucketed": q_asof_join_bucketed,  # skew plan of asof_join, same oracle
+        "bucket_lookup": q_bucket_lookup,    # versioned family: versioned_pruned_read
         "language_id": q_language_id,        # textstats: token_counts, quality_score
         "length_buckets": q_length_buckets,  # filter family: exclusion_filter (green r1-r3)
         "overlap_join": q_overlap_join,      # temporal family: asof_join, range_join
@@ -2098,6 +2121,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                        + 0.25 * (CASE WHEN n_alpha / greatest(n_tokens, 1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.5 END),
                      4) AS quality
             FROM stats
+        """,
+        "bucket_lookup": """
+            -- the bucket-transform point lookup must equal the plain
+            -- WHERE-scan (file skipping is a scan optimization only)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 2) AS price
+            FROM orders WHERE o_custkey = 371
+            ORDER BY o_orderkey
         """,
         "versioned_pruned_read": """
             -- the versioned read with predicate file-skipping must equal
