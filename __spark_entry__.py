@@ -630,15 +630,30 @@ def q_json_extract(spark, sf):
 
 def q_kg_jurisdiction(spark, sf):
     """Per-doc jurisdiction classification on the synthetic corpus
-    (regex-extractor.ts:157-226; goldens in tests/test_extraction.py;
-    rows-only — corpus lives outside the oracle tables)."""
+    (regex-extractor.ts:157-226), ORACLE-CHECKED over the materialized
+    corpus parquet (round-4 VERDICT item 1). To exercise BOTH priority
+    tiers — not just the identifier fast path — docs whose lang is
+    py/java have their identifier masked (deterministic, mirrored in
+    the oracle), forcing the court-token fallback: first NAME_DATE
+    mention's alias → broadcast alias_map region. The oracle re-derives
+    the first NAME_DATE mention with its own regex scan over content,
+    so extraction, normalization and the tier order are all
+    double-implemented."""
     from decisions_knowledge_graph_data_spark.operators.extract import (
         classify_jurisdiction, extract_mentions,
     )
-    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
-    tables, _, _ = corpus_tables(spark, 40)
-    docs = tables["documents"]
-    return classify_jurisdiction(docs, extract_mentions(docs), tables["alias_map"])
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_parquet_root
+    root = corpus_parquet_root(40)
+    docs = spark.read.parquet(f"{root}/documents.parquet").drop("doc_id")
+    docs = docs.withColumn(
+        "doc_ident",
+        F.when(F.col("lang").isin("py", "java"), F.lit(None).cast("string"))
+        .otherwise(F.col("doc_ident")),
+    )
+    alias_map = spark.read.parquet(f"{root}/alias_map.parquet")
+    return classify_jurisdiction(
+        docs, extract_mentions(docs), alias_map
+    ).orderBy("doc_id")
 
 
 def q_jurisdiction_counts(spark, sf):
@@ -1060,21 +1075,39 @@ def q_kg_triples(spark, sf):
 
 
 def q_kg_references(spark, sf):
+    """Agent-2B reference extraction over the REAL synthetic corpus,
+    ORACLE-CHECKED (round-4 VERDICT item 1): the corpus is materialized
+    once as parquet (sources/corpus.py:corpus_parquet_root) so DuckDB
+    reruns the same regex families over the same bits. The Spark side
+    re-mints doc_id column-natively, so a green row also proves
+    doc_uid parity with the python minting in the parquet. DuckDB has
+    no lookarounds (RE2), so the oracle's NUMAC family filters maximal
+    digit runs to length 10 — provably identical to
+    ``(?<!\\d)\\d{10}(?!\\d)``."""
     from decisions_knowledge_graph_data_spark.operators.references import reference_counts
-    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
-    tables, _, _ = corpus_tables(spark, 40)
-    return reference_counts(tables["documents"])
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_parquet_root
+    docs = spark.read.parquet(f"{corpus_parquet_root(40)}/documents.parquet")
+    return reference_counts(docs.drop("doc_id"))
 
 
 def q_kg_citations(spark, sf):
     """Tiered citation-evidence finder on the synthetic corpus
-    (citation-finder.ts:48-313; goldens-backed in tests/test_citations.py;
-    rows-only here — the corpus lives outside the oracle tables)."""
+    (citation-finder.ts:48-313), ORACLE-CHECKED over the materialized
+    corpus parquet (round-4 VERDICT item 1): DuckDB re-implements every
+    probe — ECLI colon-spacing, the 3 case-number builders, flexible
+    court aliases, the 4 date forms — with RE2 lazy-prefix position
+    capture (``^(.*?)(pat)``) in place of Java's ``regexp_instr``, and
+    the ``(?<!\\d)`` date guard as a digit-free-prefix group. Tier
+    order, proximity and the sentence-aligned snippet are all
+    double-implemented; goldens in tests/test_citations.py stay as the
+    P/R gate."""
     from decisions_knowledge_graph_data_spark.operators.citations import find_citations
-    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_tables
-    tables, bundle, _ = corpus_tables(spark, 40)
-    cands = spark.createDataFrame(bundle.expected_citations.drop(columns=["tier"]))
-    return find_citations(tables["documents"], cands, tables["alias_map"])
+    from decisions_knowledge_graph_data_spark.sources.corpus import corpus_parquet_root
+    root = corpus_parquet_root(40)
+    docs = spark.read.parquet(f"{root}/documents.parquet")
+    cands = spark.read.parquet(f"{root}/citation_candidates.parquet")
+    alias_map = spark.read.parquet(f"{root}/alias_map.parquet")
+    return find_citations(docs, cands, alias_map).orderBy("doc_id", "target_id")
 
 
 def q_citation_snippets(spark, sf):
@@ -1326,6 +1359,251 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     )
 
 
+# ---------------------------------------------------- corpus-backed oracles
+# DuckDB twins of the flagship regex+join queries over the materialized
+# corpus parquet (round-4 VERDICT item 1). RE2 constraints and their
+# exact-equivalence workarounds:
+#   * no lookbehind  → match position via lazy-prefix capture
+#     ``^(.*?)(pat)`` (leftmost-first in RE2 == Java ``Matcher.find``),
+#     and the date probes' ``(?<!\d)`` guard as ``^((?:.*?[^0-9])?)(pat)``
+#     (prefix empty or ending in a non-digit — the same position scan);
+#   * NUMAC ``(?<!\d)\d{10}(?!\d)`` → maximal digit runs filtered to
+#     length 10 (identical match set by definition of maximality).
+
+# regex-escape of a data-derived string (citation-finder.ts:41-43 port)
+def _sql_esc(expr: str) -> str:
+    return (
+        r"regexp_replace(" + expr + r", '([.*+?^${}()|\[\]\\])', '\\\1', 'g')"
+    )
+
+
+def _sql_probe(content: str, pats: str) -> str:
+    """Earliest-match struct {p, l} across a LIST of plain patterns
+    (NULL when none match) — the _first_hit_re port."""
+    ext = f"regexp_extract({content}, '^(.*?)(' || pat || ')', {{}})"
+    return f"""list_min(list_filter(list_transform({pats}, pat ->
+        {{'p': CASE WHEN {ext.format(2)} = '' THEN 0
+                 ELSE len({ext.format(1)}) + 1 END,
+           'l': len({ext.format(2)})}}), x -> x.p > 0))"""
+
+
+def _sql_probe_guarded(content: str, pats: str) -> str:
+    """Same, over a LIST of {g, pat} structs: g=true applies the
+    digit-free-prefix emulation of the ``(?<!\\d)`` lead."""
+    pre = "(CASE WHEN x.g THEN '^((?:.*?[^0-9])?)(' ELSE '^(.*?)(' END)"
+    ext = f"regexp_extract({content}, {pre} || x.pat || ')', {{}})"
+    return f"""list_min(list_filter(list_transform({pats}, x ->
+        {{'p': CASE WHEN {ext.format(2)} = '' THEN 0
+                 ELSE len({ext.format(1)}) + 1 END,
+           'l': len({ext.format(2)})}}), x -> x.p > 0))"""
+
+
+_SQL_MONTH_PATS = ", ".join(
+    "'" + p + "'" for p in [
+        r"(?:janvier|januari|jan\.?)", r"(?:février|februari|feb\.?)",
+        r"(?:mars|maart|mar\.?)", r"(?:avril|april|apr\.?)",
+        r"(?:mai|mei)", r"(?:juin|juni|jun\.?)",
+        r"(?:juillet|juli|jul\.?)", r"(?:août|augustus|aug\.?)",
+        r"(?:septembre|september|sept?\.?)", r"(?:octobre|oktober|oct\.?|okt\.?)",
+        r"(?:novembre|november|nov\.?)", r"(?:décembre|december|dec\.?)",
+    ]
+)
+
+_SQL_MONTH_ALT = (
+    "janvier|février|mars|avril|mai|juin|juillet|août|septembre|octobre"
+    "|novembre|décembre|januari|februari|maart|april|mei|juni|juli"
+    "|augustus|september|oktober|november|december"
+)
+
+
+def _kg_corpus_oracles() -> dict[str, str]:
+    from decisions_knowledge_graph_data_spark.sources.corpus import (
+        corpus_parquet_root,
+    )
+
+    root = corpus_parquet_root(40)
+    docs_pq = f"'{root}/documents.parquet'"
+    amap_pq = f"'{root}/alias_map.parquet'"
+    cand_pq = f"'{root}/citation_candidates.parquet'"
+
+    kg_references = f"""
+        WITH ref AS (
+          SELECT doc_id,
+            list_distinct(regexp_extract_all(content,
+              'CELEX:3[0-9]{{4}}[LRD][0-9]{{4}}')) AS celex,
+            list_filter(list_distinct(regexp_extract_all(content, '[0-9]+')),
+              x -> len(x) = 10) AS numac,
+            list_distinct(regexp_extract_all(content,
+              'https://(?:lex|codex)\\.example\\.(?:eu|be)/[\\w/.-]+')) AS urls
+          FROM {docs_pq}
+          WHERE content IS NOT NULL AND content <> ''
+        )
+        SELECT doc_id,
+          CAST(len(celex) AS INT) AS n_celex_extracted,
+          CAST(len(list_filter(celex, c ->
+            CAST(substring(c, 8, 4) AS INT) BETWEEN 1950 AND 2030))
+            AS INT) AS n_celex_verified,
+          CAST(len(numac) AS INT) AS n_numac_extracted,
+          CAST(len(list_filter(numac, c ->
+            CAST(substring(c, 1, 4) AS INT) BETWEEN 1900 AND 2030
+            AND CAST(substring(c, 5, 2) AS INT) BETWEEN 1 AND 12))
+            AS INT) AS n_numac_verified,
+          CAST(len(urls) AS INT) AS n_urls
+        FROM ref
+    """
+
+    kg_jurisdiction = f"""
+        WITH docs AS (
+          SELECT doc_id, content,
+            CASE WHEN lang IN ('py', 'java') THEN NULL
+                 ELSE doc_ident END AS doc_ident
+          FROM {docs_pq}
+          WHERE content IS NOT NULL AND content <> ''
+        ), t1 AS (
+          SELECT doc_id, content,
+            CASE WHEN doc_ident IS NOT NULL
+                   AND regexp_matches(doc_ident, '^DOC:[0-9]{{2}}:[0-9]{{7}}$')
+                 THEN 'R' || substring(doc_ident, 5, 2) END AS ident_region
+          FROM docs
+        ), nd AS (
+          SELECT doc_id,
+            lower(trim(regexp_extract(content,
+              'Reviewed by (.{{1,60}}?) on (?:[0-9]{{1,2}}/[0-9]{{1,2}}/[0-9]{{4}}|[0-9]{{1,2}} (?:{_SQL_MONTH_ALT}) [0-9]{{4}})',
+              1))) AS an
+          FROM t1
+        ), am AS (
+          SELECT lower(trim(alias)) AS an, min(region) AS region
+          FROM {amap_pq} GROUP BY 1
+        )
+        SELECT t1.doc_id,
+          COALESCE(t1.ident_region, am.region, 'UNKNOWN') AS jurisdiction,
+          CASE WHEN t1.ident_region IS NOT NULL THEN 'IDENT'
+               WHEN am.region IS NOT NULL THEN 'COURT_TOKEN'
+               ELSE 'UNKNOWN' END AS juris_source
+        FROM t1
+        LEFT JOIN nd ON nd.doc_id = t1.doc_id AND nd.an <> ''
+        LEFT JOIN am ON am.an = nd.an
+        ORDER BY t1.doc_id
+    """
+
+    esc_alias = _sql_esc("a")
+    court_pat = (
+        r"'(?i)' || replace(regexp_replace(" + esc_alias
+        + r", '\s+', '\\s+', 'g'), '\.', '\.?')"
+    )
+    cass_re = r"^([A-Za-z])\.?([0-9]{2,4})\.?([0-9]{1,5})\.?([A-Za-z])$"
+    kg_citations = f"""
+        WITH amap AS (
+          SELECT canonical_code AS org_code,
+                 list_transform(list(alias), a -> {court_pat}) AS court_pats
+          FROM {amap_pq} GROUP BY canonical_code
+        ), cand AS (
+          SELECT c.doc_id, c.target_id, c.ident, c.case_canonical,
+                 c.decision_date, d.content AS c_, a.court_pats
+          FROM {cand_pq} c
+          JOIN {docs_pq} d USING (doc_id)
+          LEFT JOIN amap a USING (org_code)
+        ), pats AS (
+          SELECT doc_id, target_id, c_, court_pats,
+            CASE WHEN ident IS NOT NULL
+                   AND len(str_split(ident, ':')) >= 3 THEN
+              ['(?i)' || array_to_string(
+                 list_transform(str_split(ident, ':'), a -> {esc_alias}),
+                 '\\s*:\\s*')]
+            ELSE [] END AS ecli_pats,
+            list_filter([
+              '(?i)' || {_sql_esc("case_canonical")},
+              '(?i)' || array_to_string(list_filter(
+                 list_transform(string_split_regex(case_canonical,
+                   '[\\s.\\-/]+'), a -> {esc_alias}), a -> a <> ''),
+                 '[\\s.\\-/]*'),
+              CASE WHEN regexp_matches(case_canonical, '{cass_re}') THEN
+                '(?i)' || regexp_extract(case_canonical, '{cass_re}', 1)
+                || '[\\s.\\-]*' || regexp_extract(case_canonical, '{cass_re}', 2)
+                || '[\\s.\\-]*0*' || regexp_extract(case_canonical, '{cass_re}', 3)
+                || '[\\s.\\-]*' || regexp_extract(case_canonical, '{cass_re}', 4)
+              END], a -> a IS NOT NULL) AS case_pats,
+            CASE WHEN decision_date IS NOT NULL AND regexp_matches(decision_date,
+                   '^[0-9]{{4}}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$') THEN
+              [{{'g': false, 'pat': {_sql_esc("decision_date")}}},
+               {{'g': true, 'pat': '(?i)' || (CASE WHEN substring(decision_date, 9, 1) = '0'
+                    THEN '0?' || substring(decision_date, 10, 1)
+                    ELSE substring(decision_date, 9, 2) END)
+                 || '(?:er|ère)?\\s+'
+                 || list_extract([{_SQL_MONTH_PATS}],
+                      CAST(substring(decision_date, 6, 2) AS INT))
+                 || '\\s+' || substring(decision_date, 1, 4)}},
+               {{'g': true, 'pat': '(?i)' || (CASE WHEN substring(decision_date, 9, 1) = '0'
+                    THEN '0?' || substring(decision_date, 10, 1)
+                    ELSE substring(decision_date, 9, 2) END)
+                 || '\\s*[/\\-.]\\s*'
+                 || (CASE WHEN substring(decision_date, 6, 1) = '0'
+                    THEN '0?' || substring(decision_date, 7, 1)
+                    ELSE substring(decision_date, 6, 2) END)
+                 || '\\s*[/\\-.]\\s*' || substring(decision_date, 1, 4)}},
+               {{'g': true, 'pat': '(?i)' || (CASE WHEN substring(decision_date, 9, 1) = '0'
+                    THEN '0?' || substring(decision_date, 10, 1)
+                    ELSE substring(decision_date, 9, 2) END)
+                 || '\\s*[/\\-.]\\s*'
+                 || (CASE WHEN substring(decision_date, 6, 1) = '0'
+                    THEN '0?' || substring(decision_date, 7, 1)
+                    ELSE substring(decision_date, 6, 2) END)
+                 || '\\s*[/\\-.]\\s*' || substring(decision_date, 3, 2) || '\\b'}}]
+            ELSE [] END AS date_pats
+          FROM cand
+        ), probed AS (
+          SELECT doc_id, target_id, c_,
+            {_sql_probe("c_", "ecli_pats")} AS ident_h,
+            {_sql_probe("c_", "case_pats")} AS case_h,
+            {_sql_probe("c_", "COALESCE(court_pats, [])")} AS court_h,
+            {_sql_probe_guarded("c_", "date_pats")} AS date_h
+          FROM pats
+        ), flagged AS (
+          SELECT doc_id, target_id, c_, ident_h, case_h, court_h,
+            COALESCE(ident_h.p, 0) AS p1,
+            COALESCE(date_h.p, 0) AS pd, date_h.l AS dl,
+            (court_h IS NOT NULL AND COALESCE(date_h.p, 0) > 0
+             AND abs(court_h.p - date_h.p) <= 200) AS t3
+          FROM probed
+        ), sel AS (
+          SELECT doc_id, target_id, c_,
+            CASE WHEN p1 > 0 THEN 1 WHEN case_h IS NOT NULL THEN 2
+                 WHEN t3 THEN 3 WHEN court_h IS NOT NULL THEN 4 END AS tier,
+            CASE WHEN p1 > 0 THEN 'IDENT' WHEN case_h IS NOT NULL THEN 'CASE_NUM'
+                 WHEN t3 THEN 'COURT_DATE' WHEN court_h IS NOT NULL THEN 'COURT_ONLY'
+                 END AS method,
+            CASE WHEN p1 > 0 THEN p1 WHEN case_h IS NOT NULL THEN case_h.p
+                 WHEN t3 THEN least(court_h.p, pd)
+                 WHEN court_h IS NOT NULL THEN court_h.p END AS pos,
+            CASE WHEN p1 > 0 THEN ident_h.l WHEN case_h IS NOT NULL THEN case_h.l
+                 WHEN t3 THEN greatest(court_h.p + court_h.l, pd + dl)
+                              - least(court_h.p, pd)
+                 WHEN court_h IS NOT NULL THEN court_h.l END AS hl
+          FROM flagged
+        ), parts AS (
+          SELECT doc_id, target_id, tier, method, pos,
+            substring(c_, CAST(pos - least(pos - 1, 300) AS BIGINT),
+                      CAST(least(pos - 1, 300) AS BIGINT)) AS lead,
+            substring(c_, CAST(pos AS BIGINT), CAST(hl AS BIGINT)) AS hit,
+            substring(c_, CAST(pos + hl AS BIGINT), 300) AS trail
+          FROM sel WHERE tier IS NOT NULL
+        )
+        SELECT doc_id, target_id, CAST(tier AS INT) AS tier, method,
+          CAST(pos AS INT) AS pos,
+          trim(regexp_replace(
+            list_extract(string_split(lead, '. '), len(string_split(lead, '. ')))
+            || hit || list_extract(string_split(trail, '. '), 1),
+            '\\s+', ' ', 'g')) AS snippet
+        FROM parts
+        ORDER BY doc_id, target_id
+    """
+    return {
+        "kg_references": kg_references,
+        "kg_jurisdiction": kg_jurisdiction,
+        "kg_citations": kg_citations,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver records exactly the FIRST 50 dict
     # entries. Round-3 curation (round-2 VERDICT items 1-3): the first 50
@@ -1440,6 +1718,10 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_literal()
     # the time-bucketed asof plan is semantics-free: same oracle
     d["asof_join_bucketed"] = d["asof_join"]
+    # corpus-backed flagship oracles: building them materializes the
+    # corpus parquet, so the SQL is runnable no matter which engine the
+    # harness fires first
+    d.update(_kg_corpus_oracles())
     return d
 
 

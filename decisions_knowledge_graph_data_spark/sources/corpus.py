@@ -26,6 +26,7 @@ valid/broken URLs, and planted self-references that extraction must filter
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -718,6 +719,65 @@ def gen_test_set(bundle: CorpusBundle, per_stratum: int = 2) -> pd.DataFrame:
 
 
 # ------------------------------------------------------------- Spark surfaces
+
+_CORPUS_ROOT_CACHE: dict[int, str] = {}
+
+
+def corpus_parquet_root(n_docs: int) -> str:
+    """Materialize the deterministic corpus as parquet under /tmp and
+    return the directory (round-4 VERDICT item 1: both engines of the
+    correctness gate read the SAME bits, so the flagship regex+join
+    queries get real DuckDB oracles instead of rows-only checks).
+
+    Contents: ``documents.parquet`` (corpus rows + the python-minted
+    ``doc_id`` — the Spark side re-mints it with the column-expression
+    ``doc_uid``, so a hash-green oracle row also proves id-mint parity),
+    ``alias_map.parquet``, ``citation_candidates.parquet`` (the
+    expected-citations records sans the ``tier`` answer column).
+
+    The path is keyed by a content fingerprint over every table, so a
+    generator change rolls the cache instead of serving stale rows; the
+    write is staged to a tmp dir and ``os.rename``d (atomic publish —
+    concurrent callers race benignly: one rename wins, losers delete
+    their stage).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    cached = _CORPUS_ROOT_CACHE.get(n_docs)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    reg = gen_registry()
+    bundle = gen_corpus(n_docs, reg)
+    docs = bundle.documents.copy()
+    docs.insert(0, "doc_id", [
+        doc_uid_py(r, p, c)
+        for r, p, c in zip(docs["repo"], docs["path"], docs["commit"])
+    ])
+    cands = bundle.expected_citations.drop(columns=["tier"])
+    fp = hashlib.sha256(
+        ("\n".join(docs["content_sha256"])
+         + "|" + reg.alias_map.to_csv(index=False)
+         + "|" + cands.to_csv(index=False) + "|fmt1").encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"kg_corpus_{n_docs}_{fp}")
+    if not os.path.isdir(root):
+        stage = f"{root}.tmp.{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        docs.to_parquet(os.path.join(stage, "documents.parquet"), index=False)
+        reg.alias_map.to_parquet(
+            os.path.join(stage, "alias_map.parquet"), index=False)
+        cands.to_parquet(
+            os.path.join(stage, "citation_candidates.parquet"), index=False)
+        try:
+            os.rename(stage, root)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.isdir(root):
+                raise
+    _CORPUS_ROOT_CACHE[n_docs] = root
+    return root
 
 
 def corpus_tables(spark, n_docs: int, reg: RegistryBundle | None = None):
