@@ -49,11 +49,20 @@ BENCH_OVERRIDES = {"simhash_pairs": _simhash_prod}
 
 
 def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
-                  docs_path: str | None = None):
+                  docs_path: str | None = None, shared_storage=None):
     """Full pipeline; returns n_triples. Pass phase_times={} to collect
     per-phase wall times. With ``docs_path`` the corpus is read from
     parquet (the north-rule shape: the job *reads a source table*);
-    otherwise it is generated distributedly in-line."""
+    otherwise it is generated distributedly in-line.
+
+    ``shared_storage``: StorageLevel for the two shared intermediates
+    (mentions, matches). Default None → DISK_ONLY, the capped-heap-safe
+    choice (see the comment below). Callers whose heap comfortably
+    exceeds the intermediate size may pass a serialized memory level
+    (``MEMORY_AND_DISK`` — PySpark levels are serialized) to skip the
+    disk round-trip; ``main()`` below picks that automatically when the
+    corpus is small relative to the driver heap (round-4 VERDICT item
+    5), and the 16g stress leg keeps exercising the DISK_ONLY default."""
     from decisions_knowledge_graph_data_spark.operators.canonicalize import (
         apply_canonical, canonical_map,
     )
@@ -108,9 +117,8 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
     # size, and the cached relation still serves every branch once.
     from pyspark import StorageLevel
 
-    mentions = filter_self_references(extract_mentions(docs)).persist(
-        StorageLevel.DISK_ONLY
-    )
+    level = shared_storage or StorageLevel.DISK_ONLY
+    mentions = filter_self_references(extract_mentions(docs)).persist(level)
     mentions.count()
     mark("extract")
     matches = (
@@ -120,7 +128,7 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
         .unionByName(
             link_family_mentions(mentions, tables["family_map"], tables["entity_registry"])
         )
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(level)
     )
     matches.count()
     mark("link")
@@ -143,6 +151,12 @@ def kg_end_to_end(spark, n_docs: int, phase_times: dict | None = None,
     mentions.unpersist()
     matches.unpersist()
     return n
+
+
+def _parse_mem(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(float(s[:-1]) * mult[s[-1]]) if s[-1] in mult else int(s)
 
 
 def main() -> None:
@@ -184,8 +198,29 @@ def main() -> None:
         documents_df(spark, KG_DOCS).write.mode("overwrite").parquet(docs_path)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    # Shared-intermediate storage (round-4 VERDICT item 5): serialized
+    # memory (with disk overflow) when the corpus is SMALL relative to
+    # the heap — intermediates then never approach eviction, which is
+    # the regime where Spark 4's CacheManager NPE lived — else the
+    # never-evicting DISK_ONLY default. The guard is deliberately
+    # conservative (25% of heap for data ~2x the corpus bytes): the 16g
+    # / 20M stress leg stays on DISK_ONLY by construction.
+    from pyspark import StorageLevel
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(docs_path, f))
+        for f in os.listdir(docs_path) if f.endswith(".parquet")
+    )
+    heap_bytes = _parse_mem(os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if corpus_bytes * 8 < heap_bytes // 4
+        else StorageLevel.DISK_ONLY
+    )
+    print(f"# shared_storage: {level} (corpus {corpus_bytes >> 20} MiB, "
+          f"heap {heap_bytes >> 30} GiB)", file=sys.stderr)
     t0 = time.time()
-    n_triples = kg_end_to_end(spark, KG_DOCS, docs_path=docs_path)
+    n_triples = kg_end_to_end(spark, KG_DOCS, docs_path=docs_path,
+                              shared_storage=level)
     kg_dt = round(time.time() - t0, 3)
     timings["kg_end_to_end"] = kg_dt
     total += kg_dt

@@ -129,18 +129,26 @@ def _date_patterns(iso: Column) -> Column:
          ("05/03/19").
 
     Day/month tolerate missing zero padding exactly as the reference
-    does (``0?5`` when < 10, the padded literal otherwise). A malformed
-    OR out-of-range date yields no patterns (buildDatePatterns returns
-    []; the gate range-checks month/day so ``element_at`` on the month
-    array can never go out of bounds under ANSI mode). Two documented
-    deviations, both strict improvements: the ISO form itself is kept as
-    pattern 0 (for ISO-formatted corpora like the test fixtures), and
-    every day-first pattern carries a leading ``(?<!\\d)`` so the day
-    can't anchor inside a longer digit run (the reference's patterns
-    have only the trailing ``\\b`` on the short-year form — '05/03/19'
-    would match inside '105/03/19')."""
+    does (``0?5`` when < 10, the padded literal otherwise). A
+    structurally malformed date (not ``\\d{4}-\\d{2}-\\d{2}``) yields no
+    patterns (buildDatePatterns returns []). An out-of-RANGE month
+    (e.g. '2022-13-05') drops only the month-NAME pattern — exactly the
+    reference's behavior, where ``MONTH_PATTERNS[13]`` is undefined and
+    only that template dies while the numeric and short-year patterns
+    still emit (round-4 ADVICE: the previous all-or-nothing range gate
+    was an undocumented third deviation). The month-name branch is
+    CaseWhen-gated so ``element_at`` never sees an out-of-range index
+    under ANSI mode (branch values evaluate lazily per row). Two
+    documented deviations, both strict improvements: the ISO form
+    itself is kept as pattern 0 (for ISO-formatted corpora like the
+    test fixtures), and every day-first pattern carries a leading
+    ``(?<!\\d)`` so the day can't anchor inside a longer digit run (the
+    reference's patterns have only the trailing ``\\b`` on the
+    short-year form — '05/03/19' would match inside '105/03/19')."""
+    structural = iso.rlike(r"^\d{4}-\d{2}-\d{2}$")
     y = F.substring(iso, 1, 4)
-    mm = F.substring(iso, 6, 2)
+    # NULL unless structurally valid → every downstream cast is ANSI-safe
+    mm = F.when(structural, F.substring(iso, 6, 2))
     dd = F.substring(iso, 9, 2)
     day_pat = F.when(
         F.substring(dd, 1, 1) == "0", F.concat(F.lit("0?"), F.substring(dd, 2, 1))
@@ -148,21 +156,22 @@ def _date_patterns(iso: Column) -> Column:
     mon_pat = F.when(
         F.substring(mm, 1, 1) == "0", F.concat(F.lit("0?"), F.substring(mm, 2, 1))
     ).otherwise(mm)
-    month_name = F.element_at(
-        F.array(*[F.lit(x) for x in _MONTH_PATTERNS]), mm.cast("int")
+    month_name = F.when(
+        mm.cast("int").between(1, 12),
+        F.element_at(F.array(*[F.lit(x) for x in _MONTH_PATTERNS]), mm.cast("int")),
     )
     lead = F.lit(r"(?i)(?<!\d)")
     sep = F.lit(r"\s*[/\-.]\s*")
     named = F.concat(
         lead, day_pat, F.lit(r"(?:er|ère)?\s+"), month_name, F.lit(r"\s+"), y,
-    )
+    )  # NULL when the month is out of range (concat propagates null)
     numeric = F.concat(lead, day_pat, sep, mon_pat, sep, y)
     short = F.concat(
         lead, day_pat, sep, mon_pat, sep, F.substring(iso, 3, 2), F.lit(r"\b"),
     )
     return F.when(
-        iso.rlike(r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$"),
-        F.array(_regex_escape(iso), named, numeric, short),
+        structural,
+        F.array_compact(F.array(_regex_escape(iso), named, numeric, short)),
     ).otherwise(F.array().cast("array<string>"))
 
 

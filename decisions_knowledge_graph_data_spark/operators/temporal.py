@@ -143,22 +143,28 @@ def asof_join(
         # runs at bucket granularity (rows per key == bucket count); a
         # NULL-ts probe has a NULL bucket, joins nothing, stays unmatched
         # — same as the unbucketed plan.
-        bb = (
-            union.filter(F.col("_side") == 0)
-            .groupBy("_k", "_tb")
-            .agg(
-                F.max_by(
-                    "_b",
+        # ONE aggregation over the union yields both the occupied-bucket
+        # set (groupBy keys — probe-only buckets included, which the old
+        # separate `distinct` pass existed for) and the last build per
+        # bucket (max_by whose ordering key is NULL for probe rows, so
+        # they are skipped like max skips nulls) — round-4 ADVICE: the
+        # previous bb-aggregation + buckets-distinct + left-join shape
+        # referenced the union three times (two extra full source
+        # re-scans on exactly the mega-key corpora this path exists
+        # for) where one pass suffices. The union is now scanned twice
+        # total (window input + this agg); the scan count is locked by
+        # test_plan_quality.py.
+        buckets = union.groupBy("_k", "_tb").agg(
+            F.max_by(
+                "_b",
+                F.when(
+                    F.col("_side") == 0,
                     F.struct(
                         F.col("_b").getField("_bts"),
                         F.col("_b").getField("_bseq"),
                     ),
-                ).alias("_bb")
-            )
-        )
-        buckets = (
-            union.select("_k", "_tb").distinct()
-            .join(bb, ["_k", "_tb"], "left")
+                ),
+            ).alias("_bb")
         )
         wb = (
             Window.partitionBy("_k")

@@ -231,3 +231,91 @@ def test_paragraph_negative_not_extracted(corpus20):
         doc_mentions = got[got["doc_id"] == did]
         assert not ((doc_mentions["char_start"] == neg_pos)
                     & (doc_mentions["surface"] == "C-999/99")).any()
+
+
+def test_date_patterns_property_sweep(spark):
+    """Round-4 VERDICT item 8: property-sweep `_date_patterns` beyond
+    the fixture corpus. 250 seeded-random valid dates are rendered in
+    every surface family the reference's buildDatePatterns covers
+    (citation-finder.ts:97-128) — month-name with FR/NL names,
+    abbreviations and the 1er/1ère ordinal; numeric with any of the
+    three separators, optional spacing and optional zero-padding;
+    short-year — plus the ISO extension; each rendering must be hit by
+    the built patterns. Negatives in the same job: structurally
+    malformed dates yield EMPTY pattern arrays; a shape-valid but
+    out-of-range month emits the numeric patterns but never the
+    month-name one (the reference's undefined-template skip), and
+    nothing crashes under ANSI mode."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from decisions_knowledge_graph_data_spark.operators.citations import (
+        _date_patterns, _first_hit_re,
+    )
+
+    month_surfaces = {
+        1: ["janvier", "januari", "jan.", "jan"],
+        2: ["février", "februari", "feb.", "feb"],
+        3: ["mars", "maart", "mar.", "mar"],
+        4: ["avril", "april", "apr.", "apr"],
+        5: ["mai", "mei"],
+        6: ["juin", "juni", "jun.", "jun"],
+        7: ["juillet", "juli", "jul.", "jul"],
+        8: ["août", "augustus", "aug.", "aug"],
+        9: ["septembre", "september", "sept.", "sept", "sep.", "sep"],
+        10: ["octobre", "oktober", "oct.", "okt.", "oct", "okt"],
+        11: ["novembre", "november", "nov.", "nov"],
+        12: ["décembre", "december", "dec.", "dec"],
+    }
+    rng = random.Random(5)
+    rows = []
+    for i in range(250):
+        y = rng.randint(1950, 2030)
+        mo = rng.randint(1, 12)
+        d = rng.randint(1, 28)
+        iso = f"{y:04d}-{mo:02d}-{d:02d}"
+        family = i % 4
+        d_s = rng.choice([str(d), f"{d:02d}"]) if d < 10 else str(d)
+        m_s = rng.choice([str(mo), f"{mo:02d}"]) if mo < 10 else str(mo)
+        if family == 0:  # ISO literal
+            surface = iso
+        elif family == 1:  # month name, maybe 1er/1ère ordinal
+            day_r = d_s + rng.choice(["er", "ère"]) if d == 1 and rng.random() < 0.5 else d_s
+            surface = f"{day_r} {rng.choice(month_surfaces[mo])} {y}"
+        elif family == 2:  # numeric, any separator, optional spacing
+            sep = rng.choice(["/", "-", "."])
+            pad = rng.choice(["", " "])
+            surface = f"{d_s}{pad}{sep}{pad}{m_s}{pad}{sep}{pad}{y}"
+        else:  # short year (trailing \b needs the non-word char after)
+            sep = rng.choice(["/", "-", "."])
+            surface = f"{d_s}{sep}{m_s}{sep}{y % 100:02d}"
+        text = f"decision of {surface} applies here."
+        rows.append((f"c{i}", iso, text))
+    df = spark.createDataFrame(rows, "cid string, iso string, text string")
+    hit = _first_hit_re(F.col("text"), _date_patterns(F.col("iso")))
+    missed = (
+        df.select("cid", "text", hit.alias("h"))
+        .filter(F.col("h").isNull() | (F.col("h.p") <= 0))
+        .collect()
+    )
+    assert missed == [], f"unmatched renderings: {missed[:5]}"
+
+    # negatives: malformed → no patterns; month 13 → numeric-only
+    neg = spark.createDataFrame(
+        [("garbage",), ("2022-5-05",), ("13/05/2022",), ("2022-13-05",),
+         ("2022-00-40",)],
+        "iso string",
+    ).select(
+        "iso", F.size(_date_patterns(F.col("iso"))).alias("n"),
+        _date_patterns(F.col("iso")).alias("pats"),
+    ).collect()
+    by_iso = {r["iso"]: r for r in neg}
+    assert by_iso["garbage"]["n"] == 0
+    assert by_iso["2022-5-05"]["n"] == 0
+    assert by_iso["13/05/2022"]["n"] == 0
+    # shape-valid, month out of range: ISO + numeric + short survive,
+    # month-name is dropped — and no ANSI element_at crash
+    assert by_iso["2022-13-05"]["n"] == 3
+    assert not any("(?:er|ère)" in p for p in by_iso["2022-13-05"]["pats"])
+    assert by_iso["2022-00-40"]["n"] == 3

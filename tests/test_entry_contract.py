@@ -18,16 +18,13 @@ def test_oracle_keys_subset_of_queries():
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
     # the non-oracle set is exactly the documented non-SQL-expressible ops
-    # (round 4: simhash_pairs switched its query to the md5-portable
-    # signature with a full-corpus brute-force oracle — the xxhash64
-    # production kernel stays pytest-locked and bench-timed. Still
-    # rows-only by nature: ivf_topk at n_probe<C (approximate by design;
-    # ivf_topk_full_probe is the oracle-green mode), and the
-    # synthetic-corpus KG queries locked by goldens + green SQL twins)
-    assert qs - os_ == {
-        "ivf_topk",
-        "kg_triples", "kg_references", "kg_citations", "kg_jurisdiction",
-    }
+    # (round 5: kg_references/kg_citations/kg_jurisdiction gained real
+    # DuckDB oracles over the materialized corpus parquet, leaving only
+    # the principled exemptions: ivf_topk at n_probe<C — approximate by
+    # design, ivf_topk_full_probe is the oracle-green mode — and
+    # kg_triples, whose LSH-linking + connected-components core is
+    # genuinely non-SQL and stays locked by goldens + a green SQL twin)
+    assert qs - os_ == {"ivf_topk", "kg_triples"}
 
 
 def test_driver_window_composition():
@@ -49,13 +46,14 @@ def test_driver_window_composition():
         "ivf_topk_full_probe", "embedding_topk", "exact_dedup",
         # iterative-graph + temporal-join families (round-3 ops)
         "graph_pagerank", "asof_join", "range_join",
-        # text-analysis family (language_id moved to the tail in round 3:
-        # a textstats twin with green r1/r2 driver rows)
-        "token_counts", "quality_score",
-        # streaming family
-        "events_windowed",
-        # versioned-table (Iceberg-semantics) read path (round 4)
-        "versioned_pruned_read",
+        # text-analysis family (language_id moved to the tail in round 3,
+        # quality_score in round 5 — textstats twins with green prior
+        # driver rows; regex_scan/token_counts stay visible)
+        "token_counts", "regex_scan",
+        # streaming family (stream_events_versioned new in round 5)
+        "events_windowed", "stream_events_versioned",
+        # versioned-table (Iceberg-semantics) read paths (rounds 4-5)
+        "versioned_pruned_read", "versioned_month_read",
     }
     assert must_be_visible <= first_50, must_be_visible - first_50
 

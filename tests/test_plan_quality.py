@@ -252,3 +252,28 @@ def test_versioned_pruned_read_scans_fewer_files(spark):
     assert sorted(df.inputFiles()) == sorted(
         "file://" + f if not f.startswith("file:") else f for f in files
     )
+
+
+def test_asof_time_bucket_scan_count(spark, tmp_path_factory):
+    """Round-4 ADVICE (low): the time_bucket skew path must not re-scan
+    its inputs for the carry-in — one combined (buckets + last-build)
+    aggregation replaced the bb-agg + buckets-distinct + join shape, so
+    each source parquet is scanned exactly TWICE (window input + carry
+    aggregation), not three+ times."""
+    from decisions_knowledge_graph_data_spark.operators.temporal import asof_join
+
+    d = str(tmp_path_factory.mktemp("asof") / "t")
+    spark.range(0, 2000).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 7 % 1000).alias("ts"),
+        F.col("id").alias("seq"), (F.col("id") * 3).alias("payload"),
+    ).write.parquet(d)
+    probes = spark.read.parquet(d).select("k", "ts")
+    builds = spark.read.parquet(d).select("k", "ts", "seq", "payload")
+    out = asof_join(
+        probes, builds, "k", "ts", "ts", ["payload"], "seq", time_bucket=100.0
+    )
+    plan = _plan(out)
+    n_scans = plan.count("FileScan parquet")
+    # probes + builds are each unioned once into the window input and
+    # once into the carry aggregation → 4 scans; the old shape had 6
+    assert n_scans <= 4, f"time_bucket plan re-scans sources: {n_scans} scans"
