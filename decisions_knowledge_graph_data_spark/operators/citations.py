@@ -81,6 +81,12 @@ def _ecli_pattern(ident: Column) -> Column:
     return F.concat(F.lit("(?i)"), F.array_join(parts, r"\s*:\s*"))
 
 
+# Cassation-core case-number grammar (citation-finder.ts:60-96) — module
+# constant so the DuckDB oracle derives its literal from the same source
+# (round-5 review: hand-copied twins go silently stale)
+CASS_RE = r"^([A-Za-z])\.?(\d{2,4})\.?(\d{1,5})\.?([A-Za-z])$"
+
+
 def _case_patterns(canonical: Column) -> Column:
     """The reference's 3 case-number pattern builders
     (citation-finder.ts:60-96): exact (case-insensitive), flexible
@@ -93,7 +99,7 @@ def _case_patterns(canonical: Column) -> Column:
         lambda p: p != "",
     )
     flex = F.concat(F.lit("(?i)"), F.array_join(flex_parts, r"[\s.\-/]*"))
-    cass_re = r"^([A-Za-z])\.?(\d{2,4})\.?(\d{1,5})\.?([A-Za-z])$"
+    cass_re = CASS_RE
     cass = F.when(
         canonical.rlike(cass_re),
         F.concat(

@@ -733,7 +733,11 @@ def corpus_parquet_root(n_docs: int) -> str:
     ``doc_id`` — the Spark side re-mints it with the column-expression
     ``doc_uid``, so a hash-green oracle row also proves id-mint parity),
     ``alias_map.parquet``, ``citation_candidates.parquet`` (the
-    expected-citations records sans the ``tier`` answer column).
+    expected-citations records sans the ``tier`` answer column), and the
+    registry tables the full-pipeline oracle needs:
+    ``entity_registry.parquet``, ``popular_entities.parquet``,
+    ``family_map.parquet`` (list-typed ``entity_ids``),
+    ``known_missing.parquet``.
 
     The path is keyed by a content fingerprint over every table, so a
     generator change rolls the cache instead of serving stale rows; the
@@ -756,10 +760,16 @@ def corpus_parquet_root(n_docs: int) -> str:
         for r, p, c in zip(docs["repo"], docs["path"], docs["commit"])
     ])
     cands = bundle.expected_citations.drop(columns=["tier"])
+    fam = reg.family_map.copy()
+    fam["entity_ids"] = fam["entity_ids"].map(list)
     fp = hashlib.sha256(
         ("\n".join(docs["content_sha256"])
          + "|" + reg.alias_map.to_csv(index=False)
-         + "|" + cands.to_csv(index=False) + "|fmt1").encode()
+         + "|" + reg.entity_registry.to_csv(index=False)
+         + "|" + reg.popular_entities.to_csv(index=False)
+         + "|" + fam.to_csv(index=False)
+         + "|" + reg.known_missing.to_csv(index=False)
+         + "|" + cands.to_csv(index=False) + "|fmt2").encode()
     ).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"kg_corpus_{n_docs}_{fp}")
     if not os.path.isdir(root):
@@ -770,6 +780,13 @@ def corpus_parquet_root(n_docs: int) -> str:
             os.path.join(stage, "alias_map.parquet"), index=False)
         cands.to_parquet(
             os.path.join(stage, "citation_candidates.parquet"), index=False)
+        reg.entity_registry.to_parquet(
+            os.path.join(stage, "entity_registry.parquet"), index=False)
+        reg.popular_entities.to_parquet(
+            os.path.join(stage, "popular_entities.parquet"), index=False)
+        fam.to_parquet(os.path.join(stage, "family_map.parquet"), index=False)
+        reg.known_missing.to_parquet(
+            os.path.join(stage, "known_missing.parquet"), index=False)
         try:
             os.rename(stage, root)
         except OSError:

@@ -293,11 +293,20 @@ def write_snapshot(
                 f"{data_name}/{name}": st
                 for name, st in _collect_file_stats(data_dir, stats_cols).items()
             }
+        meta_out = dict(meta or {})
         if mode == "append" and parent is not None:
             pm = _read_manifest(root, parent)
             schema = _merge_schemas(StructType.fromJson(pm["schema"]), df.schema)
             files = pm["files"] + new_files
             file_stats = {**pm.get("file_stats", {}), **file_stats}
+            # durable meta rides every append: the streaming batch-id
+            # high-water mark must stay on the NEWEST manifest (that is
+            # what makes it immune to expire_versions) even when a
+            # plain maintenance append lands between stream batches
+            # (round-5 review) — caller-supplied meta still wins
+            for k in ("batch_id_hwm",):
+                if k in pm.get("meta", {}) and k not in meta_out:
+                    meta_out[k] = pm["meta"][k]
 
         manifest = {
             "version": version,
@@ -308,7 +317,7 @@ def write_snapshot(
             "schema": schema.jsonValue(),
             "rows_written": n,
             "committed_at": time.time(),
-            "meta": meta or {},
+            "meta": meta_out,
         }
         tmp = _manifest_path(root, version) + ".tmp"
         with open(tmp, "w") as f:
@@ -786,6 +795,240 @@ def read_snapshot_transformed(
             mapped = ("==", _transform_value(kind, val, w))
         full[PT_COL] = mapped
     return read_snapshot(spark, root, version=v, predicates=full)
+
+
+# Durable meta keys that ride every merge/delete commit (the rewrite
+# preserves the layout property, so the spec stays true; batch_id_hwm
+# must survive retention — see publish_batch_versioned). Plain appends
+# inherit ONLY batch_id_hwm: auto-carrying a transform spec onto an
+# append whose files lack the layout column would make point lookups
+# silently MISS those rows, so bucketed/transformed appends must go
+# through their validating writers instead.
+_DURABLE_ROW_OP_META = ("batch_id_hwm", "bucket_transform", "partition_transform")
+
+
+def _parent_stats_cols(pm: dict, extra: list[str]) -> list[str]:
+    cols = {c for st in pm.get("file_stats", {}).values() for c in st}
+    cols.update(extra)
+    return sorted(cols)
+
+
+def _row_op_commit(
+    spark: SparkSession,
+    root: str,
+    build_rewrite,
+    touched_of,
+    meta: dict | None,
+    op: str,
+) -> int:
+    """Shared copy-on-write commit for row-level ops (merge/delete).
+
+    Runs ENTIRELY under the commit lock (single-writer discipline): the
+    target version is the pointer read after lock acquisition, so the
+    rewrite can never apply to a stale snapshot. ``touched_of(pm)``
+    returns (touched_rel_files, kept_rel_files); ``build_rewrite(df)``
+    maps the touched rows to their replacement rows. The new version
+    lists kept files UNCHANGED (no data copy — their stats carry over)
+    plus the newly written files; the pointer swap stays the sole
+    commit point, so a crash mid-rewrite leaves the table at the old
+    version with only an orphan dir for the next writer to GC.
+    """
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    lock_path = os.path.join(root, LOCK)
+    fd = None
+    try:
+        fd = _acquire_lock(root)
+        _gc_orphans(root)
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"{root} has no committed version to {op}")
+        pm = _read_manifest(root, parent)
+        schema = StructType.fromJson(pm["schema"])
+        touched, kept = touched_of(pm)
+
+        if touched:
+            src = spark.read.schema(schema).parquet(
+                *[os.path.join(root, f) for f in touched]
+            )
+        else:
+            src = spark.createDataFrame([], schema)
+        rewritten = build_rewrite(src)
+
+        data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+        data_dir = os.path.join(root, data_name)
+        obs = Observation(f"{op}_{uuid.uuid4().hex[:8]}")
+        observed = rewritten.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed.write.mode("error").parquet(data_dir)
+        n = int(obs.get["rows"])
+
+        new_files = [
+            f"{data_name}/{f}" for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet")
+        ]
+        stats_cols = _parent_stats_cols(pm, [])
+        new_stats = {}
+        if stats_cols:
+            new_stats = {
+                f"{data_name}/{name}": st
+                for name, st in _collect_file_stats(data_dir, stats_cols).items()
+            }
+        parent_stats = pm.get("file_stats", {})
+        version = parent + 1
+        meta_out = dict(meta or {})
+        for k in _DURABLE_ROW_OP_META:
+            if k in pm.get("meta", {}) and k not in meta_out:
+                meta_out[k] = pm["meta"][k]
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": op,
+            "files": kept + new_files,
+            "file_stats": {
+                **{f: parent_stats[f] for f in kept if f in parent_stats},
+                **new_stats,
+            },
+            "schema": pm["schema"],
+            "rows_written": n,
+            "committed_at": time.time(),
+            "meta": meta_out,
+        }
+        tmp = _manifest_path(root, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, _manifest_path(root, version))
+        ptr_tmp = os.path.join(root, VERSION_PTR + ".tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, os.path.join(root, VERSION_PTR))
+        return version
+    finally:
+        if fd is not None:
+            os.close(fd)
+            os.unlink(lock_path)
+
+
+# above this many distinct merge keys, per-file pruning falls back to a
+# [min,max] range-overlap test instead of collecting every key
+MERGE_KEY_COLLECT_CAP = 100_000
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    meta: dict | None = None,
+) -> int:
+    """Copy-on-write MERGE (upsert) — the Iceberg row-level-update
+    analog: every current row whose ``key`` appears in ``updates`` is
+    replaced by the update row, update rows with unseen keys are
+    inserted, and ONLY files that can possibly contain a matching key
+    are rewritten — files whose manifest min/max stats refute every
+    update key are listed unchanged in the new version (at 100 TB the
+    difference between a CDC batch touching a handful of files and
+    rewriting the table). Pruning is exact-key (sorted keys + binary
+    search per file range) up to MERGE_KEY_COLLECT_CAP distinct keys,
+    then degrades to [min,max] range overlap. ``updates`` must be
+    unique on ``key`` (raises otherwise — one replacement per target
+    row is the contract) and must carry the table's user schema.
+    Bucketed/transformed tables are supported: the internal layout
+    column is recomputed from the recorded spec for the rewritten rows,
+    so the table property (and its point-lookup pruning) survives the
+    merge. Snapshot isolation + atomicity as write_snapshot: rewrite
+    runs under the commit lock, pointer swap is the sole commit point,
+    old versions stay time-travel readable.
+    """
+    dup = updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"merge updates must be unique on {key!r}")
+
+    # key bounds + (capped) exact key set, collected once
+    krows = updates.select(F.col(f"`{key}`").alias("_mk")).filter(
+        F.col("_mk").isNotNull()
+    ).distinct()
+    keys = [r["_mk"] for r in krows.limit(MERGE_KEY_COLLECT_CAP + 1).collect()]
+    exact = len(keys) <= MERGE_KEY_COLLECT_CAP
+    keys.sort()
+    kmin, kmax = (keys[0], keys[-1]) if keys else (None, None)
+
+    def touched_of(pm: dict):
+        import bisect
+
+        schema = StructType.fromJson(pm["schema"])
+        user_cols = [
+            f.name for f in schema.fields if f.name not in (BUCKET_COL, PT_COL)
+        ]
+        if sorted(c for c in updates.columns) != sorted(user_cols):
+            raise ValueError(
+                f"merge updates schema {sorted(updates.columns)} must match "
+                f"the table's user columns {sorted(user_cols)}"
+            )
+        stats = pm.get("file_stats", {})
+        touched, kept = [], []
+        for f in pm["files"]:
+            st = stats.get(f, {}).get(key)
+            if st is None or kmin is None:
+                touched.append(f)
+                continue
+            mn, mx = st["min"], st["max"]
+            try:
+                if exact:
+                    i = bisect.bisect_left(keys, mn)
+                    hit = i < len(keys) and keys[i] <= mx
+                else:
+                    hit = not (kmax < mn or kmin > mx)
+            except TypeError:
+                hit = True  # incomparable stat/key types: be conservative
+            (touched if hit else kept).append(f)
+        return touched, kept
+
+    def build_rewrite(src: DataFrame):
+        survivors = src.join(krows, F.col(f"`{key}`") == F.col("_mk"), "left_anti")
+        pm = _read_manifest(root, current_version(root))
+        up = updates
+        bspec = pm.get("meta", {}).get("bucket_transform")
+        tspec = pm.get("meta", {}).get("partition_transform")
+        if bspec:
+            up = up.withColumn(
+                BUCKET_COL,
+                F.pmod(F.xxhash64(F.col(bspec["col"])), F.lit(bspec["n"])).cast("int"),
+            )
+        if tspec:
+            up = up.withColumn(
+                PT_COL, _transform_expr(tspec["kind"], tspec["col"], tspec.get("w"))
+            )
+        return survivors.unionByName(up.select(*src.columns))
+
+    return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "merge")
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicates: dict,
+    meta: dict | None = None,
+) -> int:
+    """Copy-on-write row-level DELETE: rows satisfying every predicate
+    (same ``{col: (op, value)}`` grammar as ``read_snapshot``) are
+    removed; files whose stats prove no row matches are listed
+    unchanged — only files that CAN match are rewritten with the
+    negated filter. SQL DELETE semantics: a row whose predicate
+    evaluates NULL (e.g. a NULL key under ``==``) is NOT deleted.
+    Internal layout columns pass through the rewrite untouched, so
+    bucketed/transformed tables keep their property."""
+    _check_predicates(predicates)
+
+    def touched_of(pm: dict):
+        stats = pm.get("file_stats", {})
+        touched, kept = [], []
+        for f in pm["files"]:
+            (touched if _file_can_match(stats.get(f), predicates) else kept).append(f)
+        return touched, kept
+
+    def build_rewrite(src: DataFrame):
+        return src.filter(~F.coalesce(_residual_filter(predicates), F.lit(False)))
+
+    return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "delete")
 
 
 def table_history(root: str) -> list[dict]:

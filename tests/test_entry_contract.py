@@ -17,14 +17,14 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # the non-oracle set is exactly the documented non-SQL-expressible ops
-    # (round 5: kg_references/kg_citations/kg_jurisdiction gained real
-    # DuckDB oracles over the materialized corpus parquet, leaving only
-    # the principled exemptions: ivf_topk at n_probe<C — approximate by
-    # design, ivf_topk_full_probe is the oracle-green mode — and
-    # kg_triples, whose LSH-linking + connected-components core is
-    # genuinely non-SQL and stays locked by goldens + a green SQL twin)
-    assert qs - os_ == {"ivf_topk", "kg_triples"}
+    # round 5: EVERY flagship query now has a real DuckDB oracle over
+    # the materialized corpus parquet — including kg_triples, whose
+    # full pipeline (regex extraction, three-path linking, temporal
+    # cutoffs, recursive-CTE connected components) is re-derived in
+    # SQL. The single remaining rows-only entry is the principled
+    # exemption: ivf_topk at n_probe<C is approximate BY DESIGN
+    # (ivf_topk_full_probe is its oracle-green exact mode).
+    assert qs - os_ == {"ivf_topk"}
 
 
 def test_driver_window_composition():
@@ -52,8 +52,9 @@ def test_driver_window_composition():
         "token_counts", "regex_scan",
         # streaming family (stream_events_versioned new in round 5)
         "events_windowed", "stream_events_versioned",
-        # versioned-table (Iceberg-semantics) read paths (rounds 4-5)
+        # versioned-table (Iceberg-semantics) read + row-op paths (r4-5)
         "versioned_pruned_read", "versioned_month_read",
+        "versioned_merge_read",
     }
     assert must_be_visible <= first_50, must_be_visible - first_50
 
@@ -64,3 +65,22 @@ def test_all_queries_runnable_sf0001(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf)
         assert df.count() >= 0, name
+
+
+def test_similarity_surfaces_are_ascii():
+    """The kg_triples oracle's levenshtein is DuckDB's BYTE-based
+    implementation; Spark's is character-based. They agree exactly on
+    ASCII, so the oracle is sound only while every string that reaches
+    the similarity scorer — registry titles and RULE surface titles —
+    is ASCII. The generator guarantees that today; this test makes a
+    future generator change fail HERE, next to the documented caveat in
+    __spark_entry__._kg_corpus_oracles, instead of as an opaque
+    hash-mismatch on the driver board."""
+    from decisions_knowledge_graph_data_spark.sources.corpus import (
+        gen_corpus, gen_registry,
+    )
+    reg = gen_registry()
+    assert all(t.isascii() for t in reg.titles.values())
+    bundle = gen_corpus(40, reg)
+    rules = bundle.expected_mentions.query("mention_kind == 'RULE'")
+    assert all(s.isascii() for s in rules["surface"])

@@ -681,3 +681,128 @@ def test_hwm_batch_id_survives_expiry(spark, tmp_path):
     assert publish_batch_versioned(_df(spark, 30, 35), 3, root) is not None
     assert read_snapshot(spark, root).count() == 35
     assert table_history(root)[-1]["meta"]["batch_id_hwm"] == 3
+
+
+def test_hwm_rides_plain_appends(spark, tmp_path):
+    """Round-5 review: the HWM's expiry-immunity claim requires the mark
+    to ride EVERY append — a plain maintenance write_snapshot(mode=
+    'append') landing between stream batches must inherit the parent's
+    batch_id_hwm, or expire_versions(keep_last=1) would retain only the
+    hwm-less maintenance manifest and a replayed batch would re-append."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        expire_versions,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned,
+    )
+
+    root = str(tmp_path / "hwm2")
+    for bid in (0, 1):
+        publish_batch_versioned(_df(spark, bid * 10, bid * 10 + 10), bid, root)
+    # maintenance append with no batch meta — becomes the newest manifest
+    write_snapshot(_df(spark, 100, 105), root, mode="append")
+    assert table_history(root)[-1]["meta"]["batch_id_hwm"] == 1
+    expire_versions(root, keep_last=1)
+    # replay from before the retention horizon: still a no-op
+    assert publish_batch_versioned(_df(spark, 0, 10), 1, root) is None
+    assert read_snapshot(spark, root).count() == 25
+    # and a genuinely new batch appends
+    assert publish_batch_versioned(_df(spark, 20, 23), 2, root) is not None
+    assert read_snapshot(spark, root).count() == 28
+
+
+def test_merge_snapshot_upsert_minimal_rewrite(spark, tmp_path):
+    """Copy-on-write MERGE (round 5): replacements keyed by id, inserts
+    for unseen keys, files whose stats refute every update key listed
+    UNCHANGED in the new version, old version time-travel intact,
+    duplicate update keys rejected."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        _read_manifest, merge_snapshot,
+    )
+
+    root = str(tmp_path / "m1")
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"))
+    write_snapshot(base.repartitionByRange(8, "id"), root, stats_cols=["id"])
+    files_v1 = set(_read_manifest(root, 1)["files"])
+
+    # updates clustered in [100, 120) + two inserts beyond the domain
+    updates = spark.range(100, 120).select(
+        F.col("id"), F.lit(-1).alias("v")
+    ).unionByName(spark.range(5000, 5002).select(
+        F.col("id"), F.lit(-2).alias("v")))
+    v2 = merge_snapshot(spark, root, updates, "id")
+    assert v2 == 2
+
+    got = read_snapshot(spark, root)
+    assert got.count() == 1002
+    assert got.filter(F.col("v") == -1).count() == 20
+    assert got.filter(F.col("v") == -2).count() == 2
+    assert got.filter((F.col("id") == 150) & (F.col("v") == 300)).count() == 1
+    # minimal rewrite: most v1 files survive verbatim in v2's file list
+    files_v2 = set(_read_manifest(root, 2)["files"])
+    assert len(files_v1 & files_v2) >= 6, (files_v1, files_v2)
+    # snapshot isolation: v1 unchanged
+    assert read_snapshot(spark, root, version=1).filter(
+        F.col("v") < 0).count() == 0
+
+    with pytest.raises(ValueError, match="unique"):
+        merge_snapshot(
+            spark, root,
+            spark.createDataFrame([(1, 9), (1, 8)], "id long, v long"), "id")
+    with pytest.raises(ValueError, match="schema"):
+        merge_snapshot(
+            spark, root,
+            spark.createDataFrame([(1,)], "id long"), "id")
+
+
+def test_merge_preserves_bucket_transform(spark, tmp_path):
+    """Merging a BUCKETED table must recompute the layout column for
+    replacement/inserted rows and carry the spec, so point lookups stay
+    correct (and job-free) across row-level updates."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        merge_snapshot, read_snapshot_bucket_eq, write_snapshot_bucketed,
+    )
+
+    root = str(tmp_path / "m2")
+    src = spark.range(0, 500).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("p"))
+    write_snapshot_bucketed(src, root, "k", n_buckets=8)
+    updates = spark.createDataFrame(
+        [(17, -17), (1000, -1)], "k long, p long")
+    merge_snapshot(spark, root, updates, "k")
+    # all previous k=17 rows replaced by the single update row
+    got = read_snapshot_bucket_eq(spark, root, 17)
+    assert [r["p"] for r in got.collect()] == [-17]
+    # inserted key found through the bucket path too
+    assert [r["p"] for r in read_snapshot_bucket_eq(spark, root, 1000).collect()] == [-1]
+    # untouched key unaffected
+    exp = sorted(r["p"] for r in src.filter(F.col("k") == 5).collect())
+    assert sorted(r["p"] for r in
+                  read_snapshot_bucket_eq(spark, root, 5).collect()) == exp
+
+
+def test_delete_where_rows_and_pruning(spark, tmp_path):
+    """Row-level DELETE: only predicate-matching rows go, files that
+    provably contain none are listed unchanged, NULL-predicate rows
+    survive (SQL DELETE semantics), old versions intact."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        _read_manifest, delete_where,
+    )
+
+    root = str(tmp_path / "d1")
+    base = spark.range(0, 1000).select(
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("id"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_snapshot(base.repartitionByRange(8, "id"), root, stats_cols=["id"])
+    files_v1 = set(_read_manifest(root, 1)["files"])
+    delete_where(spark, root, {"id": ("<", 100)})
+    got = read_snapshot(spark, root)
+    # 0..99 minus the NULL-id row deleted; the NULL row SURVIVES
+    assert got.count() == 1000 - 99
+    assert got.filter(F.col("id").isNull()).count() == 1
+    assert got.filter(F.col("id") < 100).count() == 0
+    files_v2 = set(_read_manifest(root, 2)["files"])
+    assert len(files_v1 & files_v2) >= 6
+    assert read_snapshot(spark, root, version=1).count() == 1000
