@@ -530,7 +530,7 @@ def _stream_events_root(sf: str) -> str:
 
     st = os.stat(os.path.join(sf, "events.parquet"))
     tag = hashlib.sha256(
-        f"{sf}:{st.st_mtime_ns}:{st.st_size}:stream1".encode()
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:stream2".encode()
     ).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"kg_stream_events_{tag}")
 
@@ -541,14 +541,19 @@ def q_stream_events_versioned(spark, sf):
     read makes it exact): the sf events table is split into 4 input
     files, drained with ``maxFilesPerTrigger=1`` → 4 micro-batches,
     each published as an append snapshot keyed by batchId
-    (streaming/incremental.py HWM dedup). The query then reads the
-    committed table and aggregates integer invariants per event_type —
-    count / distinct / bit_xor of ids — which DuckDB reproduces from
-    the ORIGINAL events view: any lost or double-published batch
-    breaks the row hash. A crash mid-drain reruns the stream off its
-    checkpoint (replayed batches are HWM no-ops) before the _DONE
-    marker lands."""
-    from decisions_knowledge_graph_data_spark.sources.versioned import read_snapshot
+    (streaming/incremental.py HWM dedup), then the accreted small
+    files are COMPACTED (round 5 — the Iceberg rewrite_data_files
+    analog streaming publish needs at scale, where per-batch appends
+    grow file counts linearly). The query reads the compacted table
+    and aggregates integer invariants per event_type — count /
+    distinct / bit_xor of ids — which DuckDB reproduces from the
+    ORIGINAL events view: any lost, double-published, or
+    compaction-mangled batch breaks the row hash. A crash mid-drain
+    reruns the stream off its checkpoint (replayed batches are HWM
+    no-ops) before the _DONE marker lands."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        compact_snapshot, read_snapshot,
+    )
     from decisions_knowledge_graph_data_spark.streaming.incremental import (
         stream_publish_versioned,
     )
@@ -569,6 +574,7 @@ def q_stream_events_versioned(spark, sf):
             os.path.join(base, "ckpt"), max_files_per_trigger=1,
         )
         q.awaitTermination()
+        compact_snapshot(spark, root)
         with open(done, "w") as f:
             f.write("ok")
     ev = read_snapshot(spark, root)

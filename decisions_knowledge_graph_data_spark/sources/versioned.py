@@ -1031,6 +1031,54 @@ def delete_where(
     return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "delete")
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_files: int | None = None,
+    meta: dict | None = None,
+) -> int | None:
+    """Compaction (Iceberg ``rewrite_data_files`` analog): coalesce the
+    current version's files SMALLER than ``small_file_bytes`` into
+    ``target_files`` outputs (default: their total size ÷ the
+    threshold, at least 1); files already at/above the threshold are
+    listed unchanged. Purely physical — row set, schema, layout
+    columns and durable meta are untouched, old versions stay
+    readable; returns the new version, or None when fewer than two
+    small files exist (nothing to gain). The operation streaming
+    publish needs at scale: ``maxFilesPerTrigger``-grained appends
+    accrete file counts linearly, and manifests + scan planning are
+    per-file. Stats for layout/stat columns are re-collected from the
+    rewritten files' footers, so pruning keeps working (a compacted
+    file spanning several old ranges simply carries the merged range)."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"{root} has no committed version to compact")
+    m = _read_manifest(root, v)
+    sizes = {
+        f: os.path.getsize(os.path.join(root, f))
+        for f in m["files"]
+    }
+    small = [f for f in m["files"] if sizes[f] < small_file_bytes]
+    if len(small) < 2:
+        return None
+    n_out = target_files or max(1, sum(sizes[f] for f in small) // small_file_bytes)
+
+    def touched_of(pm: dict):
+        # recompute against the manifest the locked commit resolved —
+        # a version landing between our peek and the lock must not
+        # pair stale file lists with the new pointer
+        szs = {f: os.path.getsize(os.path.join(root, f)) for f in pm["files"]}
+        touched = [f for f in pm["files"] if szs[f] < small_file_bytes]
+        kept = [f for f in pm["files"] if szs[f] >= small_file_bytes]
+        return touched, kept
+
+    def build_rewrite(src: DataFrame):
+        return src.coalesce(int(n_out))
+
+    return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "compact")
+
+
 def table_history(root: str) -> list[dict]:
     """All committed manifests, oldest first (version/mode/rows/time)."""
     out = []

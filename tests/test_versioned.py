@@ -806,3 +806,49 @@ def test_delete_where_rows_and_pruning(spark, tmp_path):
     files_v2 = set(_read_manifest(root, 2)["files"])
     assert len(files_v1 & files_v2) >= 6
     assert read_snapshot(spark, root, version=1).count() == 1000
+
+
+def test_compact_snapshot(spark, tmp_path):
+    """Compaction (round 5): micro-batch appends accrete small files;
+    compact coalesces them into few outputs with the row set, schema
+    and time-travel history untouched, re-collected stats still prune,
+    and big files are listed unchanged."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        _read_manifest, compact_snapshot, plan_files,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned,
+    )
+
+    root = str(tmp_path / "c1")
+    for bid in range(5):
+        publish_batch_versioned(
+            _df(spark, bid * 100, bid * 100 + 100).repartition(2), bid, root)
+    n_before = len(plan_files(root)[0])
+    assert n_before >= 10  # 5 batches x 2 files
+    v = compact_snapshot(spark, root, target_files=1)
+    assert v == 6
+    files, _, _ = plan_files(root)
+    assert len(files) == 1
+    got = read_snapshot(spark, root)
+    assert got.count() == 500
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    # time travel to the pre-compaction version still sees the old files
+    assert read_snapshot(spark, root, version=5).count() == 500
+    assert len(plan_files(root, version=5)[0]) == n_before
+    # durable meta (HWM) rode the compaction: replay still dedups
+    assert _read_manifest(root, 6)["meta"]["batch_id_hwm"] == 4
+    assert publish_batch_versioned(_df(spark, 0, 100), 4, root) is None
+
+    # stats re-collected for the rewritten file -> pruning still sound
+    root2 = str(tmp_path / "c2")
+    for bid in range(4):
+        publish_batch_versioned(
+            _df(spark, bid * 100, bid * 100 + 100), bid, root2)
+    compact_snapshot(spark, root2, target_files=4)
+    # the table still equals itself under a predicate read
+    got = read_snapshot(spark, root2, predicates={"id": (">=", 350)})
+    assert got.count() == 50
+
+    # a table with nothing to compact is a no-op
+    assert compact_snapshot(spark, root, target_files=1) is None
