@@ -294,21 +294,24 @@ def write_snapshot(
                 for name, st in _collect_file_stats(data_dir, stats_cols).items()
             }
         meta_out = dict(meta or {})
-        if mode == "append" and parent is not None:
+        if parent is not None:
             pm = _read_manifest(root, parent)
-            schema = _merge_schemas(StructType.fromJson(pm["schema"]), df.schema)
-            files = pm["files"] + new_files
-            file_stats = {**pm.get("file_stats", {}), **file_stats}
-            # durable meta rides every append: the streaming batch-id
-            # high-water mark must stay on the NEWEST manifest (that is
-            # what makes it immune to expire_versions) even when a
-            # plain maintenance append lands between stream batches
-            # (round-5 review) — caller-supplied meta still wins
+            # the streaming batch-id high-water mark rides EVERY commit
+            # (append, overwrite, row ops): it must stay on the NEWEST
+            # manifest — that is what makes it immune to
+            # expire_versions — even when a maintenance append or a
+            # re-clustering overwrite lands between stream batches
+            # (round-5 reviews); caller-supplied meta still wins
             for k in ("batch_id_hwm",):
                 if k in pm.get("meta", {}) and k not in meta_out:
                     meta_out[k] = pm["meta"][k]
+            if mode == "append":
+                schema = _merge_schemas(
+                    StructType.fromJson(pm["schema"]), df.schema)
+                files = pm["files"] + new_files
+                file_stats = {**pm.get("file_stats", {}), **file_stats}
 
-        manifest = {
+        _publish_manifest(root, version, {
             "version": version,
             "parent": parent,
             "mode": mode,
@@ -318,21 +321,25 @@ def write_snapshot(
             "rows_written": n,
             "committed_at": time.time(),
             "meta": meta_out,
-        }
-        tmp = _manifest_path(root, version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, _manifest_path(root, version))
-
-        ptr_tmp = os.path.join(root, VERSION_PTR + ".tmp")
-        with open(ptr_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(ptr_tmp, os.path.join(root, VERSION_PTR))
+        })
         return version
     finally:
         if fd is not None:
             os.close(fd)
             os.unlink(lock_path)
+
+
+def _publish_manifest(root: str, version: int, manifest: dict) -> None:
+    """The shared commit tail for every writer path: durable manifest
+    (tmp + rename), then the pointer swap — the SOLE commit point."""
+    tmp = _manifest_path(root, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(root, version))
+    ptr_tmp = os.path.join(root, VERSION_PTR + ".tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(ptr_tmp, os.path.join(root, VERSION_PTR))
 
 
 def _file_can_match(stats: dict | None, predicates: dict) -> bool:
@@ -816,22 +823,27 @@ def _parent_stats_cols(pm: dict, extra: list[str]) -> list[str]:
 def _row_op_commit(
     spark: SparkSession,
     root: str,
-    build_rewrite,
-    touched_of,
+    plan,
     meta: dict | None,
     op: str,
-) -> int:
-    """Shared copy-on-write commit for row-level ops (merge/delete).
+) -> int | None:
+    """Shared copy-on-write commit for row-level ops (merge / delete /
+    compact).
 
     Runs ENTIRELY under the commit lock (single-writer discipline): the
-    target version is the pointer read after lock acquisition, so the
-    rewrite can never apply to a stale snapshot. ``touched_of(pm)``
-    returns (touched_rel_files, kept_rel_files); ``build_rewrite(df)``
-    maps the touched rows to their replacement rows. The new version
-    lists kept files UNCHANGED (no data copy — their stats carry over)
-    plus the newly written files; the pointer swap stays the sole
-    commit point, so a crash mid-rewrite leaves the table at the old
-    version with only an orphan dir for the next writer to GC.
+    target version is the pointer read after lock acquisition, and
+    EVERY decision — file classification, rewrite plan, no-op bailout —
+    is made by ``plan(pm)`` against that locked manifest (round-5
+    review: an unlocked peek can disagree with the lock-time state).
+    ``plan(pm)`` returns None for "nothing to do" (the lock is
+    released, no version commits, the op returns None) or a
+    ``(touched_rel_files, kept_rel_files, build_rewrite)`` triple;
+    ``build_rewrite(src)`` maps the touched rows to their replacement
+    rows. The new version lists kept files UNCHANGED (no data copy —
+    their stats carry over) plus the newly written files; the pointer
+    swap stays the sole commit point, so a crash mid-rewrite leaves
+    the table at the old version with only an orphan dir for the next
+    writer to GC.
     """
     os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
     lock_path = os.path.join(root, LOCK)
@@ -844,7 +856,10 @@ def _row_op_commit(
             raise FileNotFoundError(f"{root} has no committed version to {op}")
         pm = _read_manifest(root, parent)
         schema = StructType.fromJson(pm["schema"])
-        touched, kept = touched_of(pm)
+        planned = plan(pm)
+        if planned is None:
+            return None
+        touched, kept, build_rewrite = planned
 
         if touched:
             src = spark.read.schema(schema).parquet(
@@ -878,7 +893,7 @@ def _row_op_commit(
         for k in _DURABLE_ROW_OP_META:
             if k in pm.get("meta", {}) and k not in meta_out:
                 meta_out[k] = pm["meta"][k]
-        manifest = {
+        _publish_manifest(root, version, {
             "version": version,
             "parent": parent,
             "mode": op,
@@ -891,15 +906,7 @@ def _row_op_commit(
             "rows_written": n,
             "committed_at": time.time(),
             "meta": meta_out,
-        }
-        tmp = _manifest_path(root, version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, _manifest_path(root, version))
-        ptr_tmp = os.path.join(root, VERSION_PTR + ".tmp")
-        with open(ptr_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(ptr_tmp, os.path.join(root, VERSION_PTR))
+        })
         return version
     finally:
         if fd is not None:
@@ -938,68 +945,98 @@ def merge_snapshot(
     runs under the commit lock, pointer swap is the sole commit point,
     old versions stay time-travel readable.
     """
-    dup = updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
-    if dup:
-        raise ValueError(f"merge updates must be unique on {key!r}")
+    from pyspark import StorageLevel
 
-    # key bounds + (capped) exact key set, collected once
-    krows = updates.select(F.col(f"`{key}`").alias("_mk")).filter(
-        F.col("_mk").isNotNull()
-    ).distinct()
-    keys = [r["_mk"] for r in krows.limit(MERGE_KEY_COLLECT_CAP + 1).collect()]
-    exact = len(keys) <= MERGE_KEY_COLLECT_CAP
-    keys.sort()
-    kmin, kmax = (keys[0], keys[-1]) if keys else (None, None)
+    # Materialize the CDC frame once (round-5 review: the dup-check, the
+    # key collection and the locked rewrite each re-evaluated the plan —
+    # up to 4x the input cost, and a non-deterministic source could make
+    # the pruning key set disagree with the rows actually written).
+    updates = updates.persist(StorageLevel.DISK_ONLY)
+    try:
+        dup = updates.groupBy(key).count().filter(
+            F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(f"merge updates must be unique on {key!r}")
 
-    def touched_of(pm: dict):
-        import bisect
+        krows = updates.select(F.col(f"`{key}`").alias("_mk")).filter(
+            F.col("_mk").isNotNull()
+        ).distinct()
+        keys = [r["_mk"] for r in krows.limit(MERGE_KEY_COLLECT_CAP + 1).collect()]
+        exact = len(keys) <= MERGE_KEY_COLLECT_CAP
+        if exact:
+            keys.sort()
+            kmin, kmax = (keys[0], keys[-1]) if keys else (None, None)
+            # the anti-join uses the EXACT collected key set, so pruning
+            # and rewrite are decided by the same values by construction
+            anti = updates.sparkSession.createDataFrame(
+                [(k,) for k in keys], krows.schema
+            ) if keys else krows
+        else:
+            # fallback pruning bounds must be the TRUE extremes — a
+            # truncated sample's min/max would wrongly keep files that
+            # hold unsampled keys and duplicate those rows (round-5
+            # review, the one real correctness bug of this family)
+            row = krows.agg(F.min("_mk").alias("lo"), F.max("_mk").alias("hi")).first()
+            keys, kmin, kmax = [], row["lo"], row["hi"]
+            anti = krows
 
-        schema = StructType.fromJson(pm["schema"])
-        user_cols = [
-            f.name for f in schema.fields if f.name not in (BUCKET_COL, PT_COL)
-        ]
-        if sorted(c for c in updates.columns) != sorted(user_cols):
-            raise ValueError(
-                f"merge updates schema {sorted(updates.columns)} must match "
-                f"the table's user columns {sorted(user_cols)}"
-            )
-        stats = pm.get("file_stats", {})
-        touched, kept = [], []
-        for f in pm["files"]:
-            st = stats.get(f, {}).get(key)
-            if st is None or kmin is None:
-                touched.append(f)
-                continue
-            mn, mx = st["min"], st["max"]
-            try:
-                if exact:
-                    i = bisect.bisect_left(keys, mn)
-                    hit = i < len(keys) and keys[i] <= mx
-                else:
-                    hit = not (kmax < mn or kmin > mx)
-            except TypeError:
-                hit = True  # incomparable stat/key types: be conservative
-            (touched if hit else kept).append(f)
-        return touched, kept
+        def plan(pm: dict):
+            import bisect
 
-    def build_rewrite(src: DataFrame):
-        survivors = src.join(krows, F.col(f"`{key}`") == F.col("_mk"), "left_anti")
-        pm = _read_manifest(root, current_version(root))
-        up = updates
-        bspec = pm.get("meta", {}).get("bucket_transform")
-        tspec = pm.get("meta", {}).get("partition_transform")
-        if bspec:
-            up = up.withColumn(
-                BUCKET_COL,
-                F.pmod(F.xxhash64(F.col(bspec["col"])), F.lit(bspec["n"])).cast("int"),
-            )
-        if tspec:
-            up = up.withColumn(
-                PT_COL, _transform_expr(tspec["kind"], tspec["col"], tspec.get("w"))
-            )
-        return survivors.unionByName(up.select(*src.columns))
+            schema = StructType.fromJson(pm["schema"])
+            user_cols = [
+                f.name for f in schema.fields if f.name not in (BUCKET_COL, PT_COL)
+            ]
+            if sorted(c for c in updates.columns) != sorted(user_cols):
+                raise ValueError(
+                    f"merge updates schema {sorted(updates.columns)} must "
+                    f"match the table's user columns {sorted(user_cols)}"
+                )
+            stats = pm.get("file_stats", {})
+            touched, kept = [], []
+            for f in pm["files"]:
+                st = stats.get(f, {}).get(key)
+                if st is None or kmin is None:
+                    touched.append(f)
+                    continue
+                mn, mx = st["min"], st["max"]
+                try:
+                    if exact:
+                        i = bisect.bisect_left(keys, mn)
+                        hit = i < len(keys) and keys[i] <= mx
+                    else:
+                        hit = not (kmax < mn or kmin > mx)
+                except TypeError:
+                    hit = True  # incomparable stat/key types: conservative
+                (touched if hit else kept).append(f)
 
-    return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "merge")
+            bspec = pm.get("meta", {}).get("bucket_transform")
+            tspec = pm.get("meta", {}).get("partition_transform")
+
+            def build_rewrite(src: DataFrame):
+                survivors = src.join(
+                    anti, F.col(f"`{key}`") == F.col("_mk"), "left_anti")
+                up = updates
+                if bspec:
+                    up = up.withColumn(
+                        BUCKET_COL,
+                        F.pmod(F.xxhash64(F.col(bspec["col"])),
+                               F.lit(bspec["n"])).cast("int"),
+                    )
+                if tspec:
+                    up = up.withColumn(
+                        PT_COL,
+                        _transform_expr(tspec["kind"], tspec["col"], tspec.get("w")),
+                    )
+                return survivors.unionByName(up.select(*src.columns))
+
+            return touched, kept, build_rewrite
+
+        v = _row_op_commit(spark, root, plan, meta, "merge")
+        assert v is not None  # merge always commits
+        return v
+    finally:
+        updates.unpersist()
 
 
 def delete_where(
@@ -1015,20 +1052,32 @@ def delete_where(
     negated filter. SQL DELETE semantics: a row whose predicate
     evaluates NULL (e.g. a NULL key under ``==``) is NOT deleted.
     Internal layout columns pass through the rewrite untouched, so
-    bucketed/transformed tables keep their property."""
+    bucketed/transformed tables keep their property. An EMPTY
+    predicates dict is refused: the vacuous residual is TRUE, so it
+    would silently truncate the whole table (round-5 review) — use
+    ``write_snapshot(empty_df, root)`` to truncate on purpose."""
+    if not predicates:
+        raise ValueError(
+            "delete_where with no predicates would delete every row; "
+            "commit an empty overwrite snapshot to truncate deliberately"
+        )
     _check_predicates(predicates)
 
-    def touched_of(pm: dict):
+    def plan(pm: dict):
         stats = pm.get("file_stats", {})
         touched, kept = [], []
         for f in pm["files"]:
             (touched if _file_can_match(stats.get(f), predicates) else kept).append(f)
-        return touched, kept
 
-    def build_rewrite(src: DataFrame):
-        return src.filter(~F.coalesce(_residual_filter(predicates), F.lit(False)))
+        def build_rewrite(src: DataFrame):
+            return src.filter(
+                ~F.coalesce(_residual_filter(predicates), F.lit(False)))
 
-    return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "delete")
+        return touched, kept, build_rewrite
+
+    v = _row_op_commit(spark, root, plan, meta, "delete")
+    assert v is not None  # delete always commits
+    return v
 
 
 def compact_snapshot(
@@ -1050,33 +1099,27 @@ def compact_snapshot(
     accrete file counts linearly, and manifests + scan planning are
     per-file. Stats for layout/stat columns are re-collected from the
     rewritten files' footers, so pruning keeps working (a compacted
-    file spanning several old ranges simply carries the merged range)."""
-    v = current_version(root)
-    if v is None:
-        raise FileNotFoundError(f"{root} has no committed version to compact")
-    m = _read_manifest(root, v)
-    sizes = {
-        f: os.path.getsize(os.path.join(root, f))
-        for f in m["files"]
-    }
-    small = [f for f in m["files"] if sizes[f] < small_file_bytes]
-    if len(small) < 2:
-        return None
-    n_out = target_files or max(1, sum(sizes[f] for f in small) // small_file_bytes)
+    file spanning several old ranges simply carries the merged range).
+    The small-file census, the no-op decision AND the output-file count
+    are all computed under the commit lock against the resolved
+    manifest (round-5 review: an unlocked peek could disagree with the
+    lock-time file set and coalesce 52 files into a stale n_out of 1)."""
 
-    def touched_of(pm: dict):
-        # recompute against the manifest the locked commit resolved —
-        # a version landing between our peek and the lock must not
-        # pair stale file lists with the new pointer
-        szs = {f: os.path.getsize(os.path.join(root, f)) for f in pm["files"]}
-        touched = [f for f in pm["files"] if szs[f] < small_file_bytes]
-        kept = [f for f in pm["files"] if szs[f] >= small_file_bytes]
-        return touched, kept
+    def plan(pm: dict):
+        sizes = {f: os.path.getsize(os.path.join(root, f)) for f in pm["files"]}
+        touched = [f for f in pm["files"] if sizes[f] < small_file_bytes]
+        kept = [f for f in pm["files"] if sizes[f] >= small_file_bytes]
+        if len(touched) < 2:
+            return None
+        n_out = target_files or max(
+            1, sum(sizes[f] for f in touched) // small_file_bytes)
 
-    def build_rewrite(src: DataFrame):
-        return src.coalesce(int(n_out))
+        def build_rewrite(src: DataFrame):
+            return src.coalesce(int(n_out))
 
-    return _row_op_commit(spark, root, build_rewrite, touched_of, meta, "compact")
+        return touched, kept, build_rewrite
+
+    return _row_op_commit(spark, root, plan, meta, "compact")
 
 
 def table_history(root: str) -> list[dict]:

@@ -852,3 +852,67 @@ def test_compact_snapshot(spark, tmp_path):
 
     # a table with nothing to compact is a no-op
     assert compact_snapshot(spark, root, target_files=1) is None
+
+
+def test_merge_fallback_pruning_is_sound(spark, tmp_path):
+    """Round-5 review: above MERGE_KEY_COLLECT_CAP distinct keys the
+    pruning falls back to [min,max] range overlap — the bounds must be
+    the TRUE extremes (an aggregation), not a truncated sample's, or
+    files holding unsampled keys survive unrewritten and the table ends
+    up with duplicate keys."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "mf")
+    base = spark.range(0, 20000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_snapshot(base.repartitionByRange(8, "id"), root, stats_cols=["id"])
+
+    old_cap = V.MERGE_KEY_COLLECT_CAP
+    V.MERGE_KEY_COLLECT_CAP = 100  # force the fallback path cheaply
+    try:
+        # >100 distinct keys spanning the whole domain, including both
+        # extremes — under the buggy sample-bounds, edge files could be
+        # wrongly kept
+        updates = spark.range(0, 20000, 37).select(
+            F.col("id"), F.lit(-5).alias("v"))
+        V.merge_snapshot(spark, root, updates, "id")
+    finally:
+        V.MERGE_KEY_COLLECT_CAP = old_cap
+    got = read_snapshot(spark, root)
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    n_up = got.filter(F.col("v") == -5).count()
+    assert n_up == len(range(0, 20000, 37))
+
+
+def test_delete_empty_predicates_refused(spark, tmp_path):
+    """Round-5 review: delete_where({}) has a vacuous TRUE residual and
+    would silently truncate the table — it must raise instead."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import delete_where
+
+    root = str(tmp_path / "de")
+    write_snapshot(_df(spark, 0, 10), root)
+    with pytest.raises(ValueError, match="no predicates"):
+        delete_where(spark, root, {})
+    assert read_snapshot(spark, root).count() == 10
+
+
+def test_hwm_rides_overwrite(spark, tmp_path):
+    """Round-5 review: a maintenance OVERWRITE (e.g. re-clustering the
+    same logical rows) must inherit the batch-id high-water mark too —
+    otherwise expire_versions after the overwrite strands it and a
+    replayed batch re-appends."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        expire_versions,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned,
+    )
+
+    root = str(tmp_path / "ho")
+    for bid in (0, 1):
+        publish_batch_versioned(_df(spark, bid * 10, bid * 10 + 10), bid, root)
+    # re-cluster: overwrite with the same rows, no batch meta
+    write_snapshot(
+        read_snapshot(spark, root).repartitionByRange(2, "id"), root)
+    expire_versions(root, keep_last=1)
+    assert publish_batch_versioned(_df(spark, 0, 10), 1, root) is None
+    assert read_snapshot(spark, root).count() == 20
