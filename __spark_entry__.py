@@ -589,6 +589,64 @@ def q_stream_events_versioned(spark, sf):
     )
 
 
+def q_stream_asof_enrich(spark, sf):
+    """Streaming as-of enrichment ORACLE-CHECKED (puts the round-4
+    `stream_asof_enrich` composition under the driver's eye): click
+    events stream in as 4 micro-batches (maxFilesPerTrigger=1), each
+    batch as-of-joined to the latest purchase at-or-before its
+    timestamp from a VERSIONED build table committed before the stream
+    starts, results publishing exactly-once through batchId-keyed
+    snapshots. Because the build table is fixed for the run, per-batch
+    enrichment equals the GLOBAL as-of join — which is exactly the
+    quadratic theta-join + row_number formulation DuckDB runs (the
+    asof_join oracle pattern). Crash mid-drain resumes off the stream
+    checkpoint; replayed batches are HWM no-ops."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot, write_snapshot,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        stream_asof_enrich,
+    )
+    base = _stream_events_root(sf) + "_asof"
+    builds_root = os.path.join(base, "builds")
+    out_root = os.path.join(base, "out")
+    done = os.path.join(base, "_DONE")
+    ev = _t(spark, sf, "events")
+    ts_s = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ(UTC) → s
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        if current_version(builds_root) is None:
+            write_snapshot(
+                ev.filter(F.col("event_type") == "purchase").select(
+                    "event_id", "user_id", ts_s.alias("ts_s"), "value"
+                ),
+                builds_root,
+            )
+        in_dir = os.path.join(base, "in")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", ts_s.alias("ts_s")
+        )
+        if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+            clicks.repartitionByRange(4, "event_id").write.mode(
+                "overwrite").parquet(in_dir)
+        q = stream_asof_enrich(
+            spark, in_dir, clicks.schema, builds_root, out_root,
+            os.path.join(base, "ckpt"), on="user_id", probe_ts="ts_s",
+            build_ts="ts_s", payload_cols=["event_id", "value"],
+            build_seq="event_id", max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    out = read_snapshot(spark, out_root)
+    return out.filter(F.col("asof_ts").isNotNull()).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+    ).orderBy("click_id")
+
+
 def q_length_buckets(spark, sf):
     d = _t(spark, sf, "documents")
     bucket = (
@@ -2057,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver board AND on the committed local board every round
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
+        "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         # round-5 displacements (all green r1-r4; families stay
         # represented in the first 50 by regex_scan/token_counts,
         # citation_snippets/md_blocks, and blocking-join cousins
@@ -2108,6 +2167,10 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_literal()
     # the time-bucketed asof plan is semantics-free: same oracle
     d["asof_join_bucketed"] = d["asof_join"]
+    # streaming as-of enrichment against a PRE-COMMITTED build table:
+    # per-batch enrichment == the global as-of join, so the identical
+    # oracle applies (column names match by construction)
+    d["stream_asof_enrich"] = d["asof_join"]
     # corpus-backed flagship oracles: building them materializes the
     # corpus parquet, so the SQL is runnable no matter which engine the
     # harness fires first

@@ -130,6 +130,7 @@ def stream_asof_enrich(
     payload_cols: list[str],
     build_seq: str,
     time_bucket: float | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming as-of enrichment: each micro-batch of events is joined
     to the LATEST build row at-or-before its timestamp — the streaming
@@ -158,7 +159,10 @@ def stream_asof_enrich(
     from ..operators.temporal import asof_join
     from ..sources.versioned import read_snapshot
 
-    stream = spark.readStream.schema(event_schema).parquet(input_dir)
+    reader = spark.readStream.schema(event_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         builds = read_snapshot(batch_df.sparkSession, builds_root)
