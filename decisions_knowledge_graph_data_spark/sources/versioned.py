@@ -1122,6 +1122,110 @@ def compact_snapshot(
     return _row_op_commit(spark, root, plan, meta, "compact")
 
 
+def rollback_to(root: str, version: int) -> int:
+    """Iceberg ``rollback_to_snapshot`` analog: commit a NEW version
+    whose file list, stats and schema are exactly those of committed
+    ``version`` — no data copy, history preserved (the bad versions
+    stay time-travel readable until expired), and every reader flips
+    atomically via the pointer swap. Durable meta (batch-id HWM,
+    transform specs) comes from the ROLLED-BACK-TO manifest: the table
+    state is that snapshot's, so its layout contract applies; the HWM
+    keeps the max of both manifests so a rollback can never re-open
+    already-published streaming batches for duplication."""
+    lock_path = os.path.join(root, LOCK)
+    fd = _acquire_lock(root)
+    try:
+        _gc_orphans(root)
+        ptr = current_version(root)
+        if ptr is None:
+            raise FileNotFoundError(f"{root} has no committed version")
+        if version == ptr:
+            return ptr
+        if version not in _committed_versions(root):
+            raise FileNotFoundError(f"{root} has no committed version {version}")
+        target = _read_manifest(root, version)
+        head = _read_manifest(root, ptr)
+        meta_out = dict(target.get("meta", {}))
+        hwms = [
+            m.get("batch_id_hwm") for m in (target.get("meta", {}), head.get("meta", {}))
+            if m.get("batch_id_hwm") is not None
+        ]
+        if hwms:
+            meta_out["batch_id_hwm"] = max(hwms)
+        new_version = ptr + 1
+        _publish_manifest(root, new_version, {
+            "version": new_version,
+            "parent": ptr,
+            "mode": "rollback",
+            "files": target["files"],
+            "file_stats": target.get("file_stats", {}),
+            "schema": target["schema"],
+            "rows_written": 0,
+            "committed_at": time.time(),
+            "meta": {**meta_out, "rolled_back_to": version},
+        })
+        return new_version
+    finally:
+        os.close(fd)
+        os.unlink(lock_path)
+
+
+def read_appended(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Incremental read (Iceberg incremental-append scan analog): the
+    rows ADDED between ``since_version`` (exclusive) and ``version``
+    (default: current) — the consumption primitive that lets a
+    downstream pipeline process only each new publish instead of
+    re-scanning the table (at 100 TB, the difference between reading a
+    micro-batch and reading everything). Sound only across
+    append-lineage: if any commit in the range rewrote or dropped files
+    (overwrite / merge / delete / compact / rollback), a file diff is
+    not a row delta and this raises — fall back to a snapshot diff or
+    re-read. Reads exactly the files the newer manifests added, with
+    the end version's schema."""
+    hi = _resolve_version(root, version, None)
+    if since_version == hi:
+        m = _read_manifest(root, hi)
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    if since_version not in _committed_versions(root):
+        raise FileNotFoundError(
+            f"{root} has no committed version {since_version} (expired?)"
+        )
+    if since_version > hi:
+        raise ValueError(f"since_version {since_version} is newer than {hi}")
+    v = hi
+    while v != since_version:
+        m = _read_manifest(root, v)
+        if m["mode"] != "append":
+            raise ValueError(
+                f"version {v} is a {m['mode']!r} commit — the range "
+                f"({since_version}, {hi}] is not pure append lineage, a "
+                "file diff is not a row delta; re-read the snapshot"
+            )
+        if m["parent"] is None:
+            raise ValueError(f"version {since_version} not on {hi}'s lineage")
+        v = m["parent"]
+    base = set(_read_manifest(root, since_version)["files"])
+    end = _read_manifest(root, hi)
+    delta = [f for f in end["files"] if f not in base]
+    schema = StructType.fromJson(end["schema"])
+    if not delta:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in delta])
+    meta = end.get("meta", {})
+    internal = []
+    if meta.get("bucket_transform"):
+        internal.append(BUCKET_COL)
+    if meta.get("partition_transform"):
+        internal.append(PT_COL)
+    return df.drop(*internal) if internal else df
+
+
 def table_history(root: str) -> list[dict]:
     """All committed manifests, oldest first (version/mode/rows/time)."""
     out = []

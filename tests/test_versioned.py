@@ -916,3 +916,64 @@ def test_hwm_rides_overwrite(spark, tmp_path):
     expire_versions(root, keep_last=1)
     assert publish_batch_versioned(_df(spark, 0, 10), 1, root) is None
     assert read_snapshot(spark, root).count() == 20
+
+
+def test_rollback_to(spark, tmp_path):
+    """Rollback commits a NEW version with the target's exact file
+    list — no data copy, atomic flip, bad versions still readable, and
+    the streaming HWM keeps its max so replays stay deduped."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        _read_manifest, rollback_to,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned,
+    )
+
+    root = str(tmp_path / "rb")
+    for bid in (0, 1, 2):
+        publish_batch_versioned(_df(spark, bid * 10, bid * 10 + 10), bid, root)
+    assert read_snapshot(spark, root).count() == 30
+    v = rollback_to(root, 2)  # undo batch 2's publish
+    assert v == 4
+    assert read_snapshot(spark, root).count() == 20
+    assert _read_manifest(root, 4)["files"] == _read_manifest(root, 2)["files"]
+    # the "bad" version stays time-travel readable until expiry
+    assert read_snapshot(spark, root, version=3).count() == 30
+    # HWM kept its max across the rollback: batch 2 replay is a no-op
+    assert publish_batch_versioned(_df(spark, 20, 30), 2, root) is None
+    # but a genuinely new batch appends on top of the rolled-back state
+    assert publish_batch_versioned(_df(spark, 50, 55), 3, root) is not None
+    assert read_snapshot(spark, root).count() == 25
+    # rolling back to the current pointer is a no-op
+    assert rollback_to(root, 5) == 5
+    with pytest.raises(FileNotFoundError):
+        rollback_to(root, 99)
+
+
+def test_read_appended_incremental(spark, tmp_path):
+    """Incremental append scan: exactly the rows added after
+    since_version; refuses ranges crossing a rewrite commit (file diff
+    != row delta there)."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where, read_appended,
+    )
+
+    root = str(tmp_path / "inc")
+    write_snapshot(_df(spark, 0, 10), root)
+    write_snapshot(_df(spark, 10, 25), root, mode="append")
+    write_snapshot(_df(spark, 25, 30), root, mode="append")
+
+    inc = read_appended(spark, root, since_version=1)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 30))
+    inc2 = read_appended(spark, root, since_version=2, version=3)
+    assert sorted(r["id"] for r in inc2.collect()) == list(range(25, 30))
+    assert read_appended(spark, root, since_version=3).count() == 0
+
+    delete_where(spark, root, {"id": ("<", 5)})
+    write_snapshot(_df(spark, 30, 33), root, mode="append")
+    # range crossing the delete commit is refused...
+    with pytest.raises(ValueError, match="not pure append lineage"):
+        read_appended(spark, root, since_version=2)
+    # ...but the post-delete append-only range works
+    inc3 = read_appended(spark, root, since_version=4)
+    assert sorted(r["id"] for r in inc3.collect()) == [30, 31, 32]
