@@ -611,21 +611,12 @@ def q_stream_asof_enrich(spark, sf):
     builds_root = os.path.join(base, "builds")
     out_root = os.path.join(base, "out")
     done = os.path.join(base, "_DONE")
-    ev = _t(spark, sf, "events")
-    ts_s = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ(UTC) → s
+    clicks, buys = _asof_frames(spark, sf)
     if not os.path.exists(done):
         os.makedirs(base, exist_ok=True)
         if current_version(builds_root) is None:
-            write_snapshot(
-                ev.filter(F.col("event_type") == "purchase").select(
-                    "event_id", "user_id", ts_s.alias("ts_s"), "value"
-                ),
-                builds_root,
-            )
+            write_snapshot(buys, builds_root)
         in_dir = os.path.join(base, "in")
-        clicks = ev.filter(F.col("event_type") == "click").select(
-            "event_id", "user_id", ts_s.alias("ts_s")
-        )
         if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
             clicks.repartitionByRange(4, "event_id").write.mode(
                 "overwrite").parquet(in_dir)
@@ -638,13 +629,7 @@ def q_stream_asof_enrich(spark, sf):
         q.awaitTermination()
         with open(done, "w") as f:
             f.write("ok")
-    out = read_snapshot(spark, out_root)
-    return out.filter(F.col("asof_ts").isNotNull()).select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("asof_event_id").alias("purchase_id"),
-        F.col("asof_value").alias("purchase_value"),
-    ).orderBy("click_id")
+    return _asof_project(read_snapshot(spark, out_root)).orderBy("click_id")
 
 
 def q_length_buckets(spark, sf):
@@ -1409,8 +1394,12 @@ def q_graph_pagerank(spark, sf):
     )
 
 
-def _asof_clicks_purchases(spark, sf, time_bucket=None):
-    from decisions_knowledge_graph_data_spark.operators.temporal import asof_join
+def _asof_frames(spark, sf):
+    """Shared probe/build frames for every query on the asof_join
+    oracle (batch, time-bucketed twin, streaming enrichment): the
+    frame construction and output projection live ONCE, so the
+    shared-oracle contract cannot drift between copies (round-5
+    review)."""
     ev = _t(spark, sf, "events")
     ts_s = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ(UTC) → s
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1419,17 +1408,26 @@ def _asof_clicks_purchases(spark, sf, time_bucket=None):
     buys = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", ts_s.alias("ts_s"), "value"
     )
-    j = asof_join(
-        clicks, buys, on="user_id", probe_ts="ts_s", build_ts="ts_s",
-        payload_cols=["event_id", "value"], build_seq="event_id",
-        time_bucket=time_bucket,
-    )
+    return clicks, buys
+
+
+def _asof_project(j):
     return j.filter(F.col("asof_ts").isNotNull()).select(
         F.col("event_id").alias("click_id"),
         "user_id",
         F.col("asof_event_id").alias("purchase_id"),
         F.col("asof_value").alias("purchase_value"),
     )
+
+
+def _asof_clicks_purchases(spark, sf, time_bucket=None):
+    from decisions_knowledge_graph_data_spark.operators.temporal import asof_join
+    clicks, buys = _asof_frames(spark, sf)
+    return _asof_project(asof_join(
+        clicks, buys, on="user_id", probe_ts="ts_s", build_ts="ts_s",
+        payload_cols=["event_id", "value"], build_seq="event_id",
+        time_bucket=time_bucket,
+    ))
 
 
 def q_asof_join(spark, sf):

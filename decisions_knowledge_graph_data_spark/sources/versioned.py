@@ -499,18 +499,19 @@ def read_snapshot(
     if predicates:
         df = df.filter(_residual_filter(predicates))
     if not keep_internal:
-        meta = _read_manifest(root, v).get("meta", {})
-        internal = []
-        if meta.get("bucket_transform"):
-            internal.append(BUCKET_COL)
-        if meta.get("partition_transform"):
-            internal.append(PT_COL)
-        if internal:
-            df = df.drop(*internal)
+        df = _drop_internal(df, _read_manifest(root, v))
     return df
 
 
 BUCKET_COL = "_pt_bucket"
+
+
+def _bucket_expr(col: str, n: int) -> Column:
+    """THE bucket-id formula — the layout contract shared by the write
+    side, the JVM probe fallback and the merge rewrite (round-5 review:
+    three inline copies of a parity-critical expression; the pure-Python
+    port in functions/xxhash.py is golden-tested against this)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
 
 def write_snapshot_bucketed(
@@ -547,8 +548,7 @@ def write_snapshot_bucketed(
                     f"match: parent has {pspec!r}, append wants "
                     f"{{'col': {col!r}, 'n': {n_buckets}}}"
                 )
-    bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
-    laid_out = df.withColumn(BUCKET_COL, bucket).repartitionByRange(
+    laid_out = df.withColumn(BUCKET_COL, _bucket_expr(col, n_buckets)).repartitionByRange(
         n_files or n_buckets, BUCKET_COL
     )
     return write_snapshot(
@@ -646,6 +646,21 @@ def read_snapshot_bucket_eq(
 
 
 PT_COL = "_pt_transform"
+
+
+def _drop_internal(df: DataFrame, manifest: dict) -> DataFrame:
+    """Drop the internal layout column(s) a transformed table carries —
+    applied by EVERY user-facing read path, including empty-result
+    shortcuts (round-5 review: an idle incremental poll returned the
+    scratch column while non-empty polls did not, breaking unionByName
+    across cycles)."""
+    meta = manifest.get("meta", {})
+    internal = []
+    if meta.get("bucket_transform"):
+        internal.append(BUCKET_COL)
+    if meta.get("partition_transform"):
+        internal.append(PT_COL)
+    return df.drop(*internal) if internal else df
 
 def _to_date(v) -> datetime.date:
     if isinstance(v, datetime.datetime):
@@ -950,8 +965,12 @@ def merge_snapshot(
     # Materialize the CDC frame once (round-5 review: the dup-check, the
     # key collection and the locked rewrite each re-evaluated the plan —
     # up to 4x the input cost, and a non-deterministic source could make
-    # the pruning key set disagree with the rows actually written).
-    updates = updates.persist(StorageLevel.DISK_ONLY)
+    # the pruning key set disagree with the rows actually written). If
+    # the CALLER already persisted it, respect their cache — persisting
+    # over it is a no-op and unpersisting would evict what they own.
+    we_persisted = updates.storageLevel == StorageLevel.NONE
+    if we_persisted:
+        updates = updates.persist(StorageLevel.DISK_ONLY)
     try:
         dup = updates.groupBy(key).count().filter(
             F.col("count") > 1).limit(1).count()
@@ -1019,10 +1038,7 @@ def merge_snapshot(
                 up = updates
                 if bspec:
                     up = up.withColumn(
-                        BUCKET_COL,
-                        F.pmod(F.xxhash64(F.col(bspec["col"])),
-                               F.lit(bspec["n"])).cast("int"),
-                    )
+                        BUCKET_COL, _bucket_expr(bspec["col"], bspec["n"]))
                 if tspec:
                     up = up.withColumn(
                         PT_COL,
@@ -1036,7 +1052,8 @@ def merge_snapshot(
         assert v is not None  # merge always commits
         return v
     finally:
-        updates.unpersist()
+        if we_persisted:
+            updates.unpersist()
 
 
 def delete_where(
@@ -1188,9 +1205,10 @@ def read_appended(
     re-read. Reads exactly the files the newer manifests added, with
     the end version's schema."""
     hi = _resolve_version(root, version, None)
+    end = _read_manifest(root, hi)
+    schema = StructType.fromJson(end["schema"])
     if since_version == hi:
-        m = _read_manifest(root, hi)
-        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+        return _drop_internal(spark.createDataFrame([], schema), end)
     if since_version not in _committed_versions(root):
         raise FileNotFoundError(
             f"{root} has no committed version {since_version} (expired?)"
@@ -1210,20 +1228,14 @@ def read_appended(
             raise ValueError(f"version {since_version} not on {hi}'s lineage")
         v = m["parent"]
     base = set(_read_manifest(root, since_version)["files"])
-    end = _read_manifest(root, hi)
     delta = [f for f in end["files"] if f not in base]
-    schema = StructType.fromJson(end["schema"])
     if not delta:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in delta])
-    meta = end.get("meta", {})
-    internal = []
-    if meta.get("bucket_transform"):
-        internal.append(BUCKET_COL)
-    if meta.get("partition_transform"):
-        internal.append(PT_COL)
-    return df.drop(*internal) if internal else df
+        return _drop_internal(spark.createDataFrame([], schema), end)
+    return _drop_internal(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in delta]),
+        end,
+    )
 
 
 def table_history(root: str) -> list[dict]:
