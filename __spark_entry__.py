@@ -632,6 +632,40 @@ def q_stream_asof_enrich(spark, sf):
     return _asof_project(read_snapshot(spark, out_root)).orderBy("click_id")
 
 
+def q_versioned_incremental_read(spark, sf):
+    """Incremental append scan as an ORACLE-CHECKED query (round 5):
+    orders is committed in three deterministic key-range appends
+    (o_orderkey thirds of the domain); ``read_appended(since_version=
+    1)`` must return EXACTLY the rows the two later commits added —
+    which DuckDB reproduces as the WHERE-range scan. The consumption
+    primitive for incremental downstream pipelines: each poll reads
+    only the new publishes' files, never the table."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_appended, write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_inc"
+    if current_version(root) is None:
+        o = _t(spark, sf, "orders")
+        hi = o.agg(F.max("o_orderkey")).first()[0]
+        c1, c2 = hi // 3, 2 * (hi // 3)
+        write_snapshot(o.filter(F.col("o_orderkey") <= c1), root)
+        write_snapshot(
+            o.filter((F.col("o_orderkey") > c1) & (F.col("o_orderkey") <= c2)),
+            root, mode="append")
+        write_snapshot(
+            o.filter(F.col("o_orderkey") > c2), root, mode="append")
+    delta = read_appended(spark, root, since_version=1)
+    return (
+        delta.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.bit_xor("o_orderkey").alias("xor_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_length_buckets(spark, sf):
     d = _t(spark, sf, "documents")
     bucket = (
@@ -2114,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
+        "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         # round-5 displacements (all green r1-r4; families stay
         # represented in the first 50 by regex_scan/token_counts,
         # citation_snippets/md_blocks, and blocking-join cousins
@@ -2915,6 +2950,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
             WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "versioned_incremental_read": """
+            -- the incremental append scan must return EXACTLY the rows
+            -- the two post-baseline commits added: keys above the first
+            -- third of the domain
+            WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   min(o_orderkey) AS min_key,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM orders, b WHERE o_orderkey > c1
             GROUP BY 1 ORDER BY 1
         """,
         "stream_events_versioned": """
