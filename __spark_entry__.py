@@ -666,6 +666,37 @@ def q_versioned_incremental_read(spark, sf):
     )
 
 
+def q_versioned_zorder_read(spark, sf):
+    """Z-ordered layout read (round 5): orders committed with a Morton
+    interleave of (o_custkey, o_orderdate), so a box predicate on BOTH
+    dimensions prunes files (per-file source-column stats keep the
+    pruning sound regardless of layout; the interleave makes it bite —
+    asserted in test_versioned.py). Result must equal the WHERE-box
+    scan DuckDB runs."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot, write_snapshot_zordered,
+    )
+    root = _versioned_orders_root(sf) + "_zorder"
+    if current_version(root) is None:
+        write_snapshot_zordered(
+            _t(spark, sf, "orders"), root, ("o_custkey", "o_orderdate"),
+            n_files=16)
+    box = {
+        "o_custkey": ("between", (100, 400)),
+        "o_orderdate": ("between", ("1994-01-01", "1995-12-31")),
+    }
+    hit = read_snapshot(spark, root, predicates=box)
+    return (
+        hit.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.bit_xor("o_orderkey").alias("xor_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_length_buckets(spark, sf):
     d = _t(spark, sf, "documents")
     bucket = (
@@ -2149,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
+        "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         # round-5 displacements (all green r1-r4; families stay
         # represented in the first 50 by regex_scan/token_counts,
         # citation_snippets/md_blocks, and blocking-join cousins
@@ -2961,6 +2993,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    bit_xor(o_orderkey) AS xor_keys
             FROM orders, b WHERE o_orderkey > c1
+            GROUP BY 1 ORDER BY 1
+        """,
+        "versioned_zorder_read": """
+            -- the z-ordered pruned box read must equal the plain
+            -- WHERE-box scan (layout is a scan optimization only)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM orders
+            WHERE o_custkey BETWEEN 100 AND 400
+              AND o_orderdate BETWEEN TIMESTAMP '1994-01-01'
+                                  AND TIMESTAMP '1995-12-31'
             GROUP BY 1 ORDER BY 1
         """,
         "stream_events_versioned": """

@@ -1139,6 +1139,75 @@ def compact_snapshot(
     return _row_op_commit(spark, root, plan, meta, "compact")
 
 
+def _zvalue_expr(a16: Column, b16: Column) -> Column:
+    """Bit-interleave two 16-bit lane values into a 32-bit Morton
+    (Z-order) value — pure shift/or column expressions, no UDF."""
+    import functools
+    import operator
+
+    terms = []
+    for i in range(16):
+        terms.append(
+            F.shiftleft(F.shiftright(a16, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        terms.append(
+            F.shiftleft(F.shiftright(b16, i).bitwiseAND(F.lit(1)), 2 * i))
+    return functools.reduce(operator.add, terms)
+
+
+def write_snapshot_zordered(
+    df: DataFrame,
+    root: str,
+    cols: tuple,
+    n_files: int = 8,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Z-ORDER layout write (Iceberg ``rewrite_data_files`` with a
+    zorder strategy, as a write-time property): files are clustered by
+    the Morton interleave of two numeric/date columns, so a predicate
+    on EITHER dimension — or a box on both — prunes files. Soundness
+    never depends on the z-value: per-file min/max of the SOURCE
+    columns go in the manifest, and ``read_snapshot(predicates=...)``
+    prunes with those; the interleave only makes the layout cluster
+    both dimensions at once, which is what makes the pruning BITE
+    (a single-column range layout answers boxes on the other column
+    with a full scan). Lane values are 16-bit linear ranks between the
+    column's global min/max (two tiny aggregations, no global sort);
+    the scratch z column never lands in the files."""
+    from pyspark.sql.types import DateType, TimestampNTZType
+
+    ca, cb = cols
+
+    def _lane(c: str):
+        col = F.col(c)
+        dt = df.schema[c].dataType
+        if isinstance(dt, DateType):
+            col = F.datediff(col, F.lit("1970-01-01"))
+        elif isinstance(dt, TimestampNTZType):
+            col = col.cast("timestamp")  # NTZ → LTZ(UTC session) → seconds
+        col = col.cast("double")
+        row = df.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0)
+        return F.least(
+            F.lit(65535),
+            F.floor((col - F.lit(float(lo)))
+                    / F.lit((float(hi) - float(lo)) / 65535.0)).cast("int"),
+        )
+
+    zed = df.withColumn("_pt_z", _zvalue_expr(_lane(ca), _lane(cb)))
+    laid_out = zed.repartitionByRange(n_files, "_pt_z").drop("_pt_z")
+    return write_snapshot(
+        laid_out, root, mode=mode,
+        stats_cols=[ca, cb, *(stats_cols or [])],
+        meta={**(meta or {}), "zorder": {"cols": [ca, cb]}},
+    )
+
+
 def rollback_to(root: str, version: int) -> int:
     """Iceberg ``rollback_to_snapshot`` analog: commit a NEW version
     whose file list, stats and schema are exactly those of committed

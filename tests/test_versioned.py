@@ -977,3 +977,30 @@ def test_read_appended_incremental(spark, tmp_path):
     # ...but the post-delete append-only range works
     inc3 = read_appended(spark, root, since_version=4)
     assert sorted(r["id"] for r in inc3.collect()) == [30, 31, 32]
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout (round 5): after a Morton-interleaved write, a
+    range predicate on EITHER column prunes files (a 1-d range layout
+    answers the other column with a full scan), and every read equals
+    the full scan + filter."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        plan_files, write_snapshot_zordered,
+    )
+
+    root = str(tmp_path / "z1")
+    # 64x64 grid: x and y independent
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    write_snapshot_zordered(df, root, ("x", "y"), n_files=16)
+    n_files = len(plan_files(root)[0])
+    assert n_files >= 8
+    _, skip_x, _ = plan_files(root, predicates={"x": ("<", 8)})
+    _, skip_y, _ = plan_files(root, predicates={"y": ("<", 8)})
+    assert skip_x > 0 and skip_y > 0, (skip_x, skip_y, n_files)
+    got = read_snapshot(
+        spark, root, predicates={"x": ("<", 8), "y": ("<", 8)})
+    exp = df.filter((F.col("x") < 8) & (F.col("y") < 8))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
+    # the scratch z column never lands in the table
+    assert sorted(read_snapshot(spark, root).columns) == ["x", "y"]
