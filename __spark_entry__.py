@@ -2106,6 +2106,161 @@ def _kg_corpus_oracles() -> dict[str, str]:
     }
 
 
+# ---- training-data assembly family (round-5: operators/trainprep.py).
+# Deterministic hash-keyed split/sample/shuffle/pack — the operators a
+# training-data pipeline runs between dedup and the trainer. Engine and
+# oracle share ONE threshold/hash definition (trainprep.fraction_threshold
+# / split_thresholds / hash60_sql), never hand-copied constants.
+
+_TP_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_TP_MIX = {"en": 0.3, "zh": 0.5}  # downsample high-resource langs
+_TP_CHUNK_SIZE, _TP_CHUNK_OVERLAP = 200, 40
+_TP_PACK_BUDGET = 500
+
+
+def q_train_split(spark, sf):
+    """Deterministic train/val/test assignment (pure function of
+    (seed, key) — stable across reshards, unlike randomSplit)."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import split_assign
+
+    o = _t(spark, sf, "orders")
+    return split_assign(o, "o_orderkey", _TP_SPLITS, seed=42).select(
+        "o_orderkey", "split"
+    )
+
+
+def q_mixture_sample(spark, sf):
+    """Mixture re-weighting: per-language deterministic downsampling
+    (en→30%, zh→50%, low-resource langs kept whole)."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", _TP_MIX, seed=7, default_fraction=1.0
+    ).select("doc_id", "lang", "source")
+
+
+def q_doc_chunks(spark, sf):
+    """Sliding-window context chunking (size 200 / overlap 40) — narrow
+    sequence/explode/substr plan, zero exchanges (plan-locked)."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import chunk_text
+
+    d = _t(spark, sf, "documents")
+    c = chunk_text(d, "text", _TP_CHUNK_SIZE, _TP_CHUNK_OVERLAP)
+    return c.select(
+        "doc_id",
+        "chunk_seq",
+        "chunk_start",
+        F.length("chunk_text").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_det_shuffle(spark, sf):
+    """Reproducible epoch shuffle: rank 1..N in md5(seed:key) order via
+    the two-pass range-repartition recipe (no single-partition sort)."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import (
+        deterministic_shuffle,
+    )
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return deterministic_shuffle(o, "o_orderkey", seed=3).select(
+        "o_orderkey", "shuffle_rank"
+    )
+
+
+def q_pack_bins(spark, sf):
+    """Contiguous sequence packing: stream docs in deterministic hash
+    order, cut a bin every 500 ws-tokens (global prefix sum via the
+    same two-pass recipe; integer DIV, no float cliff)."""
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        token_count_ws,
+    )
+    from decisions_knowledge_graph_data_spark.operators.trainprep import (
+        pack_contiguous,
+    )
+
+    d = _t(spark, sf, "documents").withColumn("n_tokens", token_count_ws(F.col("text")))
+    return pack_contiguous(d, "doc_id", "n_tokens", _TP_PACK_BUDGET, seed=11).select(
+        "doc_id", "n_tokens", "bin_id"
+    )
+
+
+def _trainprep_oracles() -> dict[str, str]:
+    """DuckDB twins for the trainprep family — thresholds and the hash
+    idiom are DERIVED from operators/trainprep.py, not hand-copied."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import (
+        HASH_DOMAIN,
+        fraction_threshold,
+        hash60_sql,
+        split_thresholds,
+    )
+
+    split_case = "CASE"
+    for name, thr in split_thresholds(_TP_SPLITS):
+        if thr >= HASH_DOMAIN:
+            split_case += f" ELSE '{name}'"
+            break
+        split_case += f" WHEN h < {thr} THEN '{name}'"
+    split_case += " END"
+
+    mix_case = "CASE"
+    for stratum, frac in _TP_MIX.items():
+        mix_case += f" WHEN lang = '{stratum}' THEN {fraction_threshold(frac)}"
+    mix_case += f" ELSE {fraction_threshold(1.0)} END"
+
+    stride = _TP_CHUNK_SIZE - _TP_CHUNK_OVERLAP
+    return {
+        "train_split": f"""
+            WITH h AS (
+              SELECT o_orderkey, {hash60_sql('o_orderkey', 42)} AS h FROM orders
+            )
+            SELECT o_orderkey, {split_case} AS split FROM h
+        """,
+        "mixture_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {hash60_sql('doc_id', 7)} < {mix_case}
+        """,
+        "doc_chunks": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text), {stride})) AS chunk_start
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id,
+                   CAST((chunk_start - 1) // {stride} AS INT) AS chunk_seq,
+                   chunk_start,
+                   length(substring(text, chunk_start, {_TP_CHUNK_SIZE})) AS chunk_len,
+                   md5(substring(text, chunk_start, {_TP_CHUNK_SIZE})) AS chunk_md5
+            FROM s
+        """,
+        "det_shuffle": f"""
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY {hash60_sql('o_orderkey', 3)}, o_orderkey)
+                     AS shuffle_rank
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "pack_bins": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                       AS n_tokens,
+                     {hash60_sql('doc_id', 11)} AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                       AS cum0
+              FROM t
+            )
+            SELECT doc_id, n_tokens, cum0 // {_TP_PACK_BUDGET} AS bin_id FROM c
+        """,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver records exactly the FIRST 50 dict
     # entries. Round-3 curation (round-2 VERDICT items 1-3): the first 50
@@ -2164,18 +2319,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimension_lookup": q_dimension_lookup,
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
-        "sessionize": q_sessionize,
         "regex_scan": q_regex_scan,
         "token_counts": q_token_counts,
+        # ---- training-data assembly family (round-5: trainprep)
+        "train_split": q_train_split,
+        "doc_chunks": q_doc_chunks,
         # ---- versioned-table (Iceberg-semantics) + streaming (r4-r5)
         "versioned_pruned_read": q_versioned_pruned_read,
         "versioned_month_read": q_versioned_month_read,
         "versioned_merge_read": q_versioned_merge_read,
         "stream_events_versioned": q_stream_events_versioned,
-        "events_windowed": q_events_windowed,
         # ---- entries 51+: pattern twins of green first-50 rows; no
         # driver CORRECTNESS row (50-entry cap) but green on a prior
         # driver board AND on the committed local board every round
+        # round-5 curation (second pass): train_split + doc_chunks join
+        # the first 50 as the new trainprep family's representatives;
+        # displaced twins (green r1-r5) — the window family keeps
+        # range_window/top1_per_group/seq_ids up front, the streaming
+        # family keeps stream_events_versioned
+        "sessionize": q_sessionize,          # lag-window family: range_window
+        "events_windowed": q_events_windowed,  # streaming family: stream_events_versioned
+        # the rest of the trainprep family (oracle-green, local board)
+        "mixture_sample": q_mixture_sample,  # trainprep family: train_split
+        "det_shuffle": q_det_shuffle,        # trainprep family: train_split
+        "pack_bins": q_pack_bins,            # trainprep family: doc_chunks
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
@@ -2240,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
     # corpus parquet, so the SQL is runnable no matter which engine the
     # harness fires first
     d.update(_kg_corpus_oracles())
+    d.update(_trainprep_oracles())
     return d
 
 

@@ -1,0 +1,272 @@
+"""Training-data assembly operators: deterministic splits, samples,
+chunking, global shuffle, and contiguous sequence packing.
+
+The family a 100-TB training-data pipeline needs BETWEEN dedup and the
+trainer: assign train/val/test, re-weight a source/language mixture,
+chunk documents into context windows, give the corpus a reproducible
+global shuffle order, and pack variable-length docs into fixed token
+budgets.
+
+Design rules (all five operators follow them):
+
+* **Hash-based, never RNG-based.** ``df.randomSplit`` / ``sample`` /
+  ``sampleBy`` derive per-partition RNG streams from the partition
+  index, so the SAME row can land in train on one run and test on the
+  next whenever partitioning shifts (repartition, AQE coalescing, a
+  different file split at 100 TB). Every assignment here is a pure
+  function of (seed, key): stable across reshards, re-runs, engines —
+  and therefore oracle-checkable.
+* **Portable 60-bit hash.** ``h = int(md5(seed ':' key)[:15 hex], 16)``
+  — computable bit-identically in Spark
+  (``conv(substring(md5(..),1,15),16,10)``) and DuckDB
+  (``CAST('0x'||substring(md5(..),1,15) AS BIGINT)``). Thresholds are
+  pre-scaled to INTEGERS in the 2^60 domain driver-side, so engines
+  compare int64s and never a float boundary.
+* **No single-partition funnels.** The two order-dependent operators
+  (shuffle rank, packing prefix-sum) reuse the two-pass
+  range-repartition recipe of ``functions/ids.py:global_seq`` — the
+  only global structure that crosses the exchange is one
+  ``num_partitions``-row offsets table, broadcast back.
+
+Chunking is a narrow (shuffle-free) transform: ``sequence`` +
+``explode`` + ``substr`` — at 100 TB it pipelines inside the scan
+stage with zero exchanges (plan-locked in test_plan_quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_DOMAIN = 1 << 60  # the portable hash is uniform on [0, 2^60)
+
+
+def portable_hash60(key: Column, seed: int) -> Column:
+    """60-bit integer hash of ``seed ':' key`` — identical in any engine
+    with md5 + hex→int (null key → null hash, matching SQL ``||``)."""
+    s = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(key_sql: str, seed: int) -> str:
+    """DuckDB rendering of :func:`portable_hash60` for oracle SQL —
+    derived here (never hand-copied) so engine and oracle share one
+    definition."""
+    return (
+        f"CAST(('0x' || substring(md5('{seed}:' || CAST({key_sql} AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+
+
+def fraction_threshold(fraction: float) -> int:
+    """Integer threshold in the 2^60 domain for ``h < thr`` keep-tests.
+    Shared by the operators and the DuckDB oracles (derived, never
+    hand-copied)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    return min(int(fraction * HASH_DOMAIN), HASH_DOMAIN)
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds in the 2^60 domain, in dict order.
+
+    If the fractions sum to 1 (±1e-9) the last threshold is forced to
+    the full domain, so float rounding can never leave a row
+    unassigned. If they sum to <1, rows past the last threshold get a
+    NULL split (sample-then-split semantics).
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    cum = 0.0
+    out: list[tuple[str, int]] = []
+    for name, frac in splits.items():
+        if frac < 0:
+            raise ValueError(f"negative fraction for split {name!r}")
+        cum += frac
+        out.append((name, min(int(cum * HASH_DOMAIN), HASH_DOMAIN)))
+    if cum > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {cum} > 1")
+    if abs(cum - 1.0) <= 1e-9:
+        out[-1] = (out[-1][0], HASH_DOMAIN)
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed by ``key_col``.
+
+    Every row lands in exactly one split (fractions summing to 1) or
+    NULL (fractions summing to <1, i.e. subsampled corpus). The
+    assignment is a pure function of (seed, key): adding data,
+    repartitioning, or re-running never moves an existing key between
+    splits — the property ``randomSplit`` cannot give you.
+    """
+    h = portable_hash60(F.col(key_col), seed)
+    expr = None
+    for name, thr in split_thresholds(splits):
+        cond = h < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def sample_deterministic(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep each key with probability ``fraction``, deterministically.
+
+    Unlike ``df.sample`` the decision sticks to the KEY, not the
+    partition RNG stream: two tables sampled with the same (seed,
+    fraction) keep the SAME keys — joinable samples for free.
+    """
+    thr = fraction_threshold(fraction)
+    return df.filter(portable_hash60(F.col(key_col), seed) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture re-weighting
+    primitive (e.g. downsample English to 30%, keep low-resource
+    languages whole). Strata absent from ``fractions`` fall back to
+    ``default_fraction``. One narrow filter; no shuffle, no RNG.
+    """
+    thr = F.lit(fraction_threshold(default_fraction))
+    for stratum, frac in fractions.items():
+        t = fraction_threshold(frac)
+        thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
+    return df.filter(portable_hash60(F.col(key_col), seed) < thr)
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+    start_col: str = "chunk_start",
+    seq_col: str = "chunk_seq",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Sliding-window chunking: one row per (doc, window) with the
+    window's text, 1-based start offset, and 0-based sequence number.
+
+    Windows start at 1, 1+stride, … (stride = size - overlap) while the
+    start is within the text; the final window may be shorter than
+    ``size``. Every character of the source is covered, and
+    ``stride``-prefixes of the chunks concatenate back to the original
+    (property-tested). Rows with empty/null text produce no chunks.
+
+    Narrow transform — sequence/explode/substr pipeline inside the scan
+    stage, zero exchanges (the shape that matters when the input is
+    100 TB of documents).
+    """
+    if size <= 0 or not (0 <= overlap < size):
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    stride = size - overlap
+    text = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.length(text), F.lit(stride))
+    return (
+        df.filter(F.length(text) > 0)
+        .withColumn(start_col, F.explode(starts))
+        .withColumn(seq_col, ((F.col(start_col) - 1) / stride).cast("int"))
+        .withColumn(out_col, text.substr(F.col(start_col), F.lit(size)))
+    )
+
+
+def _ranged_by_hash(df: DataFrame, key_col: str, seed: int, num_partitions: int):
+    """Shared first pass: attach the hash order key and range-partition
+    on (hash, key) — disjoint ordered ranges, locally sorted. Ties on
+    the 60-bit hash are broken by the key so the order is total in any
+    engine."""
+    return (
+        df.withColumn("_h60", portable_hash60(F.col(key_col), seed))
+        .repartitionByRange(num_partitions, "_h60", key_col)
+        .sortWithinPartitions("_h60", key_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
+def _offsets(ranged: DataFrame, agg_col: Column):
+    """Per-partition exclusive prefix totals of ``agg_col`` (count or
+    sum) — a ``num_partitions``-row table, broadcast back."""
+    counts = ranged.groupBy("_pid").agg(agg_col.alias("_n"))
+    return counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    out_col: str = "shuffle_rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Reproducible global shuffle: rank 1..N in md5(seed:key) order.
+
+    The epoch-shuffle primitive — a different seed is a different
+    epoch's order, and the order is identical across re-runs, reshards
+    and engines. Scale shape: the two-pass ``global_seq`` recipe (range
+    repartition on the hash + broadcast offsets), never a
+    single-partition ``ORDER BY`` window.
+    """
+    ranged = _ranged_by_hash(df, key_col, seed, num_partitions)
+    local = Window.partitionBy("_pid").orderBy("_h60", key_col)
+    return (
+        ranged.join(F.broadcast(_offsets(ranged, F.count(F.lit(1)))), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.row_number().over(local))
+        .drop("_pid", "_offset", "_h60")
+    )
+
+
+def pack_contiguous(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: int = 0,
+    out_col: str = "bin_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Contiguous sequence packing: stream docs in deterministic
+    hash(seed:key) order and cut a new bin every ``budget`` tokens.
+
+    ``bin_id = (running_sum_before_doc) DIV budget`` — the
+    concat-and-split packing real LLM pipelines use (docs fill bins in
+    stream order; a doc straddling a boundary belongs to the bin where
+    it starts). Deterministic, single-pass, and — unlike first-fit-
+    decreasing — embarrassingly parallel: the global prefix sum is the
+    same two-pass recipe as the shuffle rank (per-partition token
+    totals → broadcast offsets), all integer arithmetic (``DIV``, no
+    float precision cliff past 2^53 tokens).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    ranged = _ranged_by_hash(df, key_col, seed, num_partitions)
+    local = Window.partitionBy("_pid").orderBy("_h60", key_col)
+    cum_before = (
+        F.sum(tokens_col).over(local).cast("long") - F.col(tokens_col).cast("long")
+    )
+    return (
+        ranged.join(
+            F.broadcast(_offsets(ranged, F.sum(F.col(tokens_col).cast("long")))), "_pid"
+        )
+        .withColumn("_cum0", F.col("_offset").cast("long") + cum_before)
+        .withColumn(out_col, F.expr(f"_cum0 DIV {int(budget)}"))
+        .drop("_pid", "_offset", "_h60", "_cum0")
+    )
