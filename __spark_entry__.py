@@ -666,6 +666,67 @@ def q_versioned_incremental_read(spark, sf):
     )
 
 
+# CDC fixture constants — shared by the Spark build and the DuckDB
+# oracle (derived, never hand-copied into the SQL)
+_CDC_MOD_APPEND, _CDC_MOD_UPDATE = 89, 97
+_CDC_KEY_OFFSET, _CDC_DELETE_CUTOFF = 200_000_000, "1993-01-01"
+
+
+def q_versioned_changes_read(spark, sf):
+    """Row-level change feed (Iceberg CDC / changelog analog, round 5):
+    orders is committed, then deterministically appended (customers
+    ``%89==0`` re-keyed ``+2e8``), merged (customers ``%97==0`` get
+    ``price+1`` — a CoW UPDATE), and row-level deleted (orderdate
+    before the cutoff). ``read_changes(since_version=1)`` must emit
+    insert rows for the append, delete(old)+insert(new) pairs for the
+    update, and delete rows for the delete — with the untouched rows
+    each copy-on-write rewrite carried into new files CANCELLED by the
+    multiset diff. DuckDB reproduces the whole feed from the source
+    table by construction."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where, merge_snapshot, read_changes, table_history,
+        write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_cdc"
+    try:
+        n_committed = len(table_history(root))
+    except FileNotFoundError:
+        n_committed = 0
+    if n_committed < 1:
+        write_snapshot(
+            _t(spark, sf, "orders").repartitionByRange(8, "o_orderkey"),
+            root, stats_cols=["o_orderkey"],
+        )
+    if n_committed < 2:
+        appended = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_custkey") % _CDC_MOD_APPEND == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + _CDC_KEY_OFFSET)
+        )
+        write_snapshot(appended, root, mode="append")
+    if n_committed < 3:
+        from decisions_knowledge_graph_data_spark.sources.versioned import (
+            read_snapshot,
+        )
+        updated = (
+            read_snapshot(spark, root, version=2)
+            .filter(F.col("o_custkey") % _CDC_MOD_UPDATE == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        )
+        merge_snapshot(spark, root, updated, "o_orderkey")
+    if n_committed < 4:
+        delete_where(spark, root, {"o_orderdate": ("<", _CDC_DELETE_CUTOFF)})
+    feed = read_changes(spark, root, since_version=1)
+    return feed.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_version").alias("change_version"),
+    )
+
+
 def q_versioned_zorder_read(spark, sf):
     """Z-ordered layout read (round 5): orders committed with a Morton
     interleave of (o_custkey, o_orderdate), so a box predicate on BOTH
@@ -2348,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
+        "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
         # round-5 displacements (all green r1-r4; families stay
         # represented in the first 50 by regex_scan/token_counts,
         # citation_snippets/md_blocks, and blocking-join cousins
@@ -3174,6 +3236,43 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND o_orderdate BETWEEN TIMESTAMP '1994-01-01'
                                   AND TIMESTAMP '1995-12-31'
             GROUP BY 1 ORDER BY 1
+        """,
+        "versioned_changes_read": f"""
+            -- the row-level change feed rebuilt from the source table:
+            -- append => inserts, CoW update => delete(old)+insert(new),
+            -- row delete => deletes of the POST-update state. Rows the
+            -- rewrites merely carried between files must NOT appear.
+            WITH appended AS (
+              SELECT o_orderkey + {_CDC_KEY_OFFSET} AS o_orderkey,
+                     o_custkey, o_totalprice, o_orderdate
+              FROM orders WHERE o_custkey % {_CDC_MOD_APPEND} = 0
+            ), base AS (
+              SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+              FROM orders
+              UNION ALL SELECT * FROM appended
+            ), updated AS (
+              SELECT * FROM base WHERE o_custkey % {_CDC_MOD_UPDATE} = 0
+            ), state3 AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_custkey % {_CDC_MOD_UPDATE} = 0
+                          THEN o_totalprice + 1 ELSE o_totalprice END
+                       AS o_totalprice,
+                     o_orderdate
+              FROM base
+            )
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+                   o_orderdate, 'insert' AS change_type, 2 AS change_version
+            FROM appended
+            UNION ALL
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2),
+                   o_orderdate, 'delete', 3 FROM updated
+            UNION ALL
+            SELECT o_orderkey, o_custkey, round(o_totalprice + 1, 2),
+                   o_orderdate, 'insert', 3 FROM updated
+            UNION ALL
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2),
+                   o_orderdate, 'delete', 4
+            FROM state3 WHERE o_orderdate < TIMESTAMP '{_CDC_DELETE_CUTOFF}'
         """,
         "stream_events_versioned": """
             -- the streamed-in versioned table must hold EXACTLY the

@@ -1004,3 +1004,144 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
     # the scratch z column never lands in the table
     assert sorted(read_snapshot(spark, root).columns) == ["x", "y"]
+
+
+def _changes(spark, root, since, version=None):
+    from decisions_knowledge_graph_data_spark.sources.versioned import read_changes
+
+    return sorted(
+        (r["_change_version"], r["_change_type"], r["id"], r["v"])
+        for r in read_changes(spark, root, since, version).collect()
+    )
+
+
+def test_read_changes_row_level_cdc(spark, tmp_path):
+    """Change feed across append + merge + delete: updates surface as
+    delete(old)+insert(new); untouched rows carried by the CoW rewrite
+    cancel; compaction is silent; the feed equals the snapshot diff."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        compact_snapshot, delete_where, merge_snapshot, read_changes,
+    )
+
+    root = str(tmp_path / "cdc")
+    write_snapshot(
+        _df(spark, 0, 20).repartitionByRange(4, "id"), root, stats_cols=["id"]
+    )
+    write_snapshot(_df(spark, 20, 26), root, mode="append")  # v2: +6 rows
+    # v3: update ids 3,4 (v -> id*2+1), insert id 100
+    src = spark.createDataFrame(
+        [(3, 7), (4, 9), (100, 200)], "id: long, v: long"
+    )
+    merge_snapshot(spark, root, src, "id")
+    delete_where(spark, root, {"id": ("<", 2)})  # v4: -2 rows
+    compact_snapshot(spark, root, small_file_bytes=10**9)  # v5: silent
+
+    got = _changes(spark, root, since=1)
+    want = sorted(
+        [(2, "insert", i, 2 * i) for i in range(20, 26)]
+        + [(3, "delete", 3, 6), (3, "delete", 4, 8)]
+        + [(3, "insert", 3, 7), (3, "insert", 4, 9), (3, "insert", 100, 200)]
+        + [(4, "delete", 0, 0), (4, "delete", 1, 2)]
+    )
+    assert got == want
+
+    # sub-ranges compose: (1,3] then (3,5] partition the feed
+    assert _changes(spark, root, 1, 3) == [c for c in want if c[0] <= 3]
+    assert _changes(spark, root, 3) == [c for c in want if c[0] > 3]
+    # empty range -> empty feed with the contract columns
+    empty = read_changes(spark, root, 5)
+    assert empty.count() == 0
+    assert {"_change_type", "_change_version"} <= set(empty.columns)
+
+    # the feed REPLAYS to the end state: apply inserts minus deletes
+    # over the since-snapshot and compare to the current snapshot
+    base = {(r["id"], r["v"]) for r in read_snapshot(spark, root, version=1).collect()}
+    for ver, typ, i, v in got:
+        if typ == "insert":
+            base.add((i, v))
+        else:
+            base.discard((i, v))
+    now = {(r["id"], r["v"]) for r in read_snapshot(spark, root).collect()}
+    assert base == now
+
+
+def test_read_changes_rollback_emits_reverse_delta(spark, tmp_path):
+    """A rollback commit's changes are the reverse of what it undoes."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where, read_changes, rollback_to,
+    )
+
+    root = str(tmp_path / "cdc_rb")
+    write_snapshot(_df(spark, 0, 10).repartition(2), root, stats_cols=["id"])
+    delete_where(spark, root, {"id": ("<", 3)})  # v2
+    rollback_to(root, 1)  # v3: restores ids 0..2
+
+    got = _changes(spark, root, since=2)
+    assert got == [(3, "insert", i, 2 * i) for i in range(3)]
+    # full range nets out: delete@2 then insert@3 for the same rows
+    full = _changes(spark, root, since=1)
+    assert full == sorted(
+        [(2, "delete", i, 2 * i) for i in range(3)]
+        + [(3, "insert", i, 2 * i) for i in range(3)]
+    )
+
+
+def test_read_changes_evolved_schema(spark, tmp_path):
+    """Inserts after a schema-evolving append carry the new column;
+    earlier commits' change rows read it as NULL."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import read_changes
+
+    root = str(tmp_path / "cdc_evo")
+    write_snapshot(_df(spark, 0, 5), root)
+    write_snapshot(_df(spark, 5, 8), root, mode="append")  # v2: no extra col
+    evolved = _df(spark, 8, 11).withColumn("tag", F.concat(F.lit("t"), "id"))
+    write_snapshot(evolved, root, mode="append")  # v3: + tag column
+
+    rows = {
+        (r["_change_version"], r["id"]): r["tag"]
+        for r in read_changes(spark, root, 1).collect()
+    }
+    assert rows[(2, 5)] is None and rows[(3, 8)] == "t8"
+
+
+def test_read_changes_validation(spark, tmp_path):
+    from decisions_knowledge_graph_data_spark.sources.versioned import read_changes
+
+    root = str(tmp_path / "cdc_val")
+    write_snapshot(_df(spark, 0, 5), root)
+    with pytest.raises(FileNotFoundError, match="no committed version 9"):
+        read_changes(spark, root, 9)
+    write_snapshot(_df(spark, 5, 6), root, mode="append")
+    with pytest.raises(ValueError, match="newer than"):
+        read_changes(spark, root, 2, version=1)
+
+
+def test_metadata_tables(spark, tmp_path):
+    """snapshots/files metadata tables reflect history and carry the
+    manifest's per-file stats."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where, files_df, snapshots_df,
+    )
+
+    root = str(tmp_path / "meta")
+    write_snapshot(
+        _df(spark, 0, 20).repartitionByRange(4, "id"), root, stats_cols=["id"]
+    )
+    write_snapshot(_df(spark, 20, 25), root, mode="append")
+    delete_where(spark, root, {"id": ("<", 2)})
+
+    snaps = {r["version"]: r for r in snapshots_df(spark, root).collect()}
+    assert set(snaps) == {1, 2, 3}
+    assert snaps[1]["parent"] is None and snaps[1]["mode"] == "overwrite"
+    assert snaps[2]["mode"] == "append" and snaps[2]["parent"] == 1
+    assert snaps[3]["mode"] == "delete"
+    assert snaps[2]["n_files"] > snaps[1]["n_files"]
+
+    files = files_df(spark, root).collect()
+    assert len(files) == snaps[3]["n_files"]
+    # stats round-trip: global min id over per-file stats == table min
+    mins = [int(r["col_min"]["id"]) for r in files if "id" in r["col_min"]]
+    assert min(mins) == 2  # ids < 2 were deleted
+    assert all(r["size_bytes"] > 0 for r in files)
+    # time travel: the v1 file listing is intact
+    assert len(files_df(spark, root, version=1).collect()) == snaps[1]["n_files"]
