@@ -1145,3 +1145,116 @@ def test_metadata_tables(spark, tmp_path):
     assert all(r["size_bytes"] > 0 for r in files)
     # time travel: the v1 file listing is intact
     assert len(files_df(spark, root, version=1).collect()) == snaps[1]["n_files"]
+
+
+def test_model_based_random_op_walk(spark, tmp_path):
+    """Model-based check of the whole row-op surface: a seeded random
+    walk of overwrite/append/merge/delete/compact/rollback commits,
+    mirrored on an independent Python dict model. After the walk, the
+    current read, EVERY retained version's time-travel read, and the
+    full + a mid-range CDC feed must all equal the model exactly."""
+    import random
+
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        compact_snapshot, delete_where, merge_snapshot, read_changes,
+        rollback_to, write_snapshot,
+    )
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"model_{seed}")
+
+        def mk(rows):
+            data = [(i, v) for i, v in sorted(rows.items())]
+            return spark.createDataFrame(data, "id: long, v: long")
+
+        state = {i: i * 10 for i in range(12)}
+        next_id = 12
+        assert write_snapshot(
+            mk(state).repartition(2), root, stats_cols=["id"]) == 1
+        states = {1: dict(state)}
+        cur = 1
+
+        for _ in range(12):
+            op = rng.choice(
+                ["append", "merge", "delete", "compact", "rollback"])
+            ver = None
+            if op == "append":
+                n = rng.randint(1, 5)
+                new = {next_id + j: (next_id + j) * 10 + 1 for j in range(n)}
+                next_id += n
+                ver = write_snapshot(mk(new), root, mode="append")
+                state.update(new)
+            elif op == "merge":
+                upd = {i: state[i] + 1
+                       for i in rng.sample(sorted(state), k=min(3, len(state)))}
+                n_ins = rng.randint(0, 2)
+                ins = {next_id + j: (next_id + j) * 10 + 2 for j in range(n_ins)}
+                next_id += n_ins
+                src = {**upd, **ins}
+                if src:
+                    ver = merge_snapshot(spark, root, mk(src), "id")
+                    state.update(src)
+            elif op == "delete":
+                if rng.random() < 0.5:
+                    cut = rng.randint(0, next_id)
+                    pred = {"id": ("<", cut)}
+                    survivors = {i: v for i, v in state.items() if not i < cut}
+                else:
+                    lo = rng.randint(0, next_id)
+                    hi = lo + rng.randint(0, 6)
+                    pred = {"id": ("between", (lo, hi))}
+                    survivors = {i: v for i, v in state.items()
+                                 if not (lo <= i <= hi)}
+                ver = delete_where(spark, root, pred)
+                if ver is not None:
+                    # stats may overmatch: a commit can change no rows
+                    state = survivors
+                else:
+                    # ...but never undermatch: no commit => no row matched
+                    assert survivors == state, "matching delete must commit"
+            elif op == "compact":
+                ver = compact_snapshot(spark, root, small_file_bytes=10**9)
+                # row-preserving: state unchanged either way
+            elif op == "rollback":
+                target = rng.choice(sorted(states))
+                ver = rollback_to(root, target)
+                if target == cur:
+                    ver = None  # no-op rollback returns the pointer
+                else:
+                    state = dict(states[target])
+            if ver is not None:
+                assert ver == cur + 1, f"{op} committed {ver}, expected {cur + 1}"
+                cur = ver
+                states[ver] = dict(state)
+
+        # 1) current state and 2) every version's time-travel read
+        for v, want in states.items():
+            got = {r["id"]: r["v"]
+                   for r in read_snapshot(spark, root, version=v).collect()}
+            assert got == want, f"seed {seed}: version {v} mismatch"
+
+        # 3) the CDC feed over the whole walk == the model's state diffs
+        def model_feed(lo, hi):
+            feed = []
+            vs = sorted(v for v in states if lo <= v <= hi)
+            for prev, nxt in zip(vs, vs[1:]):
+                old, new = states[prev], states[nxt]
+                o_items, n_items = set(old.items()), set(new.items())
+                feed += [(nxt, "insert", i, v) for i, v in n_items - o_items]
+                feed += [(nxt, "delete", i, v) for i, v in o_items - n_items]
+            return sorted(feed)
+
+        got_feed = sorted(
+            (r["_change_version"], r["_change_type"], r["id"], r["v"])
+            for r in read_changes(spark, root, 1).collect())
+        assert got_feed == model_feed(1, cur), f"seed {seed}: full feed"
+
+        if cur >= 3:
+            mid_lo = sorted(states)[len(states) // 3]
+            mid_hi = sorted(states)[2 * len(states) // 3]
+            got_mid = sorted(
+                (r["_change_version"], r["_change_type"], r["id"], r["v"])
+                for r in read_changes(
+                    spark, root, mid_lo, version=mid_hi).collect())
+            assert got_mid == model_feed(mid_lo, mid_hi), f"seed {seed}: mid feed"
