@@ -2375,7 +2375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "top1_per_group": q_top1_per_group,
         "seq_ids": q_seq_ids,
-        "anti_join": q_anti_join,
         "nway_intersection": q_nway_intersection,
         "dimension_lookup": q_dimension_lookup,
         "percentiles": q_percentiles,
@@ -2390,16 +2389,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_month_read": q_versioned_month_read,
         "versioned_merge_read": q_versioned_merge_read,
         "stream_events_versioned": q_stream_events_versioned,
+        "events_windowed": q_events_windowed,
         # ---- entries 51+: pattern twins of green first-50 rows; no
         # driver CORRECTNESS row (50-entry cap) but green on a prior
         # driver board AND on the committed local board every round
         # round-5 curation (second pass): train_split + doc_chunks join
         # the first 50 as the new trainprep family's representatives;
-        # displaced twins (green r1-r5) — the window family keeps
-        # range_window/top1_per_group/seq_ids up front, the streaming
-        # family keeps stream_events_versioned
+        # displaced twins (green r1-r5) — sessionize (lag-window family:
+        # range_window/running_window) and anti_join (family stays
+        # visible via unmapped_discovery, itself a left_anti join)
         "sessionize": q_sessionize,          # lag-window family: range_window
-        "events_windowed": q_events_windowed,  # streaming family: stream_events_versioned
+        "anti_join": q_anti_join,            # anti-join family: unmapped_discovery
         # the rest of the trainprep family (oracle-green, local board)
         "mixture_sample": q_mixture_sample,  # trainprep family: train_split
         "det_shuffle": q_det_shuffle,        # trainprep family: train_split

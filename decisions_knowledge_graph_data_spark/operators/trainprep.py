@@ -22,11 +22,12 @@ Design rules (all five operators follow them):
   (``CAST('0x'||substring(md5(..),1,15) AS BIGINT)``). Thresholds are
   pre-scaled to INTEGERS in the 2^60 domain driver-side, so engines
   compare int64s and never a float boundary.
-* **No single-partition funnels.** The two order-dependent operators
-  (shuffle rank, packing prefix-sum) reuse the two-pass
-  range-repartition recipe of ``functions/ids.py:global_seq`` — the
-  only global structure that crosses the exchange is one
-  ``num_partitions``-row offsets table, broadcast back.
+* **No single-partition funnels, one full-data exchange.** The two
+  order-dependent operators (shuffle rank, packing prefix-sum) ride
+  ``functions/ids.py:ranked_prefix``: one range exchange, a narrow
+  vectorized Arrow cumsum pass (NOT a Window.partitionBy(pid), which
+  costs a hidden second full-data exchange), and a broadcast
+  ``num_partitions``-row offsets fan-back.
 
 Chunking is a narrow (shuffle-free) transform: ``sequence`` +
 ``explode`` + ``substr`` — at 100 TB it pipelines inside the scan
@@ -35,7 +36,7 @@ stage with zero exchanges (plan-locked in test_plan_quality.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_DOMAIN = 1 << 60  # the portable hash is uniform on [0, 2^60)
@@ -182,32 +183,26 @@ def chunk_text(
     )
 
 
-def _ranged_by_hash(df: DataFrame, key_col: str, seed: int, num_partitions: int):
-    """Shared first pass: attach the hash order key and range-partition
-    on (hash, key) — disjoint ordered ranges, locally sorted. Ties on
-    the 60-bit hash are broken by the key so the order is total in any
-    engine."""
-    return (
-        df.withColumn("_h60", portable_hash60(F.col(key_col), seed))
-        .repartitionByRange(num_partitions, "_h60", key_col)
-        .sortWithinPartitions("_h60", key_col)
-        .withColumn("_pid", F.spark_partition_id())
+def _hash_ordered_prefix(
+    df: DataFrame,
+    key_col: str,
+    seed: int,
+    num_partitions: int,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Shared scale recipe for the two order-dependent ops: attach the
+    hash order key (ties broken by the key, so the order is total in
+    any engine) and compute the global exclusive prefix through
+    ``functions/ids.py:ranked_prefix`` — ONE full-data range exchange,
+    a narrow Arrow cumsum pass, and a broadcast offsets fan-back."""
+    from decisions_knowledge_graph_data_spark.functions.ids import ranked_prefix
+
+    return ranked_prefix(
+        df.withColumn("_h60", portable_hash60(F.col(key_col), seed)),
+        ["_h60", key_col],
+        num_partitions,
+        tokens_col=tokens_col,
     )
-
-
-def _offsets(ranged: DataFrame, agg_col: Column):
-    """Per-partition exclusive prefix totals of ``agg_col`` (count or
-    sum) — a ``num_partitions``-row table, broadcast back."""
-    counts = ranged.groupBy("_pid").agg(agg_col.alias("_n"))
-    return counts.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_n").over(
-                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_offset")
 
 
 def deterministic_shuffle(
@@ -221,16 +216,12 @@ def deterministic_shuffle(
 
     The epoch-shuffle primitive — a different seed is a different
     epoch's order, and the order is identical across re-runs, reshards
-    and engines. Scale shape: the two-pass ``global_seq`` recipe (range
-    repartition on the hash + broadcast offsets), never a
-    single-partition ``ORDER BY`` window.
-    """
-    ranged = _ranged_by_hash(df, key_col, seed, num_partitions)
-    local = Window.partitionBy("_pid").orderBy("_h60", key_col)
-    return (
-        ranged.join(F.broadcast(_offsets(ranged, F.count(F.lit(1)))), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.row_number().over(local))
-        .drop("_pid", "_offset", "_h60")
+    and engines. Scale shape: ``ranked_prefix`` — one full-data range
+    exchange, never a single-partition ``ORDER BY`` window and never a
+    second data-sized exchange (plan-locked)."""
+    j = _hash_ordered_prefix(df, key_col, seed, num_partitions)
+    return j.withColumn(out_col, F.col("_offset") + F.col("_local") + 1).drop(
+        "_pid", "_offset", "_local", "_h60"
     )
 
 
@@ -244,29 +235,22 @@ def pack_contiguous(
     num_partitions: int = 32,
 ) -> DataFrame:
     """Contiguous sequence packing: stream docs in deterministic
-    hash(seed:key) order and cut a new bin every ``budget`` tokens.
+    hash(seed:key) order and cut a new bin every ``budget`` tokens
+    (``tokens_col`` must be non-null).
 
     ``bin_id = (running_sum_before_doc) DIV budget`` — the
     concat-and-split packing real LLM pipelines use (docs fill bins in
     stream order; a doc straddling a boundary belongs to the bin where
-    it starts). Deterministic, single-pass, and — unlike first-fit-
-    decreasing — embarrassingly parallel: the global prefix sum is the
-    same two-pass recipe as the shuffle rank (per-partition token
-    totals → broadcast offsets), all integer arithmetic (``DIV``, no
-    float precision cliff past 2^53 tokens).
+    it starts). Deterministic, embarrassingly parallel — the global
+    token prefix sum is the same ``ranked_prefix`` recipe as the
+    shuffle rank — and all-integer arithmetic (``DIV``, no float
+    precision cliff past 2^53 tokens).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    ranged = _ranged_by_hash(df, key_col, seed, num_partitions)
-    local = Window.partitionBy("_pid").orderBy("_h60", key_col)
-    cum_before = (
-        F.sum(tokens_col).over(local).cast("long") - F.col(tokens_col).cast("long")
-    )
+    j = _hash_ordered_prefix(df, key_col, seed, num_partitions, tokens_col)
     return (
-        ranged.join(
-            F.broadcast(_offsets(ranged, F.sum(F.col(tokens_col).cast("long")))), "_pid"
-        )
-        .withColumn("_cum0", F.col("_offset").cast("long") + cum_before)
+        j.withColumn("_cum0", F.col("_offset").cast("long") + F.col("_local"))
         .withColumn(out_col, F.expr(f"_cum0 DIV {int(budget)}"))
-        .drop("_pid", "_offset", "_h60", "_cum0")
+        .drop("_pid", "_offset", "_local", "_h60", "_cum0")
     )

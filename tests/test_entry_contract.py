@@ -55,6 +55,10 @@ def test_driver_window_composition():
         # versioned-table (Iceberg-semantics) read + row-op paths (r4-5)
         "versioned_pruned_read", "versioned_month_read",
         "versioned_merge_read",
+        # training-data assembly family (round-5 second pass; the
+        # displaced twins sessionize/anti_join stay covered by
+        # range_window/running_window and unmapped_discovery)
+        "train_split", "doc_chunks",
     }
     assert must_be_visible <= first_50, must_be_visible - first_50
 

@@ -277,3 +277,53 @@ def test_asof_time_bucket_scan_count(spark, tmp_path_factory):
     # probes + builds are each unioned once into the window input and
     # once into the carry aggregation → 4 scans; the old shape had 6
     assert n_scans <= 4, f"time_bucket plan re-scans sources: {n_scans} scans"
+
+
+def test_trainprep_shuffle_and_pack_plans(spark):
+    """The two order-dependent trainprep ops must keep the ranked_prefix
+    shape: the data crosses ONE range exchange, the local prefix is a
+    narrow Arrow pass, and the offsets side is a tiny broadcast. A
+    Window.partitionBy(spark_partition_id) variant would add a hidden
+    SECOND full-data hash exchange (Catalyst cannot prove each physical
+    partition holds one pid) — the regression this test exists to
+    catch."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import (
+        deterministic_shuffle, pack_contiguous,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 50 + 1).alias("tok"))
+    for out in (
+        deterministic_shuffle(df, "id", seed=1, num_partitions=8),
+        pack_contiguous(df, "id", "tok", 200, seed=1, num_partitions=8),
+    ):
+        plan = _plan(out)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # offsets fan back broadcast
+        # one range exchange for the data; the offsets lineage may add a
+        # second (reused when Spark can) — but no more
+        assert plan.count("Exchange rangepartitioning") <= 2, plan[:2000]
+        # the ONLY hash exchange is the num_partitions-row offsets agg
+        assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+        # no data-sized window: the one Window node is the offsets cumsum
+        assert plan.count("Window") <= 1, plan[:2000]
+
+
+def test_chunk_then_pack_composition_stays_two_shuffle(spark, docs_parquet):
+    """Context assembly (chunk docs → pack chunks into budget bins) must
+    not multiply shuffles: chunking is narrow, so the composed plan
+    carries only the pack op's two-pass structure."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import (
+        chunk_text, pack_contiguous,
+    )
+
+    docs = spark.read.parquet(docs_parquet).withColumnRenamed("content", "text")
+    chunks = chunk_text(docs, "text", 256, 32).withColumn(
+        "chunk_id",
+        F.concat_ws(":", "repo", "path", F.col("chunk_seq").cast("string")),
+    ).select("chunk_id", F.length("chunk_text").alias("tok"))
+    packed = pack_contiguous(chunks, "chunk_id", "tok", 4096, seed=5)
+    plan = _plan(packed)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange rangepartitioning") <= 2, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]

@@ -1258,3 +1258,37 @@ def test_model_based_random_op_walk(spark, tmp_path):
                 for r in read_changes(
                     spark, root, mid_lo, version=mid_hi).collect())
             assert got_mid == model_feed(mid_lo, mid_hi), f"seed {seed}: mid feed"
+
+
+def test_read_changes_scans_only_churned_files(spark, tmp_path):
+    """Scale contract: the change feed's scan set is exactly the files
+    the commits in range added or removed — never the whole table
+    (cost proportional to churn)."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        merge_snapshot, read_changes, _read_manifest,
+    )
+
+    root = str(tmp_path / "cdc_scan")
+    write_snapshot(
+        spark.range(0, 800).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(8, "id"),
+        root, stats_cols=["id"],
+    )
+    # touch only the file(s) holding ids 5 and 7
+    merge_snapshot(
+        spark, root,
+        spark.createDataFrame([(5, 0), (7, 0)], "id: long, v: long"), "id")
+
+    m1, m2 = _read_manifest(root, 1), _read_manifest(root, 2)
+    churn = (set(m1["files"]) - set(m2["files"])) | (
+        set(m2["files"]) - set(m1["files"]))
+    assert 0 < len(churn) < len(m2["files"])  # minimal rewrite happened
+
+    feed = read_changes(spark, root, 1)
+    scanned = {f.split("file:")[-1].replace(root + "/", "").lstrip("/")
+               for f in feed.inputFiles()}
+    assert scanned == churn, (scanned, churn)
+    # and the feed itself is the two-row update, carried rows cancelled
+    rows = sorted((r["_change_type"], r["id"], r["v"]) for r in feed.collect())
+    assert rows == [("delete", 5, 15), ("delete", 7, 21),
+                    ("insert", 5, 0), ("insert", 7, 0)]
