@@ -58,6 +58,15 @@ def ranked_prefix(
        rows cross the wire) → cumulative offsets (a window over that
        tiny table only) → broadcast fan-back.
 
+    The post-exchange data feeds TWO consumers (the cumsum kernel and
+    the totals agg), and Catalyst prunes the totals branch to fewer
+    columns, so the two Exchange subtrees never canonicalize equal and
+    ReuseExchange cannot fire — without a barrier the whole upstream
+    (scan, derived columns, the exchange itself) executes twice.
+    ``localCheckpoint(eager=False)`` materializes it once; checkpoint,
+    not persist, per the linking.py convention — blocks are released by
+    the ContextCleaner when the DataFrame is dropped.
+
     Returns the input plus ``_pid``, ``_local`` (exclusive prefix within
     the partition) and ``_offset`` (sum of prior partitions): global
     exclusive prefix = ``_offset + _local``; 1-based rank =
@@ -72,6 +81,7 @@ def ranked_prefix(
         df.repartitionByRange(num_partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     out_schema = StructType(
         ranged.schema.fields + [StructField("_local", LongType())]

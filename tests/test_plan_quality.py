@@ -300,9 +300,13 @@ def test_trainprep_shuffle_and_pack_plans(spark):
         plan = _plan(out)
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan  # offsets fan back broadcast
-        # one range exchange for the data; the offsets lineage may add a
-        # second (reused when Spark can) — but no more
-        assert plan.count("Exchange rangepartitioning") <= 2, plan[:2000]
+        # the ranked_prefix checkpoint barrier: the post-exchange data
+        # is materialized ONCE and both consumers (kernel + totals agg)
+        # read the checkpointed RDD — without it, column pruning makes
+        # the two Exchange subtrees canonicalize unequal, ReuseExchange
+        # never fires, and the whole upstream executes twice
+        assert "ExistingRDD" in plan, plan[:2000]
+        assert plan.count("Exchange rangepartitioning") == 0, plan[:2000]
         # the ONLY hash exchange is the num_partitions-row offsets agg
         assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
         # no data-sized window: the one Window node is the offsets cumsum
@@ -325,5 +329,9 @@ def test_chunk_then_pack_composition_stays_two_shuffle(spark, docs_parquet):
     packed = pack_contiguous(chunks, "chunk_id", "tok", 4096, seed=5)
     plan = _plan(packed)
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange rangepartitioning") <= 2, plan[:2000]
+    # chunk (narrow) + the parquet scan all sit below the ranked_prefix
+    # checkpoint barrier, executed exactly once — the visible plan reads
+    # the checkpointed RDD on both branches
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 0, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
