@@ -67,6 +67,14 @@ def ranked_prefix(
     not persist, per the linking.py convention — blocks are released by
     the ContextCleaner when the DataFrame is dropped.
 
+    Capped-heap caveat: localCheckpoint stores MEMORY_AND_DISK
+    DESERIALIZED (PySpark exposes no storage-level knob for it), the
+    unroll pattern that pressured the 16g kg legs (BENCH/BASELINE.md).
+    The trainprep callers checkpoint a ≤4-int projection, so the block
+    is ~32 bytes/row regardless of document size; callers ranking WIDE
+    rows under a tight heap should project to (sort key, row id) first
+    and join the rank back, or accept disk overflow on unroll.
+
     Returns the input plus ``_pid``, ``_local`` (exclusive prefix within
     the partition) and ``_offset`` (sum of prior partitions): global
     exclusive prefix = ``_offset + _local``; 1-based rank =
@@ -77,6 +85,12 @@ def ranked_prefix(
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
+    clash = {"_pid", "_local", "_offset"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"ranked_prefix reserves column names {sorted(clash)}; rename "
+            "them on the input (same contract as asof_join's reserved set)"
+        )
     ranged = (
         df.repartitionByRange(num_partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)

@@ -197,6 +197,12 @@ def _hash_ordered_prefix(
     a narrow Arrow cumsum pass, and a broadcast offsets fan-back."""
     from decisions_knowledge_graph_data_spark.functions.ids import ranked_prefix
 
+    clash = {"_h60", "_cum0"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"this operator reserves column names {sorted(clash)}; rename "
+            "them on the input (ranked_prefix adds _pid/_local/_offset too)"
+        )
     return ranked_prefix(
         df.withColumn("_h60", portable_hash60(F.col(key_col), seed)),
         ["_h60", key_col],

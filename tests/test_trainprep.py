@@ -189,3 +189,16 @@ def test_pack_contiguous_model_exact(keyed):
 def test_pack_contiguous_validation(keyed):
     with pytest.raises(ValueError):
         pack_contiguous(keyed, "k", "tok", 0)
+
+
+def test_reserved_scratch_names_rejected(keyed):
+    from decisions_knowledge_graph_data_spark.functions.ids import global_seq
+
+    for bad in ("_pid", "_local", "_offset"):
+        with pytest.raises(ValueError, match="reserves column names"):
+            global_seq(keyed.withColumn(bad, F.lit(1)), "k")
+    for bad in ("_h60", "_cum0"):
+        with pytest.raises(ValueError, match="reserves column names"):
+            deterministic_shuffle(keyed.withColumn(bad, F.lit(1)), "k", seed=1)
+        with pytest.raises(ValueError, match="reserves column names"):
+            pack_contiguous(keyed.withColumn(bad, F.lit(1)), "k", "tok", 10)
