@@ -244,7 +244,7 @@ def main() -> None:
         "triples_per_sec": triples_per_sec,
         "docs_per_sec": round(KG_DOCS / kg_dt, 1) if kg_dt else 0.0,
         "cpus": CPUS,
-        "scaling": "see BENCH/BASELINE.md: efficiency 1.03 at N=1 vs 4N=4 cores on 2M docs (round-5 final code: 1013.6s vs 245.4s, identical 10,899,153 triples; cross-round repeat band 0.91-1.03) + 10x stress RE-RUN on round-5 code: 20M docs / 54 GB under a 16g heap cap — local[8] 1072s ZERO spill, local[16] 582s (eff 0.92) graceful spill, identical 138,981,374 triples both legs and both rounds; linking skew audit: hub title = 23.4% of 26M RULE mentions, resolved via 104-distinct-name broadcast fan-back (never a shuffle hot spot)",
+        "scaling": "see BENCH/BASELINE.md: efficiency 1.03 at N=1 vs 4N=4 cores on 2M docs (round-5 final code: 1013.6s vs 245.4s, identical 10,899,153 triples; cross-round repeat band 0.91-1.03) + 10x stress RE-RUN on round-5 code: 20M docs / 54 GB under a 16g heap cap — local[8] 1072s ZERO spill, local[16] 582s (eff 0.92) graceful spill, identical 138,981,374 triples both legs and both rounds; linking skew audit: hub title = 23.4% of 26M RULE mentions, resolved via 104-distinct-name broadcast fan-back (never a shuffle hot spot); trainprep assembly family (tools/bench_trainprep.py, steady-state legs): eff 0.86 at 1v4 / 0.74 at 2v8 on 2M docs, HOLDS at 5x data (0.73 at 2v8 on 10M docs, per-op chunk 0.80 pack 0.71 shuffle 0.83 split 0.91, identical outputs every leg; runtimes linear in data)",
     }))
 
 
