@@ -641,17 +641,27 @@ def q_versioned_incremental_read(spark, sf):
     primitive for incremental downstream pipelines: each poll reads
     only the new publishes' files, never the table."""
     from decisions_knowledge_graph_data_spark.sources.versioned import (
-        current_version, read_appended, write_snapshot,
+        read_appended, table_history, write_snapshot,
     )
     root = _versioned_orders_root(sf) + "_inc"
-    if current_version(root) is None:
+    # Resume ladder (like the CDC/merge fixtures): a run killed between
+    # commits must finish the build on the next run, not serve a
+    # permanently-partial table from the cache.
+    try:
+        n_committed = len(table_history(root))
+    except FileNotFoundError:
+        n_committed = 0
+    if n_committed < 3:
         o = _t(spark, sf, "orders")
         hi = o.agg(F.max("o_orderkey")).first()[0]
         c1, c2 = hi // 3, 2 * (hi // 3)
-        write_snapshot(o.filter(F.col("o_orderkey") <= c1), root)
-        write_snapshot(
-            o.filter((F.col("o_orderkey") > c1) & (F.col("o_orderkey") <= c2)),
-            root, mode="append")
+        if n_committed < 1:
+            write_snapshot(o.filter(F.col("o_orderkey") <= c1), root)
+        if n_committed < 2:
+            write_snapshot(
+                o.filter(
+                    (F.col("o_orderkey") > c1) & (F.col("o_orderkey") <= c2)),
+                root, mode="append")
         write_snapshot(
             o.filter(F.col("o_orderkey") > c2), root, mode="append")
     delta = read_appended(spark, root, since_version=1)

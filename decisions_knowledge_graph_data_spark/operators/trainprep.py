@@ -194,7 +194,17 @@ def _hash_ordered_prefix(
     hash order key (ties broken by the key, so the order is total in
     any engine) and compute the global exclusive prefix through
     ``functions/ids.py:ranked_prefix`` — ONE full-data range exchange,
-    a narrow Arrow cumsum pass, and a broadcast offsets fan-back."""
+    a narrow Arrow cumsum pass, and a broadcast offsets fan-back.
+
+    CONTRACT: ``key_col`` values must be UNIQUE and NON-NULL (same as
+    :func:`global_seq`). Duplicate keys give two rows identical
+    ``(_h60, key)`` sort keys, so which row precedes the other — and
+    with ``tokens_col``, where a bin boundary falls between them — is
+    partition-dependent; no engine-portable tiebreak exists for rows
+    the sort key cannot distinguish. NULL keys hash to NULL
+    (``portable_hash60`` is concat-null-propagating) and sort as one
+    indistinguishable group. Dedup (operators/dedup.py) or mint a uid
+    (``functions/ids.py:doc_uid``) first."""
     from decisions_knowledge_graph_data_spark.functions.ids import ranked_prefix
 
     clash = {"_h60", "_cum0"} & set(df.columns)
@@ -218,7 +228,9 @@ def deterministic_shuffle(
     out_col: str = "shuffle_rank",
     num_partitions: int = 32,
 ) -> DataFrame:
-    """Reproducible global shuffle: rank 1..N in md5(seed:key) order.
+    """Reproducible global shuffle: rank 1..N in md5(seed:key) order
+    (``key_col`` must be unique and non-null — see
+    :func:`_hash_ordered_prefix`).
 
     The epoch-shuffle primitive — a different seed is a different
     epoch's order, and the order is identical across re-runs, reshards
@@ -242,7 +254,8 @@ def pack_contiguous(
 ) -> DataFrame:
     """Contiguous sequence packing: stream docs in deterministic
     hash(seed:key) order and cut a new bin every ``budget`` tokens
-    (``tokens_col`` must be non-null).
+    (``tokens_col`` must be non-null; ``key_col`` must be unique and
+    non-null — see :func:`_hash_ordered_prefix`).
 
     ``bin_id = (running_sum_before_doc) DIV budget`` — the
     concat-and-split packing real LLM pipelines use (docs fill bins in

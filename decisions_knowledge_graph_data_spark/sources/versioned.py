@@ -1141,7 +1141,12 @@ def compact_snapshot(
 
 def _zvalue_expr(a16: Column, b16: Column) -> Column:
     """Bit-interleave two 16-bit lane values into a 32-bit Morton
-    (Z-order) value — pure shift/or column expressions, no UDF."""
+    (Z-order) value — pure shift/or column expressions, no UDF.
+    Lanes MUST be bigint: with int32 lanes, bit 15 of ``a16`` shifts
+    into the int sign bit, every upper-half-of-a row goes negative and
+    range-partitions BEFORE the lower half — the opposite of Morton
+    order (pruning stays sound — stats are on source columns — but the
+    clustering this layout exists for silently degrades)."""
     import functools
     import operator
 
@@ -1173,33 +1178,41 @@ def write_snapshot_zordered(
     both dimensions at once, which is what makes the pruning BITE
     (a single-column range layout answers boxes on the other column
     with a full scan). Lane values are 16-bit linear ranks between the
-    column's global min/max (two tiny aggregations, no global sort);
-    the scratch z column never lands in the files."""
+    column's global min/max (ONE tiny aggregation covering both lanes,
+    no global sort); the scratch z column never lands in the files."""
     from pyspark.sql.types import DateType, TimestampNTZType
 
     ca, cb = cols
 
-    def _lane(c: str):
+    def _numeric(c: str):
         col = F.col(c)
         dt = df.schema[c].dataType
         if isinstance(dt, DateType):
             col = F.datediff(col, F.lit("1970-01-01"))
         elif isinstance(dt, TimestampNTZType):
             col = col.cast("timestamp")  # NTZ → LTZ(UTC session) → seconds
-        col = col.cast("double")
-        row = df.agg(
-            F.min(col).alias("lo"), F.max(col).alias("hi")
-        ).first()
-        lo, hi = row["lo"], row["hi"]
+        return col.cast("double")
+
+    na, nb = _numeric(ca), _numeric(cb)
+    bounds = df.agg(
+        F.min(na).alias("alo"), F.max(na).alias("ahi"),
+        F.min(nb).alias("blo"), F.max(nb).alias("bhi"),
+    ).first()
+
+    def _lane(col: Column, lo, hi):
+        # bigint, not int: bit 15 must not land in an int32 sign bit
+        # when _zvalue_expr shifts it to position 31.
         if lo is None or hi is None or hi == lo:
-            return F.lit(0)
+            return F.lit(0).cast("bigint")
         return F.least(
-            F.lit(65535),
+            F.lit(65535).cast("bigint"),
             F.floor((col - F.lit(float(lo)))
-                    / F.lit((float(hi) - float(lo)) / 65535.0)).cast("int"),
+                    / F.lit((float(hi) - float(lo)) / 65535.0)).cast("bigint"),
         )
 
-    zed = df.withColumn("_pt_z", _zvalue_expr(_lane(ca), _lane(cb)))
+    zed = df.withColumn("_pt_z", _zvalue_expr(
+        _lane(na, bounds["alo"], bounds["ahi"]),
+        _lane(nb, bounds["blo"], bounds["bhi"])))
     laid_out = zed.repartitionByRange(n_files, "_pt_z").drop("_pt_z")
     return write_snapshot(
         laid_out, root, mode=mode,
@@ -1472,8 +1485,10 @@ def files_df(spark: SparkSession, root: str, version: int | None = None) -> Data
         rows.append((
             f,
             size,
-            {c: str(b.get("min")) for c, b in st.items()},
-            {c: str(b.get("max")) for c, b in st.items()},
+            {c: None if b.get("min") is None else str(b["min"])
+             for c, b in st.items()},
+            {c: None if b.get("max") is None else str(b["max"])
+             for c, b in st.items()},
         ))
     return spark.createDataFrame(
         rows,

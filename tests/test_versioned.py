@@ -1006,6 +1006,25 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert sorted(read_snapshot(spark, root).columns) == ["x", "y"]
 
 
+def test_zvalue_expr_no_int32_sign_wrap(spark):
+    """Lane bit 15 shifts to position 31: with int32 lanes that is the
+    sign bit, so every upper-half-of-a row went NEGATIVE and
+    range-partitioned BEFORE the lower half (anti-Morton clustering;
+    round-5 review). Bigint lanes keep the 32-bit z value positive and
+    monotone across the old wrap boundary."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        _zvalue_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(32767, 0), (32768, 0), (65535, 65535)], "a: long, b: long"
+    ).withColumn("z", _zvalue_expr(F.col("a"), F.col("b")))
+    z = {r["a"]: r["z"] for r in df.collect()}
+    assert z[32768] == 2**31  # was Integer.MIN_VALUE pre-fix
+    assert z[65535] == 2**32 - 1  # all 32 bits set, still positive
+    assert z[32767] < z[32768]  # order is monotone across the boundary
+
+
 def _changes(spark, root, since, version=None):
     from decisions_knowledge_graph_data_spark.sources.versioned import read_changes
 
@@ -1145,6 +1164,19 @@ def test_metadata_tables(spark, tmp_path):
     assert all(r["size_bytes"] > 0 for r in files)
     # time travel: the v1 file listing is intact
     assert len(files_df(spark, root, version=1).collect()) == snaps[1]["n_files"]
+
+    # an all-NULL stats column gets NO manifest entry (never pruned),
+    # so the metadata maps lack the key entirely — and any absent/null
+    # bound must surface as SQL NULL, never the string 'None'
+    root2 = str(tmp_path / "meta_null")
+    write_snapshot(
+        _df(spark, 0, 5).coalesce(1).withColumn("w", F.lit(None).cast("long")),
+        root2, stats_cols=["w", "id"],
+    )
+    for r in files_df(spark, root2).collect():
+        assert "w" not in r["col_min"] and "w" not in r["col_max"]
+        assert r["col_min"].get("w") is None  # absent key -> SQL-NULL-ish
+        assert r["col_min"]["id"] != "None"
 
 
 def test_model_based_random_op_walk(spark, tmp_path):

@@ -22,7 +22,13 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DOCS_PATH = "/tmp/trainprep_docs.parquet"
+
+
+def docs_path(n_docs: int) -> str:
+    # Keyed by corpus size: a cached 2M-doc corpus must never serve a
+    # 10M-doc leg (the RUN_SNIPPET rank assertion would fail and the
+    # leg would silently bench stale data up to that point).
+    return f"/tmp/trainprep_docs_{n_docs}.parquet"
 
 SETUP_SNIPPET = r"""
 import sys
@@ -121,7 +127,7 @@ print(json.dumps(out))
 
 def run_leg(cpus: int, n_docs: int) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_docs=n_docs,
-                              docs_path=DOCS_PATH)
+                              docs_path=docs_path(n_docs))
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         check=True, cwd=REPO,
@@ -136,9 +142,9 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    if not os.path.exists(os.path.join(DOCS_PATH, "_SUCCESS")):
+    if not os.path.exists(os.path.join(docs_path(n_docs), "_SUCCESS")):
         code = SETUP_SNIPPET.format(repo=REPO, n_docs=n_docs,
-                                    docs_path=DOCS_PATH)
+                                    docs_path=docs_path(n_docs))
         subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
     lo = run_leg(n_low, n_docs)
     hi = run_leg(n_high, n_docs)
