@@ -847,6 +847,30 @@ def q_events_windowed(spark, sf):
     )
 
 
+# session-window gap — shared by the Spark query and the DuckDB oracle
+# (derived, never hand-copied into the SQL)
+_SESSION_GAP_MIN = 30
+
+
+def q_session_window(spark, sf):
+    """Engine-native session windows (``F.session_window``) over events
+    — Spark's stateful streaming sessionizer run in batch, checked
+    against the gaps-and-islands SQL. Exact-gap boundary: an event at
+    exactly ``gap`` after the previous one EXTENDS the session (new
+    session needs strictly-greater gap; empirically locked in
+    test_stateful_streaming.py), which is the same strict-``>``
+    convention as the lag-window twin ``sessionize``."""
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        session_events,
+    )
+    e = _t(spark, sf, "events")
+    s = session_events(e, gap=f"{_SESSION_GAP_MIN} minutes")
+    return s.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_block_numbering(spark, sf):
     """Block transform (htmlTransformer analog): split docs into word-blocks
     of 40 words? No — split on ' value ' as a stable separator; number 1..n."""
@@ -2420,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
+        "session_window_agg": q_session_window,  # engine-native session windows; lag-window twin: sessionize
         # round-5 displacements (all green r1-r4; families stay
         # represented in the first 50 by regex_scan/token_counts,
         # citation_snippets/md_blocks, and blocking-join cousins
@@ -3293,6 +3318,36 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(DISTINCT event_id) AS n_ids,
                    bit_xor(event_id) AS xor_ids
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "session_window_agg": f"""
+            -- gaps-and-islands twin of F.session_window: new session
+            -- when gap > threshold (exact-gap merges, like the engine);
+            -- session_end = last event + gap. The running sum MUST use
+            -- the same (ts, event_id) total order as the lag — ordering
+            -- by ts alone lets a tie straddle the flag row and split a
+            -- session.
+            WITH marked AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w)
+                                  > {_SESSION_GAP_MIN * 60}
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE
+                     AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id
         """,
         "length_buckets": """
             SELECT CASE WHEN n_chars < 200 THEN 'short'

@@ -194,3 +194,32 @@ def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
             "event_type", "n", "sum_value",
         )
     )
+
+
+def session_events(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Event-time SESSION windows via Spark's built-in ``session_window``
+    — the engine-native stateful sessionizer (vs the lag-window
+    gaps-and-islands twin ``q_sessionize``, which needs a per-key sort).
+    Semantics, empirically locked (test_stateful_streaming.py): an event
+    EXTENDS the session when its gap to the previous event is <= the gap
+    duration (a new session needs gap > threshold — the same strict-``>``
+    convention as the lag twin and the reference's trigger clustering,
+    regex-extractor.ts:425-475); ``session_end`` = last event ts + gap.
+
+    Works on both static and streaming frames. On a stream the watermark
+    bounds state: a session closes (and, in append mode, emits) once the
+    watermark passes its end — the mechanism that keeps per-key session
+    state finite over an unbounded 100-TB event stream, where the
+    lag-window formulation would need an unbounded per-key sort."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )

@@ -64,3 +64,61 @@ def test_stateful_dedup_state_is_bounded(spark, tmp_path):
     q2.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
     assert ids == [10, 10, 11, 12, 13, 14, 15]
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Engine-native session windows (F.session_window) over a
+    micro-batched stream: sessions MERGE across batch boundaries (the
+    stateful behavior the lag-window `sessionize` twin cannot give a
+    stream), an event at EXACTLY the gap extends the session (the
+    strict-`>` new-session convention the oracle relies on), and the
+    drained streaming result equals the batch run on the same data."""
+    import datetime as dt
+
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        session_events,
+    )
+
+    in_dir = str(tmp_path / "in")
+    schema = "user_id long, event_id long, value double, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [(u, e, v, t0 + dt.timedelta(seconds=s)) for u, e, v, s in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_file([(1, 1, 1.0, 0), (1, 2, 1.0, 600), (2, 10, 5.0, 0)])
+    # user 1 extends the SAME session across the batch boundary
+    # (gap 1200s), then again at EXACTLY the 1800s gap
+    write_file([(1, 3, 1.0, 1800), (1, 4, 1.0, 3600)])
+    # gap 1801s > threshold: new session; user 2 far later: new session
+    write_file([(1, 5, 1.0, 5401), (2, 11, 5.0, 7200)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        session_events(stream).writeStream.outputMode("complete")
+        .format("memory").queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in spark.table("sess_stream").collect())
+    exp = sorted(
+        tuple(r) for r in session_events(spark.read.parquet(in_dir)).collect()
+    )
+    assert got == exp
+    by_user = {}
+    for u, start, end, n, _ in got:
+        by_user.setdefault(u, []).append((start, end, n))
+    # user 1: one 4-event session spanning two files + exact-gap extend,
+    # then a 1-event session opened by the 1801s gap
+    assert [n for _, _, n in by_user[1]] == [4, 1]
+    assert by_user[1][0][1] == t0 + dt.timedelta(seconds=3600 + 1800)
+    assert [n for _, _, n in by_user[2]] == [1, 1]
