@@ -737,6 +737,41 @@ def q_versioned_changes_read(spark, sf):
     )
 
 
+def q_versioned_semijoin_read(spark, sf):
+    """Join-driven file pruning (DPP-over-manifest-stats, round 5):
+    orders committed once per sf-dir clustered on o_custkey, then
+    semi-joined to a selective customer dimension (one nation's
+    high-balance customers) — files whose o_custkey stats refute every
+    probe key are skipped before Spark lists them (exact-key ladder;
+    skip counts asserted in test_versioned.py), and the survivors pass
+    through the real semi-join, so the result is exactly the IN-subquery
+    scan DuckDB runs."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot_semijoin, write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_semijoin"
+    if current_version(root) is None:
+        write_snapshot(
+            _t(spark, sf, "orders").repartitionByRange(8, "o_custkey"),
+            root, stats_cols=["o_custkey"],
+        )
+    dim = (
+        _t(spark, sf, "customer")
+        .filter((F.col("c_nationkey") == 7) & (F.col("c_acctbal") > 5000))
+        .select("c_custkey")
+    )
+    hit = read_snapshot_semijoin(spark, root, dim, "o_custkey")
+    return (
+        hit.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.bit_xor(F.col("o_orderkey")).alias("xor_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_versioned_zorder_read(spark, sf):
     """Z-ordered layout read (round 5): orders committed with a Morton
     interleave of (o_custkey, o_orderdate), so a box predicate on BOTH
@@ -2445,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
         "session_window_agg": q_session_window,  # engine-native session windows; lag-window twin: sessionize
+        "versioned_semijoin_read": q_versioned_semijoin_read,  # DPP-style key-pruned read, versioned family
         # round-5 displacements (all green r1-r4; families stay
         # represented in the first 50 by regex_scan/token_counts,
         # citation_snippets/md_blocks, and blocking-join cousins
@@ -3318,6 +3354,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(DISTINCT event_id) AS n_ids,
                    bit_xor(event_id) AS xor_ids
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "versioned_semijoin_read": """
+            -- the key-pruned semi-join read must equal the IN-subquery
+            -- scan (pruning is a physical optimization only)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer
+              WHERE c_nationkey = 7 AND c_acctbal > 5000)
+            GROUP BY 1 ORDER BY 1
         """,
         "session_window_agg": f"""
             -- gaps-and-islands twin of F.session_window: new session

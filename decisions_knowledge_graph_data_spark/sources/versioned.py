@@ -819,6 +819,146 @@ def read_snapshot_transformed(
     return read_snapshot(spark, root, version=v, predicates=full)
 
 
+SEMIJOIN_KEY_COL = "_sjk"
+
+
+def read_snapshot_semijoin(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    col: str,
+    version: int | None = None,
+    keep_internal: bool = False,
+) -> DataFrame:
+    """Join-driven file pruning — the dynamic-partition-pruning idea
+    applied to manifest stats (Iceberg runtime-filtering analog): the
+    semi-join ``table ⋉ keys`` skips every data file whose ``col``
+    min/max stats refute ALL probe keys BEFORE Spark lists it. At
+    100 TB, joining a selective dimension (one nation's customers, one
+    day's ids) against a key-clustered fact touches a handful of files
+    instead of the table — the read-side twin of ``merge_snapshot``'s
+    rewrite pruning, with the same two-tier ladder: exact keys (sorted
+    + binary search per file range) up to ``MERGE_KEY_COLLECT_CAP``
+    distinct values, then ``[min, max]`` overlap.
+
+    ``keys`` is a single-column DataFrame of join keys (NULL keys never
+    match, per SQL semi-join). The result is EXACTLY
+    ``read_snapshot(...).join(keys.distinct(), col == key,
+    "left_semi")``: survivors still pass through the semi-join, so a
+    file kept by a coarse range is filtered row-exactly. Incomparable
+    stat/key types (e.g. date stats stored as ISO strings vs date
+    keys) keep the file conservatively, like the merge ladder."""
+    import bisect
+
+    if len(keys.columns) != 1:
+        raise ValueError(
+            f"keys must be a single-column DataFrame, got {keys.columns}"
+        )
+    v = _resolve_version(root, version, None)
+    m = _read_manifest(root, v)
+    schema = StructType.fromJson(m["schema"])
+    if SEMIJOIN_KEY_COL in schema.fieldNames():
+        raise ValueError(
+            f"read_snapshot_semijoin reserves column name "
+            f"{SEMIJOIN_KEY_COL!r}; the table must not contain it"
+        )
+
+    krows = (
+        keys.select(F.col(f"`{keys.columns[0]}`").alias(SEMIJOIN_KEY_COL))
+        .filter(F.col(SEMIJOIN_KEY_COL).isNotNull())
+        .distinct()
+    )
+    vals = [
+        r[SEMIJOIN_KEY_COL]
+        for r in krows.limit(MERGE_KEY_COLLECT_CAP + 1).collect()
+    ]
+    exact = len(vals) <= MERGE_KEY_COLLECT_CAP
+    if exact:
+        if not vals:  # empty key set: the semi-join is empty by definition
+            return _drop_internal(spark.createDataFrame([], schema), m)
+        vals.sort()
+        kmin, kmax = vals[0], vals[-1]
+    else:
+        row = krows.agg(
+            F.min(SEMIJOIN_KEY_COL).alias("lo"),
+            F.max(SEMIJOIN_KEY_COL).alias("hi"),
+        ).first()
+        vals, kmin, kmax = [], row["lo"], row["hi"]
+
+    stats = m.get("file_stats", {})
+    kept = []
+    for f in m["files"]:
+        st = stats.get(f, {}).get(col)
+        if st is None:
+            kept.append(f)
+            continue
+        mn, mx = st["min"], st["max"]
+        try:
+            if exact:
+                i = bisect.bisect_left(vals, mn)
+                hit = i < len(vals) and vals[i] <= mx
+            else:
+                hit = not (kmax < mn or kmin > mx)
+        except TypeError:
+            hit = True  # incomparable stat/key types: conservative
+        if hit:
+            kept.append(f)
+
+    if not kept:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in kept]
+        )
+    if exact:
+        # the semi-join probes the EXACT collected set, so pruning and
+        # filtering are decided by the same values by construction
+        kdf = F.broadcast(
+            spark.createDataFrame([(x,) for x in vals], krows.schema)
+        )
+    else:
+        kdf = krows  # above the cap: let AQE pick the join strategy
+    out = df.join(
+        kdf, F.col(f"`{col}`") == F.col(SEMIJOIN_KEY_COL), "left_semi"
+    )
+    if not keep_internal:
+        out = _drop_internal(out, m)
+    return out
+
+
+def plan_files_semijoin(
+    root: str, col: str, key_values: list, version: int | None = None
+) -> tuple[list[str], int]:
+    """Driver-side pruning census for :func:`read_snapshot_semijoin`
+    with a concrete key list (exact ladder only): (kept absolute
+    files, skipped count) — lets tests assert skip counts without a
+    Spark job, like :func:`plan_files`."""
+    import bisect
+
+    v = _resolve_version(root, version, None)
+    m = _read_manifest(root, v)
+    if not key_values:  # empty key set: the semi-join is empty
+        return [], len(m["files"])
+    vals = sorted(key_values)
+    stats = m.get("file_stats", {})
+    kept, skipped = [], 0
+    for f in m["files"]:
+        st = stats.get(f, {}).get(col)
+        if st is None:
+            kept.append(os.path.join(root, f))
+            continue
+        try:
+            i = bisect.bisect_left(vals, st["min"])
+            hit = i < len(vals) and vals[i] <= st["max"]
+        except TypeError:
+            hit = True
+        if hit:
+            kept.append(os.path.join(root, f))
+        else:
+            skipped += 1
+    return kept, skipped
+
+
 # Durable meta keys that ride every merge/delete commit (the rewrite
 # preserves the layout property, so the spec stays true; batch_id_hwm
 # must survive retention — see publish_batch_versioned). Plain appends

@@ -1324,3 +1324,60 @@ def test_read_changes_scans_only_churned_files(spark, tmp_path):
     rows = sorted((r["_change_type"], r["id"], r["v"]) for r in feed.collect())
     assert rows == [("delete", 5, 15), ("delete", 7, 21),
                     ("insert", 5, 0), ("insert", 7, 0)]
+
+
+def test_semijoin_read_prunes_and_matches(spark, tmp_path, monkeypatch):
+    """Join-driven file pruning: the semi-join read equals the full-scan
+    semi-join, the EXACT key ladder skips range-overlapped files that
+    contain no key (where a [min,max] ladder keeps everything between
+    the extremes), the above-cap fallback degrades to range overlap,
+    and empty/NULL key sets behave as SQL semi-join."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "sj")
+    write_snapshot(
+        _df(spark, 0, 200).repartitionByRange(10, "id"), root,
+        stats_cols=["id"],
+    )
+    n_files = len(V.plan_files(root)[0])
+    assert n_files >= 8
+
+    # two far-apart keys + a NULL: the exact ladder keeps only the
+    # files whose range CONTAINS a key, not everything in between
+    keys = spark.createDataFrame([(5,), (183,), (None,)], "k: long")
+    got = V.read_snapshot_semijoin(spark, root, keys, "id")
+    assert sorted(r["id"] for r in got.collect()) == [5, 183]
+    kept, skipped = V.plan_files_semijoin(root, "id", [5, 183])
+    assert len(kept) <= 2 and skipped >= n_files - 2, (len(kept), skipped)
+
+    # row-exact within a kept file: sibling ids in the same file as 5
+    # are filtered by the semi-join, not returned
+    exp = (
+        read_snapshot(spark, root)
+        .join(keys.distinct(), F.col("id") == F.col("k"), "left_semi")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # above-cap fallback: [min,max] overlap still prunes the tails
+    monkeypatch.setattr(V, "MERGE_KEY_COLLECT_CAP", 1)
+    got_fb = V.read_snapshot_semijoin(spark, root, keys, "id")
+    assert sorted(r["id"] for r in got_fb.collect()) == [5, 183]
+
+    # empty key set: empty result, user schema, no layout leak
+    empty = V.read_snapshot_semijoin(
+        spark, root, spark.createDataFrame([], "k: long"), "id")
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    assert V.plan_files_semijoin(root, "id", []) == ([], n_files)
+
+    # reserved-name guard
+    monkeypatch.undo()
+    root2 = str(tmp_path / "sj2")
+    write_snapshot(
+        _df(spark, 0, 5).withColumnRenamed("v", "_sjk"), root2)
+    with pytest.raises(ValueError, match="_sjk"):
+        V.read_snapshot_semijoin(
+            spark, root2, spark.createDataFrame([(1,)], "k: long"), "id")
+
+    # multi-column key frame is refused
+    with pytest.raises(ValueError, match="single-column"):
+        V.read_snapshot_semijoin(spark, root, _df(spark, 0, 3), "id")
