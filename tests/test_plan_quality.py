@@ -335,3 +335,32 @@ def test_chunk_then_pack_composition_stays_two_shuffle(spark, docs_parquet):
     assert "ExistingRDD" in plan, plan[:2000]
     assert plan.count("Scan parquet") == 0, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_semijoin_read_broadcast_no_fact_shuffle(spark, tmp_path_factory):
+    """read_snapshot_semijoin's exact-key path must execute as a
+    BROADCAST left-semi join with zero exchanges on the fact side (the
+    probe set is driver-collected, so shuffling 100 TB of fact rows to
+    meet a hand-sized key set would be the scale bug this lock exists
+    to catch)."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path_factory.mktemp("plansj") / "t")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") * 3).alias("v"))
+    V.write_snapshot(
+        df.repartitionByRange(8, "id"), root, stats_cols=["id"])
+    keys = spark.createDataFrame([(7,), (1900,)], "k: long")
+    out = V.read_snapshot_semijoin(spark, root, keys, "id")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == 0 or (
+        plan.count("Exchange") == plan.count("BroadcastExchange")
+    ), plan
+    # and the scan lists only the stats-surviving files
+    kept, skipped = V.plan_files_semijoin(root, "id", [7, 1900])
+    assert skipped >= 1
+    assert sorted(out.inputFiles()) == sorted(
+        "file://" + f if not f.startswith("file:") else f for f in kept
+    )
