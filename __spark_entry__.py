@@ -1763,6 +1763,45 @@ def q_overlap_join(spark, sf):
     )
 
 
+def q_triangle_counts(spark, sf):
+    """Per-node triangle counting over a mod-folded orders graph
+    (custkey and orderkey folded into one 512-node id space so real
+    triangles exist) — the third iterative-graph-family member next to
+    graph_pagerank and label_propagation, and the canonical test that a
+    graph engine handles skew: the operator's degree-ordered
+    orientation bounds wedge fan-out by O(sqrt(m)) per node, so a hub
+    key never enumerates deg² wedges. DuckDB oracle is the textbook
+    canonical a<b<c three-way self-join."""
+    from decisions_knowledge_graph_data_spark.operators.graph import (
+        triangle_counts,
+    )
+    edges = _t(spark, sf, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(512)).cast("bigint").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(512)).cast("bigint").alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+_TRIANGLE_ORACLE = """
+    WITH und AS (
+        SELECT DISTINCT
+               least(o_custkey % 512, o_orderkey % 512)::BIGINT AS a,
+               greatest(o_custkey % 512, o_orderkey % 512)::BIGINT AS b
+        FROM orders
+        WHERE o_custkey % 512 <> o_orderkey % 512),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+    GROUP BY node
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 3) -> str:
     """The same fixed-iteration recurrence as chained CTEs. Constants are
     written as (1.0 - 0.85) / 0.85 so DuckDB builds the exact IEEE
@@ -2512,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,  # filter family: exclusion_filter (green r1-r3)
         "overlap_join": q_overlap_join,      # temporal family: asof_join, range_join
         "label_propagation": q_label_propagation,  # graph family: graph_pagerank
+        "triangle_counts": q_triangle_counts,  # graph family: graph_pagerank
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
     }
@@ -3446,6 +3486,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(3),
         "label_propagation": _label_prop_oracle_sql(3),
+        "triangle_counts": _TRIANGLE_ORACLE,
         "asof_join": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),

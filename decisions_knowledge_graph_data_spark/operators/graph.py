@@ -132,3 +132,62 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph of
+    ``edges`` (direction, parallel edges and self-loops are normalized
+    away). Returns (node, n_triangles) for every node in ≥1 triangle.
+
+    The scale formulation is degree-ordered orientation (the classic
+    node-iterator++ / Latapy scheme): orient every undirected edge from
+    the (degree, id)-SMALLER endpoint to the larger, enumerate wedges
+    u→v, u→w with (deg,id)(v) < (deg,id)(w), and close them against the
+    oriented edge v→w. Each triangle {a<b<c} is found exactly once (at
+    its smallest vertex a). The orientation is what makes this survive
+    skew at 100 TB: a hub of degree D sorts LAST in the total order, so
+    it generates no wedges at all — without it the wedge join explodes
+    as Σ deg² (a 10M-degree hub would emit 10¹⁴ wedges); with it the
+    oriented out-degree is bounded by O(√m) on any graph. Three
+    data-sized shuffles total (degree agg, wedge self-join on u, the
+    closing join on (v, w)) plus the final per-node agg — every one an
+    equi-join/agg, so AQE skew splitting applies; no iteration, no
+    driver state.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by the degree agg + both joins
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionAll(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_d"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("node").alias("_b"), F.col("_d").alias("_db"))
+    keyed = und.join(da, "_a").join(db, "_b")
+    fwd = F.struct("_da", "_a") < F.struct("_db", "_b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    ).localCheckpoint(eager=False)  # feeds the wedge join twice + closing
+    e1 = oriented.select(
+        F.col("_u"), F.col("_v").alias("_w1"), F.col("_dv").alias("_d1"))
+    e2 = oriented.select(
+        F.col("_u"), F.col("_v").alias("_w2"), F.col("_dv").alias("_d2"))
+    wedges = e1.join(e2, "_u").filter(
+        F.struct("_d1", "_w1") < F.struct("_d2", "_w2"))
+    closing = oriented.select(
+        F.col("_u").alias("_w1"), F.col("_v").alias("_w2"))
+    tri = wedges.join(closing, ["_w1", "_w2"])  # (a=_u, b=_w1, c=_w2)
+    return (
+        tri.select(
+            F.explode(F.array("_u", "_w1", "_w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

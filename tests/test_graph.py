@@ -86,3 +86,38 @@ def test_min_label_propagation_matches_khop_reference(spark):
     # k=3 covers the chain diameter → labels are component minima
     assert {r["label"] for r in
             min_label_propagation(df, iterations=3).collect()} == {"A", "X"}
+
+
+def test_triangle_counts_known_graph_and_normalization(spark):
+    """Two triangles sharing edge 2-3 plus a pendant edge; parallel,
+    reversed and self-loop edges must normalize away, and a brute-force
+    reference over all node triples must agree."""
+    from itertools import combinations
+
+    from decisions_knowledge_graph_data_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),      # triangle {1,2,3}
+        (2, 4), (3, 4),              # triangle {2,3,4} via shared 2-3
+        (4, 5),                      # pendant: 5 in no triangle
+        (3, 2), (2, 3), (2, 2),      # reversed dup, dup, self-loop
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+    # brute-force cross-check on a denser random-ish graph
+    dense = [(i, j) for i, j in combinations(range(9), 2)
+             if (i * 7 + j * 13) % 3 != 0]
+    ddf = spark.createDataFrame(dense, "src long, dst long")
+    got2 = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(ddf).collect()}
+    es = {frozenset(e) for e in dense}
+    exp = {}
+    for t in combinations(range(9), 3):
+        if all(frozenset(p) in es for p in combinations(t, 2)):
+            for n in t:
+                exp[n] = exp.get(n, 0) + 1
+    assert got2 == exp
