@@ -1386,6 +1386,40 @@ def q_minhash_dups(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Pair-level near-dup → document-level keep-one decision: MinHash
+    pairs (the oracle-green minhash_dups candidates) → connected
+    components (duplicate relations are transitive in practice) →
+    string-min cluster label + exactly-one ``kept`` representative.
+    This is the step 100-TB corpus dedup actually ships — pairs alone
+    keep both A and C when A≈B≈C. DuckDB oracle: the exhaustive
+    jaccard pair join feeding a recursive-CTE transitive closure with
+    min-label aggregation (the kg_triples CC idiom)."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        dedup_resolve, minhash_dup_pairs,
+    )
+    d = _t(spark, sf, "documents")
+    pairs = minhash_dup_pairs(d, "doc_id", "text", jaccard_threshold=0.4)
+    return dedup_resolve(d.select("doc_id"), "doc_id", pairs).select(
+        "doc_id", "cluster_id", "kept"
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination (the GPT-3/PaLM n-gram rule, n
+    parameterized): train docs sharing any word n-gram with the held-out
+    slice (doc_id ≡ 7 mod 10) are flagged, with distinct-gram match
+    counts. The eval side collapses to distinct n-grams and is
+    broadcast, so the exploded train stream is never shuffled
+    (plan-locked in test_dedup_similarity). DuckDB oracle: identical
+    tokenization (proven by minhash_dups), set-intersect per doc."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import decontaminate
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 7)
+    tr = d.filter(F.col("doc_id") % 10 != 7)
+    return decontaminate(tr, "doc_id", "text", ev, "text", ngram_words=3)
+
+
 def q_simhash_pairs(spark, sf):
     """Near-dup pairs at the standard web-dedup radius (hamming ≤ 3,
     Manku et al. WWW'07) — pigeonhole-exact banding, FULL corpus, with a
@@ -2552,6 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,      # temporal family: asof_join, range_join
         "label_propagation": q_label_propagation,  # graph family: graph_pagerank
         "triangle_counts": q_triangle_counts,  # graph family: graph_pagerank
+        "dedup_clusters": q_dedup_clusters,  # dedup family: minhash_dups + CC
+        "decontaminate": q_decontaminate,    # dedup family: eval-overlap flagging
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
     }
@@ -2713,6 +2749,66 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM ne a, ne b WHERE a.doc_id < b.doc_id
             )
             SELECT * FROM pairs WHERE jaccard >= 0.4
+        """,
+        "dedup_clusters": r"""
+            -- minhash pairs (same exhaustive-jaccard oracle) -> recursive
+            -- transitive closure -> string-min component label; kept =
+            -- doc IS the label; singletons label themselves
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+              FROM toks
+            ), ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+            pairs AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM ne a, ne b WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.s,b.s))
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.4
+            ),
+            e AS (SELECT CAST(key_a AS VARCHAR) AS a,
+                         CAST(key_b AS VARCHAR) AS b FROM pairs),
+            sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            reach(x, y) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y
+            ),
+            lbl AS (SELECT x AS node, least(x, min(y)) AS comp
+                    FROM reach GROUP BY x)
+            SELECT d.doc_id,
+                   coalesce(l.comp, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+                   coalesce(l.comp, CAST(d.doc_id AS VARCHAR))
+                       = CAST(d.doc_id AS VARCHAR) AS kept
+            FROM documents d
+            LEFT JOIN lbl l ON l.node = CAST(d.doc_id AS VARCHAR)
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+              FROM toks
+            ),
+            ev AS (SELECT DISTINCT g FROM
+                     (SELECT unnest(s) AS g FROM sh WHERE doc_id % 10 = 7)),
+            tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 7),
+            m AS (SELECT t.doc_id, count(*) AS n_matched
+                  FROM (SELECT doc_id, unnest(s) AS g FROM tr) t
+                  JOIN ev e ON e.g = t.g GROUP BY t.doc_id)
+            SELECT tr.doc_id,
+                   CAST(len(tr.s) AS BIGINT) AS n_grams,
+                   CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+                   coalesce(m.n_matched, 0) > 0 AS contaminated
+            FROM tr LEFT JOIN m ON m.doc_id = tr.doc_id
         """,
         "embedding_dup_lsh": """
             -- exhaustive scan over corpus + float-perturbed plants:

@@ -557,3 +557,116 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")
     )
+
+
+def dedup_resolve(
+    df: DataFrame,
+    key_col: str,
+    pairs: DataFrame,
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Pair-level near-dup output → document-level dedup decision: the
+    step every real training-data pipeline runs AFTER minhash/simhash/
+    jaccard pair generation (duplicate relations are transitive in
+    practice — A≈B and B≈C must not keep both A and C). Connected
+    components over the pairs give each doc a ``cluster_id`` (the
+    string-min member key, the CC operator's deterministic label);
+    ``kept`` marks exactly one representative per cluster.
+
+    Default (``quality_col=None``): the representative IS the min-id
+    member, so ``kept`` is a comparison against the already-computed
+    label — zero additional shuffles beyond CC + the label join.
+    With ``quality_col``: keep the highest-quality member (ties broken
+    by min key string) — one extra per-cluster window shuffle, on
+    cluster-sized data.
+
+    Scale: CC is the alternating large-star/small-star algorithm
+    (equi-joins + aggs, AQE-splittable; `canonicalize.py`), sized by the
+    PAIR graph (tiny vs the corpus at any sane threshold); the label
+    join back to the corpus is one broadcast-or-hash equi-join.
+    """
+    from decisions_knowledge_graph_data_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    for reserved in ("_dr_key", "node", "component", "cluster_id", "kept"):
+        if reserved in df.columns:
+            raise ValueError(f"dedup_resolve: input column {reserved!r} collides "
+                             "with an output/scratch column")
+    cc = connected_components(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    keyed = df.withColumn("_dr_key", F.col(key_col).cast("string"))
+    labeled = (
+        keyed.join(cc, keyed["_dr_key"] == cc["node"], "left")
+        .drop("node")
+        .withColumn("cluster_id", F.coalesce("component", F.col("_dr_key")))
+        .drop("component")
+    )
+    if quality_col is None:
+        return (
+            labeled.withColumn("kept", F.col("_dr_key") == F.col("cluster_id"))
+            .drop("_dr_key")
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col("_dr_key").asc()
+    )
+    return (
+        labeled.withColumn("kept", F.row_number().over(w) == 1)
+        .drop("_dr_key")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    key_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str,
+    ngram_words: int = 13,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    word ``ngram_words``-gram with a held-out eval set (the GPT-3 /
+    PaLM 13-gram rule; n is a parameter because the right n tracks the
+    benchmark's answer length). Returns one row per train doc:
+    (key_col, n_grams, n_matched, contaminated).
+
+    Scale plan — the shape that survives 100 TB of train text:
+    * the EVAL side (benchmarks: MBs, not TBs) collapses to distinct
+      n-grams and is ``broadcast`` — the exploded train-side n-gram
+      stream is probed by a BroadcastHashJoin, so the ×n_tokens
+      explosion is never shuffled;
+    * the only shuffle is the per-doc count agg, map-side-combined back
+      to ≤1 row per doc before the exchange;
+    * n-grams are matched as strings (no hash-collision false
+      positives); ``word_shingles`` arrays are distinct per doc, so
+      ``n_matched`` counts distinct contaminated grams.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(eval_text_col), ngram_words)).alias("_g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = train.select(
+        F.col(key_col).alias("_k"),
+        word_shingles(F.col(text_col), ngram_words).alias("_sh"),
+    )
+    exploded = tr.select("_k", F.explode_outer("_sh").alias("_g"))
+    return (
+        exploded.join(F.broadcast(eval_grams), "_g", "left")
+        .groupBy("_k")
+        .agg(
+            F.count("_g").alias("n_grams"),
+            F.count("_hit").alias("n_matched"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
+    )

@@ -339,3 +339,93 @@ def test_embedding_dup_pairs(vec_df):
     pairs = set(zip(got["key_a"], got["key_b"]))
     for i in range(5):
         assert (i, 100 + i) in pairs, f"planted near-dup {i} missed"
+
+
+def test_dedup_resolve_min_id_clusters_and_singletons(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import dedup_resolve
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long"
+    )
+    # transitive chain 1-2-3 plus pair 7-8; 9 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "key_a long, key_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in dedup_resolve(docs, "doc_id", pairs).collect()
+    }
+    assert out == {
+        1: ("1", True), 2: ("1", False), 3: ("1", False),
+        7: ("7", True), 8: ("7", False), 9: ("9", True),
+    }
+
+
+def test_dedup_resolve_quality_representative(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import dedup_resolve
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "key_a long, key_b long")
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in dedup_resolve(docs, "doc_id", pairs,
+                               quality_col="quality").collect()
+    }
+    # highest quality wins; 2 vs 3 tie broken by min key; singleton kept
+    assert out == {1: False, 2: True, 3: False, 9: True}
+
+
+def test_dedup_resolve_rejects_colliding_columns(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import dedup_resolve
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, cluster_id string")
+    pairs = spark.createDataFrame([(1, 2)], "key_a long, key_b long")
+    with pytest.raises(ValueError, match="collides"):
+        dedup_resolve(docs, "doc_id", pairs)
+
+
+def test_decontaminate_counts_and_flags(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c","b c d" — both in eval
+            (2, "x y z w"),        # grams: "x y z","y z w" — clean
+            (3, "a b c x y z"),    # 4 grams, 1 matched ("a b c")
+            (4, "a b"),            # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e"), (101, "q r s")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["contaminated"])
+        for r in decontaminate(train, "doc_id", "text", ev, "text",
+                               ngram_words=3).collect()
+    }
+    assert out == {
+        1: (2, 2, True),
+        2: (2, 0, False),
+        3: (4, 1, True),
+        4: (0, 0, False),
+    }
+
+
+def test_decontaminate_plan_is_broadcast_no_explode_shuffle(spark):
+    """The exploded train n-gram stream must hit a BroadcastHashJoin —
+    a shuffled (SortMerge) probe of the eval set would move x n_tokens
+    data at 100 TB."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = decontaminate(train, "doc_id", "text", ev, "text",
+                         ngram_words=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
