@@ -344,6 +344,14 @@ def q_quality_score(spark, sf):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_repetition_stats(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        repetition_stats,
+    )
+    d = _t(spark, sf, "documents")
+    return repetition_stats(d, "doc_id", "text", n=2)
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2590,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,    # dedup family: eval-overlap flagging
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
+        "repetition_stats": q_repetition_stats,  # textstats: Gopher repetition filters
     }
 
 
@@ -2809,6 +2818,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
                    coalesce(m.n_matched, 0) > 0 AS contaminated
             FROM tr LEFT JOIN m ON m.doc_id = tr.doc_id
+        """,
+        "repetition_stats": r"""
+            -- Gopher-style repetition metrics: dup-word fraction (pure
+            -- per-row), top/duplicate bigram char fractions via unnested
+            -- bigrams; tie-break = count DESC, ngram DESC (mirrors
+            -- Spark's max(struct(cnt, ngram)))
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     round(1.0 - len(list_distinct(w)) / greatest(len(w), 1), 4) AS dup_word_frac
+              FROM words
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w), 1)),
+                                           i -> w[i] || ' ' || w[i+1])) AS ng
+              FROM words
+            ), counts AS (
+              SELECT doc_id, ng, count(*) AS cnt FROM grams GROUP BY 1, 2
+            ), ranked AS (
+              SELECT doc_id, ng, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, ng DESC) AS rn,
+                     sum(cnt * length(ng)) OVER (PARTITION BY doc_id) AS tot_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(ng) ELSE 0 END)
+                       OVER (PARTITION BY doc_id) AS dup_chars
+              FROM counts
+            ), agg AS (
+              SELECT doc_id, ng AS top_ngram,
+                     round(cnt * length(ng) / greatest(tot_chars, 1), 4) AS top_ngram_frac,
+                     round(dup_chars / greatest(tot_chars, 1), 4) AS dup_ngram_frac
+              FROM ranked WHERE rn = 1
+            )
+            SELECT b.doc_id, b.n_words, b.dup_word_frac,
+                   coalesce(a.top_ngram, '') AS top_ngram,
+                   coalesce(a.top_ngram_frac, 0.0) AS top_ngram_frac,
+                   coalesce(a.dup_ngram_frac, 0.0) AS dup_ngram_frac
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "embedding_dup_lsh": """
             -- exhaustive scan over corpus + float-perturbed plants:

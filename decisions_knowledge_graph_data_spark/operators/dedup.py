@@ -20,8 +20,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-grams, O(n) per row.
+def word_ngrams(col: Column, k: int = 3) -> Column:
+    """Word k-grams in document order (duplicates preserved), O(n) per
+    row.
 
     Built with chained ``zip_with`` against shifted copies (null-padded
     tails become null shingles, compacted away) — NOT slice-per-index,
@@ -34,7 +35,13 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             words, j + 1, F.greatest(F.size(words) - j, F.lit(0))
         )
         sh = F.zip_with(sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(F.array_compact(sh))
+    return F.array_compact(sh)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (the set-semantics view of ``word_ngrams``,
+    for jaccard/minhash/containment ops)."""
+    return F.array_distinct(word_ngrams(col, k))
 
 
 def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:

@@ -81,6 +81,80 @@ def fingerprint(col: Column, window: int = 8) -> Column:
     return F.array_min(window_hashes)
 
 
+def repetition_stats(
+    df: DataFrame, key_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    shape): duplicate-word fraction plus most-frequent-n-gram and
+    duplicate-n-gram character fractions, the standard pretraining-corpus
+    repetition filters.
+
+    Returns one row per input row:
+      n_words           word count (whitespace tokens, lowercased)
+      dup_word_frac     1 - distinct_words / words
+      top_ngram         most frequent word n-gram ('' when < n words);
+                        ties break count DESC then ngram DESC
+      top_ngram_frac    chars covered by occurrences of top_ngram /
+                        total n-gram chars
+      dup_ngram_frac    chars covered by n-grams occurring >1 time /
+                        total n-gram chars
+
+    Scale: word metrics are pure column expressions (zero shuffle).
+    N-gram metrics go explode -> two-level hash aggregation (map-side
+    partial combine; shuffle payload is (key, ngram) only, never the
+    document) -> doc-keyed join back — NOT per-row HOF counting loops,
+    which are O(distinct * len) per row and melt on long documents.
+    """
+    from .dedup import word_ngrams
+
+    txt = F.lower(F.col(text_col))
+    words = tokens_ws(txt)
+    base = df.select(
+        F.col(key_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1)),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    counts = (
+        df.select(F.col(key_col), F.explode(word_ngrams(txt, n)).alias("_ng"))
+        .groupBy(key_col, "_ng")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    per_doc = counts.groupBy(key_col).agg(
+        F.max(F.struct(F.col("_cnt"), F.col("_ng"))).alias("_top"),
+        F.sum(F.col("_cnt") * F.length("_ng")).alias("_tot_chars"),
+        F.sum(
+            F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_ng")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_dup_chars"),
+    )
+    agg = per_doc.select(
+        F.col(key_col),
+        F.col("_top._ng").alias("top_ngram"),
+        F.round(
+            F.col("_top._cnt")
+            * F.length("_top._ng")
+            / F.greatest(F.col("_tot_chars"), F.lit(1)),
+            4,
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.col("_dup_chars") / F.greatest(F.col("_tot_chars"), F.lit(1)), 4
+        ).alias("dup_ngram_frac"),
+    )
+    return base.join(agg, key_col, "left").select(
+        F.col(key_col),
+        "n_words",
+        "dup_word_frac",
+        F.coalesce(F.col("top_ngram"), F.lit("")).alias("top_ngram"),
+        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)).alias("top_ngram_frac"),
+        F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)).alias("dup_ngram_frac"),
+    )
+
+
 def text_profile(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """One-scan profile: all stats for every document."""
     c = F.col(text_col)

@@ -53,6 +53,39 @@ def test_fingerprint_whitespace_invariant(spark):
     assert fa == fb
 
 
+def test_repetition_stats_hand_computed(spark):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rows = [
+        ("d1", "a a a a"),          # all-dup: bigram 'a a' x3
+        ("d2", "x y z"),            # no repetition; tie-break -> 'y z'
+        ("d3", "q"),                # too short for bigrams
+        ("d4", "The the THE"),      # case-insensitive dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = (
+        repetition_stats(df, "doc_id", "text", n=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["d1", "n_words"] == 4
+    assert out.loc["d1", "dup_word_frac"] == 0.75
+    assert out.loc["d1", "top_ngram"] == "a a"
+    assert out.loc["d1", "top_ngram_frac"] == 1.0
+    assert out.loc["d1", "dup_ngram_frac"] == 1.0
+    # d2: bigrams 'x y' and 'y z' each once -> tie breaks to the
+    # lexicographically greater ngram; each covers 3 of 6 chars
+    assert out.loc["d2", "top_ngram"] == "y z"
+    assert out.loc["d2", "top_ngram_frac"] == 0.5
+    assert out.loc["d2", "dup_ngram_frac"] == 0.0
+    assert out.loc["d3", "top_ngram"] == ""
+    assert out.loc["d3", "top_ngram_frac"] == 0.0
+    assert out.loc["d4", "dup_word_frac"] == round(1 - 1 / 3, 4)
+    assert out.loc["d4", "top_ngram"] == "the the"
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
     feats = extract_features(media).toPandas()
