@@ -352,6 +352,101 @@ def q_repetition_stats(spark, sf):
     return repetition_stats(d, "doc_id", "text", n=2)
 
 
+def _pii_planted(d):
+    """Deterministic PII planting (the reference_extract idiom): the
+    oracle corpus carries no natural emails/IBANs, so synthesize typed
+    tokens per doc_id and let BOTH engines scrub the identical text."""
+    did = F.col("doc_id")
+
+    def _maybe(cond, col):
+        return F.when(cond, col).otherwise(F.lit(""))
+
+    email = _maybe(
+        did % 7 == 0,
+        F.concat(F.lit(" Contact: user"), did.cast("string"), F.lit("@example.com.")),
+    )
+    phone = _maybe(
+        did % 5 == 1,
+        F.concat(
+            F.lit(" Tel. +32 2 123 45 "),
+            F.lpad(F.pmod(did, F.lit(100)).cast("string"), 2, "0"),
+        ),
+    )
+    natnum = _maybe(
+        did % 11 == 3,
+        F.concat(
+            F.lit(" RRN 92.06.11-123."),
+            F.lpad(F.pmod(did, F.lit(100)).cast("string"), 2, "0"),
+        ),
+    )
+    iban = _maybe(
+        did % 13 == 4,
+        F.concat(
+            F.lit(" IBAN BE"),
+            F.lpad(F.pmod(did * 31, F.lit(100000000)).cast("string"), 14, "0"),
+        ),
+    )
+    ip = _maybe(
+        did % 17 == 5,
+        F.concat(
+            F.lit(" IP 10.0."), F.pmod(did, F.lit(256)).cast("string"), F.lit(".17 logged")
+        ),
+    )
+    return d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, natnum, iban, ip).alias("text")
+    )
+
+
+def q_pii_scrub(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import pii_scrub
+
+    d = _pii_planted(_t(spark, sf, "documents"))
+    out = pii_scrub(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_email", "n_natnum", "n_iban", "n_ip", "n_phone",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Oracle derived from the engine's own PII_PATTERNS (never
+    hand-copied regex literals); RE2-parity is a documented constraint of
+    the pattern list itself."""
+    from decisions_knowledge_graph_data_spark.operators.textstats import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "t"
+    for name, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+            WITH planted AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 7 = 0 THEN ' Contact: user' || CAST(doc_id AS VARCHAR) || '@example.com.' ELSE '' END
+                || CASE WHEN doc_id % 5 = 1 THEN ' Tel. +32 2 123 45 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
+                || CASE WHEN doc_id % 11 = 3 THEN ' RRN 92.06.11-123.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
+                || CASE WHEN doc_id % 13 = 4 THEN ' IBAN BE' || lpad(CAST((doc_id * 31) % 100000000 AS VARCHAR), 14, '0') ELSE '' END
+                || CASE WHEN doc_id % 17 = 5 THEN ' IP 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 logged' ELSE '' END
+                AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   {counts},
+                   md5({scrub}) AS scrub_md5
+            FROM planted
+        """
+
+
+def q_top_terms(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import top_terms
+
+    d = _t(spark, sf, "documents")
+    return top_terms(d, "doc_id", "text", k=3, weighting="reciprocal")
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2599,6 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
         "repetition_stats": q_repetition_stats,  # textstats: Gopher repetition filters
+        "pii_scrub": q_pii_scrub,            # textstats: typed PII redaction
+        "top_terms": q_top_terms,            # textstats: smoothed tf-idf top-k
     }
 
 
@@ -2859,6 +2956,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(a.top_ngram_frac, 0.0) AS top_ngram_frac,
                    coalesce(a.dup_ngram_frac, 0.0) AS dup_ngram_frac
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        "top_terms": r"""
+            -- smoothed tf-idf with reciprocal idf (all-integer scoring:
+            -- cross-engine bit-exact); ties score DESC, term ASC
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents
+            ), ft AS (
+              SELECT doc_id, term FROM terms
+              WHERE regexp_matches(term, '^[a-zà-ÿ]{3,}$')
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+                     (tf.tf * 1000000) // (dfreq.df_docs + 1) AS score
+              FROM tf JOIN dfreq USING (term)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, term, tf, df_docs, score
+            FROM ranked WHERE rank <= 3
         """,
         "embedding_dup_lsh": """
             -- exhaustive scan over corpus + float-perturbed plants:

@@ -5,7 +5,7 @@ for 100 TB corpora: one scan, no shuffle, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny n-gram/stopword tables for the heuristic language ID
@@ -152,6 +152,87 @@ def repetition_stats(
         F.coalesce(F.col("top_ngram"), F.lit("")).alias("top_ngram"),
         F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)).alias("top_ngram_frac"),
         F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)).alias("dup_ngram_frac"),
+    )
+
+
+# PII patterns, applied in this order (most-specific first so e.g. the
+# national-register number is scrubbed before the broader IP/phone shapes
+# can bite into it). Dialect-parity constraint: every pattern must mean
+# the same thing to Java regex (Spark) and RE2 (DuckDB oracle) — no
+# lookaround, no backrefs, ASCII \b only. The oracle derives its literals
+# from THIS list (never hand-copied).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("natnum", r"\b[0-9]{2}\.[0-9]{2}\.[0-9]{2}-[0-9]{3}\.[0-9]{2}\b", "[NATNUM]"),
+    ("iban", r"\bBE[0-9]{14}\b", "[IBAN]"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    # international form only (leading +): a bare separated-digit-run
+    # pattern would eat dotted dates and case numbers
+    ("phone", r"\+[0-9][0-9 ./-]{6,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """PII redaction for training corpora: emails, Belgian national
+    register numbers, IBANs, IPv4 addresses, international phone numbers
+    → typed placeholders, plus per-type match counts (counted on the
+    ORIGINAL text, so counts are order-independent).
+
+    Pure column expressions (JVM regex, one scan, zero shuffle) — the
+    shape that pipelines inside the parquet scan stage at 100 TB.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = c
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(key_col), *counts, scrubbed.alias("text_scrubbed"))
+
+
+def top_terms(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int = 3,
+    min_len: int = 3,
+    weighting: str = "reciprocal",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf.
+
+    ``weighting="reciprocal"`` scores ``(tf * 1_000_000) div (df + 1)``
+    — all-integer arithmetic, bit-identical across engines (the oracle
+    invariant); ``"log"`` is the textbook ``tf * ln((N+1)/(df+1))``
+    (float ln is correctly-rounded-ish per libm, NOT guaranteed
+    cross-engine-identical — use for ranking, not for value-hash
+    comparison). Ties break score DESC, term ASC.
+
+    Scale: explode → (doc, term) hash agg (map-side combine, key-only
+    shuffle payload) → term-keyed df agg → join back on term → bounded
+    per-doc window (partition size = distinct terms per doc).
+    """
+    toks = tokens_ws(F.lower(F.col(text_col)))
+    terms = df.select(
+        F.col(key_col), F.explode(toks).alias("term")
+    ).filter(F.col("term").rlike(rf"^[a-zà-ÿ]{{{min_len},}}$"))
+    tf = terms.groupBy(key_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    scored = tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    if weighting == "reciprocal":
+        score = F.expr("(tf * 1000000) div (df_docs + 1)")
+    else:
+        score = F.col("tf") * F.log((F.col("_n") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0)))
+    scored = scored.withColumn("score", score)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key_col, "rank", "term", "tf", "df_docs", "score")
     )
 
 

@@ -86,6 +86,48 @@ def test_repetition_stats_hand_computed(spark):
     assert out.loc["d4", "top_ngram"] == "the the"
 
 
+def test_pii_scrub_types_and_counts(spark):
+    from decisions_knowledge_graph_data_spark.operators.textstats import pii_scrub
+
+    txt = (
+        "Mail jan.dupont@court.be or +32 475 12 34 56, RRN 92.06.11-123.45, "
+        "IBAN BE68539007547034, from 192.168.1.17. Art. 12.3 unchanged."
+    )
+    df = spark.createDataFrame([("d1", txt), ("d2", "no pii here")],
+                               "doc_id string, text string")
+    out = pii_scrub(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc["d1", "n_email"] == 1
+    assert out.loc["d1", "n_phone"] == 1
+    assert out.loc["d1", "n_natnum"] == 1
+    assert out.loc["d1", "n_iban"] == 1
+    assert out.loc["d1", "n_ip"] == 1
+    s = out.loc["d1", "text_scrubbed"]
+    for ph in ("[EMAIL]", "[PHONE]", "[NATNUM]", "[IBAN]", "[IP]"):
+        assert ph in s
+    assert "@" not in s and "BE685" not in s and "92.06.11" not in s
+    # dotted article numbers survive (phone requires leading '+')
+    assert "Art. 12.3 unchanged." in s
+    assert out.loc["d2"].tolist()[:5] == [0, 0, 0, 0, 0]
+
+
+def test_top_terms_reciprocal_ranking(spark):
+    from decisions_knowledge_graph_data_spark.operators.textstats import top_terms
+
+    rows = [
+        ("d1", "apple apple banana common common common"),
+        ("d2", "banana cherry common"),
+        ("d3", "common dates elderberry elderberry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = top_terms(df, "doc_id", "text", k=3).toPandas()
+    d1 = out[out.doc_id == "d1"].sort_values("rank")
+    # apple: tf2/df1 -> 1_000_000; common: tf3/df3 -> 750_000; banana 333_333
+    assert d1.term.tolist() == ["apple", "common", "banana"]
+    assert d1.score.tolist() == [1_000_000, 750_000, 333_333]
+    d3 = out[out.doc_id == "d3"].sort_values("rank")
+    assert d3.term.tolist()[0] == "elderberry"
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
     feats = extract_features(media).toPandas()
