@@ -447,6 +447,34 @@ def q_top_terms(spark, sf):
     return top_terms(d, "doc_id", "text", k=3, weighting="reciprocal")
 
 
+def q_boilerplate_stats(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        boilerplate_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    return boilerplate_stats(d, "doc_id", "text", n=3, min_doc_pct=10)
+
+
+def q_containment_pairs(spark, sf):
+    """Planted-excerpt containment: every 25th doc gets a synthetic
+    30-word-prefix excerpt twin (id + 100000) — subset copies that
+    symmetric Jaccard misses; the oracle is the exhaustive DuckDB
+    all-pairs containment scan over the same augmented corpus."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from decisions_knowledge_graph_data_spark.operators.textstats import tokens_ws
+
+    d = _t(spark, sf, "documents")
+    excerpts = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens_ws(F.col("text")), 1, 30)).alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(excerpts)
+    return containment_pairs(aug, "doc_id", "text", threshold=0.8, shingle_words=3)
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2696,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,  # textstats: Gopher repetition filters
         "pii_scrub": q_pii_scrub,            # textstats: typed PII redaction
         "top_terms": q_top_terms,            # textstats: smoothed tf-idf top-k
+        "boilerplate_stats": q_boilerplate_stats,  # textstats: corpus-frequent n-grams
+        "containment_pairs": q_containment_pairs,  # dedup: asymmetric subset copies
     }
 
 
@@ -2958,6 +2988,69 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "boilerplate_stats": r"""
+            -- corpus-frequent trigram detection; integer threshold
+            -- (docs_with * 100 >= N * pct) mirrors the engine exactly
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+              FROM words
+            ), counts AS (
+              SELECT doc_id, ng, count(*) AS cnt FROM grams GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT ng, count(*) AS nd FROM counts GROUP BY 1
+            ), ntot AS (SELECT count(*) AS n FROM documents),
+            per AS (
+              SELECT c.doc_id,
+                     sum(c.cnt) AS n_ngrams,
+                     sum(CASE WHEN f.nd * 100 >= ntot.n * 10 THEN 1 ELSE 0 END) AS n_bp_distinct,
+                     round(sum(CASE WHEN f.nd * 100 >= ntot.n * 10
+                                    THEN c.cnt * length(c.ng) ELSE 0 END)
+                           / greatest(sum(c.cnt * length(c.ng)), 1), 4) AS bp_char_frac
+              FROM counts c JOIN dfreq f USING (ng), ntot
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_ngrams, 0) AS n_ngrams,
+                   coalesce(p.n_bp_distinct, 0) AS n_bp_distinct,
+                   coalesce(p.bp_char_frac, 0.0) AS bp_char_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "containment_pairs": r"""
+            -- exhaustive all-pairs containment over corpus + planted
+            -- 30-word-prefix excerpts (id + 100000 for every 25th doc);
+            -- filter on UNROUNDED values like the engine
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ), aug AS (
+              SELECT doc_id, w FROM words
+              UNION ALL
+              SELECT doc_id + 100000, w[1:30] FROM words WHERE doc_id % 25 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM aug
+            ), ne AS (SELECT * FROM sh WHERE len(s) > 0),
+            pairs AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) AS na, len(b.s) AS nb
+              FROM ne a, ne b WHERE a.doc_id < b.doc_id
+            )
+            SELECT key_a, key_b,
+                   round(inter / greatest(na, 1), 6) AS containment_a,
+                   round(inter / greatest(nb, 1), 6) AS containment_b
+            FROM pairs
+            WHERE greatest(inter / greatest(na, 1), inter / greatest(nb, 1)) >= 0.8
+        """,
         "top_terms": r"""
             -- smoothed tf-idf with reciprocal idf (all-integer scoring:
             -- cross-engine bit-exact); ties score DESC, term ASC

@@ -496,6 +496,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, key_col: str, text_col: str, threshold: float = 0.8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Asymmetric containment join: C(A→B) = |S_A ∩ S_B| / |S_A| over
+    word-shingle sets. Catches partial/subset copies that symmetric
+    Jaccard structurally misses — a doc embedded verbatim inside a
+    10×-larger one has J ≈ 0.1 but containment 1.0 (the quote-heavy /
+    compilation-page case every pretraining dedup pass needs).
+
+    Emits ordered pairs (key_a < key_b) with BOTH directions' containment
+    where max(c_ab, c_ba) ≥ threshold. Same exact inverted-index plan as
+    ``ngram_jaccard_pairs`` exhaustive mode: shingles are distinct per
+    doc, so the index intersection count IS |A∩B| — no array join-back,
+    candidate generation is an equi-join on the shingle, never all-pairs.
+    """
+    base = shingled_docs(df, key_col, text_col, shingle_words).localCheckpoint(
+        eager=False
+    )
+    sizes = base.select("_k", F.size("_sh").alias("_n"))
+    inv = base.select("_k", F.explode("_sh").alias("shingle"))
+    a = inv.select(F.col("_k").alias("key_a"), "shingle")
+    b = inv.select(F.col("_k").alias("key_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_k").alias("key_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_k").alias("key_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn("containment_a", F.col("_inter") / F.greatest("_na", F.lit(1)))
+        .withColumn("containment_b", F.col("_inter") / F.greatest("_nb", F.lit(1)))
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+        .select(
+            "key_a", "key_b",
+            F.round("containment_a", 6).alias("containment_a"),
+            F.round("containment_b", 6).alias("containment_b"),
+        )
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — zip_with + aggregate, JVM-side."""
     dot = F.aggregate(

@@ -236,6 +236,60 @@ def top_terms(
     )
 
 
+def boilerplate_stats(
+    df: DataFrame, key_col: str, text_col: str, n: int = 3, min_doc_pct: int = 10
+) -> DataFrame:
+    """Corpus-level boilerplate detection: an n-gram is boilerplate when
+    it occurs in ≥ ``min_doc_pct``% of documents (headers, footers,
+    templated legalese). Threshold is all-integer
+    (``docs_with * 100 >= N * min_doc_pct``) — no float corpus fractions
+    to diverge between engines.
+
+    Per document:
+      n_ngrams        total n-gram occurrences
+      n_bp_distinct   distinct boilerplate n-grams present
+      bp_char_frac    char fraction of n-gram occurrences that are
+                      boilerplate (the removal-budget signal)
+
+    Scale: explode → (doc, ngram) hash agg (key-only shuffle) → ngram
+    doc-frequency agg → ngram-keyed join back (1 row per side per key:
+    no row explosion; hot boilerplate keys are exactly the ones the
+    doc-frequency agg already reduced) → doc agg → left join to keep
+    short docs.
+    """
+    from .dedup import word_ngrams
+
+    txt = F.lower(F.col(text_col))
+    counts = (
+        df.select(F.col(key_col), F.explode(word_ngrams(txt, n)).alias("_ng"))
+        .groupBy(key_col, "_ng")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    dfreq = counts.groupBy("_ng").agg(F.count("*").alias("_nd"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    bp = F.col("_nd") * 100 >= F.col("_n") * min_doc_pct
+    per_doc = (
+        counts.join(dfreq, "_ng")
+        .join(F.broadcast(n_docs))
+        .groupBy(key_col)
+        .agg(
+            F.sum("_cnt").alias("n_ngrams"),
+            F.sum(F.when(bp, 1).otherwise(0)).alias("n_bp_distinct"),
+            F.round(
+                F.sum(F.when(bp, F.col("_cnt") * F.length("_ng")).otherwise(0))
+                / F.greatest(F.sum(F.col("_cnt") * F.length("_ng")), F.lit(1)),
+                4,
+            ).alias("bp_char_frac"),
+        )
+    )
+    return df.select(F.col(key_col)).join(per_doc, key_col, "left").select(
+        F.col(key_col),
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        F.coalesce("n_bp_distinct", F.lit(0)).alias("n_bp_distinct"),
+        F.coalesce("bp_char_frac", F.lit(0.0)).alias("bp_char_frac"),
+    )
+
+
 def text_profile(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """One-scan profile: all stats for every document."""
     c = F.col(text_col)

@@ -128,6 +128,49 @@ def test_top_terms_reciprocal_ranking(spark):
     assert d3.term.tolist()[0] == "elderberry"
 
 
+def test_boilerplate_stats_hand_computed(spark):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        boilerplate_stats,
+    )
+
+    rows = [
+        ("d1", "foo bar baz qux"),
+        ("d2", "foo bar baz zap"),
+        ("d3", "alpha beta gamma delta"),
+        ("d4", "hi"),  # too short for trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # N=4, pct=34 -> boilerplate iff nd*100 >= 136 -> nd >= 2: 'foo bar baz'
+    out = (
+        boilerplate_stats(df, "doc_id", "text", n=3, min_doc_pct=34)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["d1", "n_ngrams"] == 2
+    assert out.loc["d1", "n_bp_distinct"] == 1
+    assert out.loc["d1", "bp_char_frac"] == 0.5  # 11 of 22 trigram chars
+    assert out.loc["d3", "n_bp_distinct"] == 0
+    assert out.loc["d3", "bp_char_frac"] == 0.0
+    assert out.loc["d4", "n_ngrams"] == 0
+
+
+def test_containment_pairs_planted_excerpt(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    host = " ".join(f"w{i}" for i in range(10))
+    excerpt = " ".join(f"w{i}" for i in range(5))
+    rows = [("a", host), ("b", excerpt), ("c", "x1 x2 x3 x4 x5 x6")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.key_a, r.key_b) == ("a", "b")
+    assert r.containment_b == 1.0      # excerpt fully inside host
+    assert r.containment_a == round(3 / 8, 6)
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
     feats = extract_features(media).toPandas()
