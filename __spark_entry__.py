@@ -475,6 +475,32 @@ def q_containment_pairs(spark, sf):
     return containment_pairs(aug, "doc_id", "text", threshold=0.8, shingle_words=3)
 
 
+def q_span_dedup(spark, sf):
+    """C4-style global span dedup over the corpus with a PREPENDED
+    10-word boilerplate plant on every 6th doc (prepending keeps the
+    plant span-boundary-aligned, so it is an exact duplicate span
+    across all planted docs and survives only in the min-key doc)."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        global_span_dedup,
+    )
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("all rights reserved this decision is final and binding now "),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = global_span_dedup(planted, "doc_id", "text", span_words=10)
+    return out.select(
+        "doc_id", "n_spans", "n_kept", F.md5("text_dedup").alias("dedup_md5")
+    )
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2726,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,            # textstats: smoothed tf-idf top-k
         "boilerplate_stats": q_boilerplate_stats,  # textstats: corpus-frequent n-grams
         "containment_pairs": q_containment_pairs,  # dedup: asymmetric subset copies
+        "span_dedup": q_span_dedup,          # dedup: C4-style global span dedup
     }
 
 
@@ -3076,6 +3103,41 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, tf, df_docs, score
             FROM ranked WHERE rank <= 3
+        """,
+        "span_dedup": r"""
+            -- C4-style global span dedup: 10-word spans, keep the global
+            -- min-(doc,pos) occurrence, reassemble in order; plant =
+            -- prepended boilerplate on every 6th doc (span-aligned)
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 0
+                          THEN 'all rights reserved this decision is final and binding now ' || text
+                          ELSE text END AS text
+              FROM documents
+            ), words AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+              FROM planted
+            ), nch AS (
+              SELECT doc_id, w, (len(w) + 9) // 10 AS nc FROM words
+            ), spans AS (
+              SELECT doc_id, unnest(range(0, nc)) AS pos, w FROM nch
+            ), sp AS (
+              SELECT doc_id, pos,
+                     array_to_string(w[(pos*10+1):(pos*10+10)], ' ') AS span
+              FROM spans
+            ), ranked AS (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY span
+                                        ORDER BY doc_id, pos) AS rn
+              FROM sp
+            )
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                   md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END,
+                                           ' ' ORDER BY pos), '')) AS dedup_md5
+            FROM ranked GROUP BY 1
         """,
         "embedding_dup_lsh": """
             -- exhaustive scan over corpus + float-perturbed plants:

@@ -541,6 +541,67 @@ def containment_pairs(
     )
 
 
+def global_span_dedup(
+    df: DataFrame, key_col: str, text_col: str, span_words: int = 10
+) -> DataFrame:
+    """C4-style global span dedup with document reassembly: split every
+    document into consecutive non-overlapping ``span_words``-word spans,
+    keep exactly ONE occurrence of each distinct span corpus-wide (the
+    C4 three-sentence-span rule, word-span variant), and rebuild each
+    document from its surviving spans in order.
+
+    Winner = global min (key, position) — deterministic, never
+    "first seen" partition order. Returns one row per doc:
+    ``n_spans`` (pre-dedup), ``n_kept``, ``text_dedup`` (reassembled;
+    '' when every span lost).
+
+    Scale: span arrays are built BEFORE the explode (chunking is O(len)
+    per row; the words array is never carried through the explode), the
+    winner is a min-struct hash agg on the span key (map-side combine —
+    a hot boilerplate span collapses to one row per partition, no
+    skewed window sort), and the keep-filter joins the tiny winner set
+    back on the span (1 winner row per span: no row explosion).
+    """
+    k = span_words
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_spans = F.expr(f"(size(_w) + {k - 1}) div {k}")
+    spans = (
+        df.select(F.col(key_col).alias("_k"), words.alias("_w"))
+        .select(
+            "_k",
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(" ", F.slice("_w", i * k + 1, k)),
+            ).alias("_spans"),
+        )
+        .select("_k", F.posexplode("_spans").alias("_pos", "_span"))
+    )
+    winners = spans.groupBy("_span").agg(
+        F.min(F.struct(F.col("_k"), F.col("_pos"))).alias("_win")
+    )
+    kept = spans.join(winners, "_span").withColumn(
+        "_keep", (F.col("_win._k") == F.col("_k")) & (F.col("_win._pos") == F.col("_pos"))
+    )
+    out = kept.groupBy("_k").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("_pos"), F.col("_span")))
+                    )
+                ),
+                lambda s: s["_span"],
+            ),
+        ).alias("text_dedup"),
+    )
+    return out.select(
+        F.col("_k").alias(key_col), "n_spans", "n_kept", "text_dedup"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — zip_with + aggregate, JVM-side."""
     dot = F.aggregate(

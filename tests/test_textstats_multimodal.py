@@ -171,6 +171,32 @@ def test_containment_pairs_planted_excerpt(spark):
     assert r.containment_a == round(3 / 8, 6)
 
 
+def test_global_span_dedup_hand_computed(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        global_span_dedup,
+    )
+
+    rows = [
+        ("a", "p1 p2 p3 x1 x2 x3"),
+        ("b", "p1 p2 p3 y1 y2 y3"),   # shares span 0 with a -> loses it
+        ("c", "z1 z2"),               # short tail span
+        ("d", "q1 q2 q3 q1 q2 q3"),   # intra-doc duplicate span
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = (
+        global_span_dedup(df, "doc_id", "text", span_words=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["a", ["n_spans", "n_kept"]].tolist() == [2, 2]
+    assert out.loc["a", "text_dedup"] == "p1 p2 p3 x1 x2 x3"
+    assert out.loc["b", ["n_spans", "n_kept"]].tolist() == [2, 1]
+    assert out.loc["b", "text_dedup"] == "y1 y2 y3"
+    assert out.loc["c", "text_dedup"] == "z1 z2"
+    assert out.loc["d", ["n_spans", "n_kept"]].tolist() == [2, 1]
+    assert out.loc["d", "text_dedup"] == "q1 q2 q3"
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
     feats = extract_features(media).toPandas()
