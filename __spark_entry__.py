@@ -501,6 +501,15 @@ def q_span_dedup(spark, sf):
     )
 
 
+def q_typicality(spark, sf):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        typicality_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    return typicality_score(d, "doc_id", "text")
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2753,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stats": q_boilerplate_stats,  # textstats: corpus-frequent n-grams
         "containment_pairs": q_containment_pairs,  # dedup: asymmetric subset copies
         "span_dedup": q_span_dedup,          # dedup: C4-style global span dedup
+        "typicality": q_typicality,          # textstats: corpus-LM bigram score
     }
 
 
@@ -3138,6 +3148,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END,
                                            ' ' ORDER BY pos), '')) AS dedup_md5
             FROM ranked GROUP BY 1
+        """,
+        "typicality": r"""
+            -- corpus-LM bigram typicality; all-integer scaled division
+            -- (float log-prob sums are order-dependent across engines)
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ), uni AS (
+              SELECT w1 AS w, count(*) AS c1
+              FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY 1
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w), 1)),
+                                           i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM words
+            ), bgc AS (
+              SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2
+            ), bgg AS (
+              SELECT bg, sum(cnt) AS c2 FROM bgc GROUP BY 1
+            ), scored AS (
+              SELECT bgc.doc_id, bgc.cnt, (bgg.c2 * 1000000) // uni.c1 AS unit
+              FROM bgc
+              JOIN bgg USING (bg)
+              JOIN uni ON uni.w = split_part(bgc.bg, ' ', 1)
+            ), per AS (
+              SELECT doc_id, sum(cnt) AS n_bigrams,
+                     sum(cnt * unit) // sum(cnt) AS typicality
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   coalesce(p.typicality, 0) AS typicality
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "embedding_dup_lsh": """
             -- exhaustive scan over corpus + float-perturbed plants:

@@ -290,6 +290,56 @@ def boilerplate_stats(
     )
 
 
+def typicality_score(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """Corpus-LM typicality: score each document by the average corpus
+    conditional probability of its word bigrams — the KenLM-filter shape
+    (CCNet-style "does this look like the corpus?") built from the corpus
+    itself, no external model.
+
+    unit(w1 w2) = (corpus_count(w1 w2) * 1_000_000) div corpus_count(w1)
+    typicality  = (Σ over bigram OCCURRENCES unit) div n_bigrams
+
+    All-integer arithmetic end to end: float log-probs would make the
+    per-doc sum order-dependent across engines (double addition is not
+    associative), killing value-hash parity; scaled integer division is
+    exact and order-free. The denominator counts ALL occurrences of w1
+    (not just bigram-initial ones) — a documented, deterministic choice.
+
+    Scale: two explode→hash-agg passes (words, bigrams; key-only shuffle
+    payloads), then bigram-keyed and unigram-keyed joins where each side
+    has one row per key (no explosion), then a doc-keyed agg.
+    """
+    from .dedup import word_ngrams
+
+    txt = F.lower(F.col(text_col))
+    uni = (
+        df.select(F.explode(tokens_ws(txt)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c1"))
+    )
+    bg_counts = (
+        df.select(F.col(key_col), F.explode(word_ngrams(txt, 2)).alias("_bg"))
+        .groupBy(key_col, "_bg")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    bg_global = bg_counts.groupBy("_bg").agg(F.sum("_cnt").alias("_c2"))
+    scored = (
+        bg_counts.join(bg_global, "_bg")
+        .withColumn("_w1", F.split_part(F.col("_bg"), F.lit(" "), F.lit(1)))
+        .join(uni, F.col("_w1") == F.col("_w"))
+        .withColumn("_unit", F.expr("(_c2 * 1000000) div _c1"))
+    )
+    per_doc = scored.groupBy(key_col).agg(
+        F.sum("_cnt").alias("n_bigrams"),
+        F.expr("sum(_cnt * _unit) div sum(_cnt)").alias("typicality"),
+    )
+    return df.select(F.col(key_col)).join(per_doc, key_col, "left").select(
+        F.col(key_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("typicality", F.lit(0)).alias("typicality"),
+    )
+
+
 def text_profile(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """One-scan profile: all stats for every document."""
     c = F.col(text_col)

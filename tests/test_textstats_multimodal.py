@@ -197,6 +197,23 @@ def test_global_span_dedup_hand_computed(spark):
     assert out.loc["d", "text_dedup"] == "q1 q2 q3"
 
 
+def test_typicality_score_hand_computed(spark):
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        typicality_score,
+    )
+
+    rows = [("a", "x y x y"), ("b", "x z"), ("c", "solo")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = typicality_score(df, "doc_id", "text").toPandas().set_index("doc_id")
+    # uni: x=3 y=2 z=1; bigrams: 'x y'x2(a), 'y x'x1(a), 'x z'x1(b)
+    # units: 'x y' -> 2M div 3 = 666666; 'y x' -> 1M div 2 = 500000;
+    #        'x z' -> 1M div 3 = 333333
+    assert out.loc["a", "n_bigrams"] == 3
+    assert out.loc["a", "typicality"] == (2 * 666666 + 500000) // 3
+    assert out.loc["b", "typicality"] == 333333
+    assert out.loc["c", ["n_bigrams", "typicality"]].tolist() == [0, 0]
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
     feats = extract_features(media).toPandas()
