@@ -510,6 +510,33 @@ def q_typicality(spark, sf):
     return typicality_score(d, "doc_id", "text")
 
 
+def q_curation_funnel(spark, sf):
+    """The full curation funnel as ONE oracle-checked query: language
+    gate ∧ quality gate ∧ repetition gate per document — the composite
+    every training-data pipeline actually ships, built from the same
+    kernels the individual queries check."""
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        language_id, quality_score, tokens_ws,
+    )
+
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    words = tokens_ws(F.lower(c))
+    dupf = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1)),
+        4,
+    )
+    lang = language_id(c)
+    q = quality_score(c)
+    return d.select(
+        "doc_id",
+        lang.alias("lang_id"),
+        q.alias("quality"),
+        dupf.alias("dup_word_frac"),
+        ((lang != "und") & (q >= 0.5) & (dupf <= 0.8)).alias("passed"),
+    )
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2763,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,  # dedup: asymmetric subset copies
         "span_dedup": q_span_dedup,          # dedup: C4-style global span dedup
         "typicality": q_typicality,          # textstats: corpus-LM bigram score
+        "curation_funnel": q_curation_funnel,  # textstats composite: the full gate chain
     }
 
 
@@ -3182,6 +3210,60 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(p.n_bigrams, 0) AS n_bigrams,
                    coalesce(p.typicality, 0) AS typicality
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "curation_funnel": rf"""
+            -- the composite gate chain; every sub-expression is the
+            -- SAME form as its standalone oracle (language_id,
+            -- quality_score, repetition dup-word)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       t -> regexp_replace(t, '[^a-zà-ÿ]', '', 'g')) AS tk
+              FROM documents
+            ), scores AS (
+              SELECT doc_id,
+                     len(list_filter(tk, t -> t IN {_SQL_STOP_EN})) AS s_en,
+                     len(list_filter(tk, t -> t IN {_SQL_STOP_FR})) AS s_fr,
+                     len(list_filter(tk, t -> t IN {_SQL_STOP_NL})) AS s_nl
+              FROM toks
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_en, s_fr, s_nl) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en, s_fr, s_nl) THEN 'en'
+                          WHEN s_fr = greatest(s_en, s_fr, s_nl) THEN 'fr'
+                          ELSE 'nl' END AS lang_id
+              FROM scores
+            ), stats AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+              FROM documents
+            ), qual AS (
+              SELECT doc_id,
+                     round(0.25 * (CASE WHEN n BETWEEN 200 AND 200000 THEN 1.0 ELSE 0.3 END)
+                         + 0.25 * (n_alpha / greatest(n, 1)) * 1.25
+                         + 0.25 * (CASE WHEN n_punct / greatest(n_tokens, 1) <= 0.3 THEN 1.0 ELSE 0.5 END)
+                         + 0.25 * (CASE WHEN n_alpha / greatest(n_tokens, 1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.5 END),
+                       4) AS quality
+              FROM stats
+            ), wl AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ), dup AS (
+              SELECT doc_id,
+                     round(1.0 - len(list_distinct(w)) / greatest(len(w), 1), 4) AS dup_word_frac
+              FROM wl
+            )
+            SELECT l.doc_id, l.lang_id, q.quality, dp.dup_word_frac,
+                   (l.lang_id <> 'und' AND q.quality >= 0.5
+                    AND dp.dup_word_frac <= 0.8) AS passed
+            FROM lang l
+            JOIN qual q USING (doc_id)
+            JOIN dup dp USING (doc_id)
         """,
         "embedding_dup_lsh": """
             -- exhaustive scan over corpus + float-perturbed plants:
