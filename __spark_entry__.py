@@ -516,16 +516,12 @@ def q_curation_funnel(spark, sf):
     every training-data pipeline actually ships, built from the same
     kernels the individual queries check."""
     from decisions_knowledge_graph_data_spark.operators.textstats import (
-        language_id, quality_score, tokens_ws,
+        dup_word_frac, language_id, quality_score,
     )
 
     d = _t(spark, sf, "documents")
     c = F.col("text")
-    words = tokens_ws(F.lower(c))
-    dupf = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1)),
-        4,
-    )
+    dupf = dup_word_frac(c)
     lang = language_id(c)
     q = quality_score(c)
     return d.select(

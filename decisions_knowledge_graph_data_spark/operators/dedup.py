@@ -498,7 +498,7 @@ def ngram_jaccard_pairs(
 
 def containment_pairs(
     df: DataFrame, key_col: str, text_col: str, threshold: float = 0.8,
-    shingle_words: int = 3,
+    shingle_words: int = 3, max_doc_freq_frac: float | None = None,
 ) -> DataFrame:
     """Asymmetric containment join: C(A→B) = |S_A ∩ S_B| / |S_A| over
     word-shingle sets. Catches partial/subset copies that symmetric
@@ -511,27 +511,72 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` exhaustive mode: shingles are distinct per
     doc, so the index intersection count IS |A∩B| — no array join-back,
     candidate generation is an equi-join on the shingle, never all-pairs.
+
+    ``max_doc_freq_frac`` is the LOSSY hub-shingle cap (same contract as
+    ``ngram_jaccard_pairs``): shingles in more than that fraction of docs
+    are dropped from candidate GENERATION — a boilerplate trigram shared
+    by m docs otherwise emits m²/2 self-join rows on one key, the
+    single-task straggler this operator's own quote-heavy target corpora
+    produce. Verification then scores the FULL shingle sets (array
+    join-back), so reported containment values stay exact; pairs whose
+    every common shingle is capped can be missed. None (default) = off.
     """
     base = shingled_docs(df, key_col, text_col, shingle_words).localCheckpoint(
         eager=False
     )
     sizes = base.select("_k", F.size("_sh").alias("_n"))
     inv = base.select("_k", F.explode("_sh").alias("shingle"))
-    a = inv.select(F.col("_k").alias("key_a"), "shingle")
-    b = inv.select(F.col("_k").alias("key_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .groupBy("key_a", "key_b")
-        .agg(F.count("*").alias("_inter"))
+    if max_doc_freq_frac is None:
+        a = inv.select(F.col("_k").alias("key_a"), "shingle")
+        b = inv.select(F.col("_k").alias("key_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("key_a") < F.col("key_b"))
+            .groupBy("key_a", "key_b")
+            .agg(F.count("*").alias("_inter"))
+        )
+        sa = sizes.select(F.col("_k").alias("key_a"), F.col("_n").alias("_na"))
+        sb = sizes.select(F.col("_k").alias("key_b"), F.col("_n").alias("_nb"))
+        return (
+            inter.join(sa, "key_a")
+            .join(sb, "key_b")
+            .withColumn("containment_a", F.col("_inter") / F.greatest("_na", F.lit(1)))
+            .withColumn("containment_b", F.col("_inter") / F.greatest("_nb", F.lit(1)))
+            .filter(F.greatest("containment_a", "containment_b") >= threshold)
+            .select(
+                "key_a", "key_b",
+                F.round("containment_a", 6).alias("containment_a"),
+                F.round("containment_b", 6).alias("containment_b"),
+            )
+        )
+    # capped mode: the filtered index only GENERATES candidates
+    # (intersection counts over it would undercount); exact containment
+    # comes from the full shingle arrays joined back post-pairing.
+    n_docs = base.count()
+    cap = max(1, int(n_docs * max_doc_freq_frac))
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select("shingle")
     )
-    sa = sizes.select(F.col("_k").alias("key_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_k").alias("key_b"), F.col("_n").alias("_nb"))
+    # hot set is tiny by construction (only shingles above the cap)
+    cand = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    pairs = (
+        cand.select(F.col("_k").alias("key_a"), "shingle")
+        .join(cand.select(F.col("_k").alias("key_b"), "shingle"), "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    sha = base.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"))
+    shb = base.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
     return (
-        inter.join(sa, "key_a")
-        .join(sb, "key_b")
-        .withColumn("containment_a", F.col("_inter") / F.greatest("_na", F.lit(1)))
-        .withColumn("containment_b", F.col("_inter") / F.greatest("_nb", F.lit(1)))
+        pairs.join(sha, "key_a")
+        .join(shb, "key_b")
+        .withColumn("containment_a", inter / F.greatest(F.size("_sha"), F.lit(1)))
+        .withColumn("containment_b", inter / F.greatest(F.size("_shb"), F.lit(1)))
         .filter(F.greatest("containment_a", "containment_b") >= threshold)
         .select(
             "key_a", "key_b",
@@ -597,8 +642,17 @@ def global_span_dedup(
             ),
         ).alias("text_dedup"),
     )
-    return out.select(
-        F.col("_k").alias(key_col), "n_spans", "n_kept", "text_dedup"
+    # left join back so NULL-text docs (size(_w) is NULL under ANSI →
+    # zero exploded spans) still get their one output row
+    return (
+        df.select(F.col(key_col))
+        .join(out.withColumnRenamed("_k", key_col), key_col, "left")
+        .select(
+            F.col(key_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
     )
 
 

@@ -81,6 +81,19 @@ def fingerprint(col: Column, window: int = 8) -> Column:
     return F.array_min(window_hashes)
 
 
+def dup_word_frac(col: Column) -> Column:
+    """1 - distinct_words / words over lowercased whitespace tokens,
+    rounded to 4 — the repetition gate's word-level metric, shared by
+    ``repetition_stats`` and the curation funnel so the two can never
+    silently diverge."""
+    words = tokens_ws(F.lower(col))
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1)),
+        4,
+    )
+
+
 def repetition_stats(
     df: DataFrame, key_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
@@ -112,11 +125,7 @@ def repetition_stats(
     base = df.select(
         F.col(key_col),
         F.size(words).cast("long").alias("n_words"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1)),
-            4,
-        ).alias("dup_word_frac"),
+        dup_word_frac(F.col(text_col)).alias("dup_word_frac"),
     )
     counts = (
         df.select(F.col(key_col), F.explode(word_ngrams(txt, n)).alias("_ng"))
@@ -219,11 +228,14 @@ def top_terms(
     ).filter(F.col("term").rlike(rf"^[a-zà-ÿ]{{{min_len},}}$"))
     tf = terms.groupBy(key_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
-    n_docs = df.select(F.count("*").alias("_n"))
-    scored = tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    scored = tf.join(dfreq, "term")
     if weighting == "reciprocal":
         score = F.expr("(tf * 1000000) div (df_docs + 1)")
     else:
+        # only the log weighting needs N — don't pay the corpus-count
+        # pass + 1-row join on the default path
+        n_docs = df.select(F.count("*").alias("_n"))
+        scored = scored.join(F.broadcast(n_docs))
         score = F.col("tf") * F.log((F.col("_n") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0)))
     scored = scored.withColumn("score", score)
     w = Window.partitionBy(key_col).orderBy(

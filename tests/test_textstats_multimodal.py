@@ -214,6 +214,49 @@ def test_typicality_score_hand_computed(spark):
     assert out.loc["c", ["n_bigrams", "typicality"]].tolist() == [0, 0]
 
 
+def test_containment_hub_cap_lossy_but_exact_values(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(f"d{i}", f"h1 h2 h3 u{i}a u{i}b u{i}c") for i in range(6)]
+    rows += [("p", "r1 r2 r3 r4"), ("q", "r1 r2 r3")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = containment_pairs(df, "doc_id", "text", threshold=0.2)
+    capped = containment_pairs(
+        df, "doc_id", "text", threshold=0.2, max_doc_freq_frac=0.3
+    )
+    er = {(r.key_a, r.key_b): (r.containment_a, r.containment_b)
+          for r in exact.collect()}
+    cr = {(r.key_a, r.key_b): (r.containment_a, r.containment_b)
+          for r in capped.collect()}
+    # the rare-shingle pair survives the cap with exact values
+    assert er[("p", "q")] == cr[("p", "q")] == (0.5, 1.0)
+    # hub-only pairs (shared shingle in 6/8 docs > cap) are found by the
+    # exact mode and missed by the capped mode — the documented loss
+    assert ("d0", "d1") in er and ("d0", "d1") not in cr
+    # every capped result is value-identical to the exact one
+    assert all(cr[k] == er[k] for k in cr)
+
+
+def test_global_span_dedup_null_text_row_kept(spark):
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        global_span_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x1 x2"), ("b", None)], "doc_id string, text string"
+    )
+    out = (
+        global_span_dedup(df, "doc_id", "text", span_words=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["b", ["n_spans", "n_kept"]].tolist() == [0, 0]
+    assert out.loc["b", "text_dedup"] == ""
+    assert out.loc["a", "text_dedup"] == "x1 x2"
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synth_media_df(spark, 30)
     feats = extract_features(media).toPandas()
