@@ -607,10 +607,23 @@ def global_span_dedup(
     skewed window sort), and the keep-filter joins the tiny winner set
     back on the span (1 winner row per span: no row explosion).
     """
+    reserved = {"_k", "_w", "_spans", "_pos", "_span", "_win", "_keep"}
+    clash = reserved & set(df.columns) - {key_col, text_col}
+    if clash:
+        raise ValueError(
+            f"global_span_dedup reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} on the input (same contract as "
+            "asof_join's reserved set)"
+        )
     k = span_words
     words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
     n_spans = F.expr(f"(size(_w) + {k - 1}) div {k}")
-    spans = (
+    # doc-level span arrays, chunked ONCE behind a lazy checkpoint: the
+    # frame feeds three consumers (winner agg, keep-join, key roster) and
+    # column pruning makes their Exchange subtrees canonicalize unequal,
+    # so without the barrier the tokenize+chunk chain runs per consumer
+    # (the ranked_prefix double-execution trap; plan-locked below)
+    doc_spans = (
         df.select(F.col(key_col).alias("_k"), words.alias("_w"))
         .select(
             "_k",
@@ -619,8 +632,9 @@ def global_span_dedup(
                 lambda i: F.concat_ws(" ", F.slice("_w", i * k + 1, k)),
             ).alias("_spans"),
         )
-        .select("_k", F.posexplode("_spans").alias("_pos", "_span"))
+        .localCheckpoint(eager=False)
     )
+    spans = doc_spans.select("_k", F.posexplode("_spans").alias("_pos", "_span"))
     winners = spans.groupBy("_span").agg(
         F.min(F.struct(F.col("_k"), F.col("_pos"))).alias("_win")
     )
@@ -643,9 +657,10 @@ def global_span_dedup(
         ).alias("text_dedup"),
     )
     # left join back so NULL-text docs (size(_w) is NULL under ANSI →
-    # zero exploded spans) still get their one output row
+    # zero exploded spans) still get their one output row; the key
+    # roster comes from the checkpointed frame, not a fresh source scan
     return (
-        df.select(F.col(key_col))
+        doc_spans.select(F.col("_k").alias(key_col))
         .join(out.withColumnRenamed("_k", key_col), key_col, "left")
         .select(
             F.col(key_col),

@@ -364,3 +364,60 @@ def test_semijoin_read_broadcast_no_fact_shuffle(spark, tmp_path_factory):
     assert sorted(out.inputFiles()) == sorted(
         "file://" + f if not f.startswith("file:") else f for f in kept
     )
+
+
+def test_pii_scrub_is_scan_stage_only(spark, docs_parquet):
+    """PII redaction must pipeline inside the scan stage: pure JVM regex
+    projections, zero exchanges, zero Python."""
+    from decisions_knowledge_graph_data_spark.operators.textstats import pii_scrub
+
+    out = pii_scrub(spark.read.parquet(docs_parquet), "path", "content")
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_span_dedup_single_chunk_pass(spark, docs_parquet):
+    """global_span_dedup must tokenize+chunk the corpus exactly ONCE:
+    the doc-level span frame is lazily checkpointed and feeds all three
+    consumers (winner agg, keep-join, key roster) — without the barrier,
+    column pruning makes the consumers' subtrees canonicalize unequal
+    and the chunk chain executes per consumer (the ranked_prefix
+    double-execution trap). The chunk chain's plan signature is the
+    `slice` call inside transform()."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import (
+        global_span_dedup,
+    )
+
+    out = global_span_dedup(spark.read.parquet(docs_parquet), "path", "content")
+    plan = _plan(out)
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "slice(" not in plan, plan[:2000]
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    # winner is a hash AGG, never a data-sized window sort
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_curation_agg_ops_no_python_no_cartesian(spark, docs_parquet):
+    """The corpus-stat ops (repetition / boilerplate / typicality /
+    top_terms reciprocal path) must stay JVM-side with equi-joins only;
+    the default top_terms path must NOT pay the corpus-count broadcast
+    join (that is the log-weighting's cost alone)."""
+    from decisions_knowledge_graph_data_spark.operators.textstats import (
+        boilerplate_stats, repetition_stats, top_terms, typicality_score,
+    )
+
+    docs = spark.read.parquet(docs_parquet)
+    for out in (
+        repetition_stats(docs, "path", "content"),
+        boilerplate_stats(docs, "path", "content"),
+        typicality_score(docs, "path", "content"),
+    ):
+        plan = _plan(out)
+        assert "PythonUDF" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan, plan[:1500]
+    reciprocal = _plan(top_terms(docs, "path", "content"))
+    assert "BroadcastNestedLoopJoin" not in reciprocal, reciprocal[:1500]
+    logp = _plan(top_terms(docs, "path", "content", weighting="log"))
+    assert "BroadcastNestedLoopJoin" in logp  # the 1-row N join, log only
