@@ -2676,7 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_blocks": q_md_blocks,
         "reference_extract": q_reference_extract,
         # ---- dedup / similarity family
-        "simhash_hamming_check": q_simhash_hamming_check,
+        "span_dedup": q_span_dedup,
         "minhash_dups": q_minhash_dups,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2711,7 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
         "regex_scan": q_regex_scan,
-        "token_counts": q_token_counts,
+        "repetition_stats": q_repetition_stats,
         # ---- training-data assembly family (round-5: trainprep)
         "train_split": q_train_split,
         "doc_chunks": q_doc_chunks,
@@ -2779,12 +2779,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,    # dedup family: eval-overlap flagging
         "union_families": q_union_families,  # set-ops: set_ops, nway_intersection
         "filename_sanitize": q_filename_sanitize,  # string kernels: translate_cache et al.
-        "repetition_stats": q_repetition_stats,  # textstats: Gopher repetition filters
+        # round-5 curation (third pass): span_dedup + repetition_stats
+        # join the first 50 as the curation family's representatives;
+        # displaced twins (green r1-r5) — simhash_hamming_check
+        # (bounded-subset twin of simhash_pairs, still first-50) and
+        # token_counts (word counting stays visible via
+        # repetition_stats.n_words; the bpe-ish counter via this row)
+        "simhash_hamming_check": q_simhash_hamming_check,  # dedup family: simhash_pairs
+        "token_counts": q_token_counts,      # textstats family: repetition_stats
         "pii_scrub": q_pii_scrub,            # textstats: typed PII redaction
         "top_terms": q_top_terms,            # textstats: smoothed tf-idf top-k
         "boilerplate_stats": q_boilerplate_stats,  # textstats: corpus-frequent n-grams
         "containment_pairs": q_containment_pairs,  # dedup: asymmetric subset copies
-        "span_dedup": q_span_dedup,          # dedup: C4-style global span dedup
         "typicality": q_typicality,          # textstats: corpus-LM bigram score
         "curation_funnel": q_curation_funnel,  # textstats composite: the full gate chain
     }
