@@ -533,6 +533,32 @@ def q_curation_funnel(spark, sf):
     )
 
 
+def q_orc_roundtrip(spark, sf):
+    """Source-format breadth: the engine's table I/O is format-agnostic
+    (read_table/write_table wrap the DataFrame source API, so parquet/
+    ORC/JSON all get Catalyst pushdown). Orders is materialized ONCE per
+    sf-dir as ORC (fingerprint-keyed cache, _SUCCESS-gated) and the ORC
+    scan — with the predicate pushed into it, plan-locked — must agree
+    with DuckDB over the original parquet."""
+    from decisions_knowledge_graph_data_spark.sources.readers import (
+        read_table, write_table,
+    )
+
+    root = _versioned_orders_root(sf) + "_orc"
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        write_table(_t(spark, sf, "orders"), root, fmt="orc")
+    o = read_table(spark, root, fmt="orc")
+    return (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _versioned_orders_root(sf: str) -> str:
     """Cache location for the versioned orders table: keyed by sf path +
     source-file fingerprint + manifest-format version, so regenerated
@@ -2793,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,  # dedup: asymmetric subset copies
         "typicality": q_typicality,          # textstats: corpus-LM bigram score
         "curation_funnel": q_curation_funnel,  # textstats composite: the full gate chain
+        "orc_roundtrip": q_orc_roundtrip,    # source family: format-agnostic table I/O
     }
 
 
@@ -3212,6 +3239,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(p.n_bigrams, 0) AS n_bigrams,
                    coalesce(p.typicality, 0) AS typicality
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "orc_roundtrip": """
+            -- the ORC materialization must be lossless: same agg over
+            -- the original parquet
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1 ORDER BY o_orderstatus
         """,
         "curation_funnel": rf"""
             -- the composite gate chain; every sub-expression is the

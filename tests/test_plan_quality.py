@@ -421,3 +421,15 @@ def test_curation_agg_ops_no_python_no_cartesian(spark, docs_parquet):
     assert "BroadcastNestedLoopJoin" not in reciprocal, reciprocal[:1500]
     logp = _plan(top_terms(docs, "path", "content", weighting="log"))
     assert "BroadcastNestedLoopJoin" in logp  # the 1-row N join, log only
+
+
+def test_orc_scan_pushdown(spark, tmp_path_factory):
+    """Format-agnostic I/O must keep Catalyst pushdown: the ORC source
+    gets the same PushedFilters treatment as parquet."""
+    path = str(tmp_path_factory.mktemp("orc") / "t")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")).write.orc(path)
+    df = spark.read.orc(path).filter(F.col("g") == 3).select("id")
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained
+    assert "g" in explained.split("PushedFilters")[1][:120]
