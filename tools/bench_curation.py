@@ -12,7 +12,8 @@ for these operators — hot n-gram keys, near-total span duplication —
 i.e. the hub-skew regime the north rule calls out, not a soft corpus.
 
 Usage: python tools/bench_curation.py [n_docs] [n_low] [n_high]
-       (defaults 2_000_000 2 8 — the box's honest N vs 4N pair)
+       (defaults 2_000_000 2 8 — the box's honest N vs 4N pair;
+       n_low=0 runs ONLY the high leg — the data-linearity probe)
 Prints one JSON line per leg plus a summary block to paste into
 BENCH/BASELINE.md.
 """
@@ -133,6 +134,9 @@ def main() -> None:
         code = SETUP_SNIPPET.format(repo=REPO, n_docs=n_docs,
                                     docs_path=docs_path(n_docs))
         subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+    if n_low == 0:
+        run_leg(n_high, n_docs)
+        return
     lo = run_leg(n_low, n_docs)
     hi = run_leg(n_high, n_docs)
     ratio = n_high / n_low
