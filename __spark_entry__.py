@@ -2606,6 +2606,21 @@ def q_pack_bins(spark, sf):
     )
 
 
+_TP_CAP_K, _TP_CAP_SEED = 10, 13
+
+
+def q_source_cap(spark, sf):
+    """Per-domain quota (Dolma/CC 'at most k pages per host'): keep the
+    k smallest-hash docs per source via the two-stage salted top-k
+    (no single hot-group window partition; payload never shuffles)."""
+    from decisions_knowledge_graph_data_spark.operators.trainprep import group_cap
+
+    d = _t(spark, sf, "documents")
+    return group_cap(
+        d, "source", "doc_id", _TP_CAP_K, seed=_TP_CAP_SEED, salt_buckets=8
+    ).select("doc_id", "source", "lang")
+
+
 def _trainprep_oracles() -> dict[str, str]:
     """DuckDB twins for the trainprep family — thresholds and the hash
     idiom are DERIVED from operators/trainprep.py, not hand-copied."""
@@ -2675,6 +2690,17 @@ def _trainprep_oracles() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_tokens, cum0 // {_TP_PACK_BUDGET} AS bin_id FROM c
+        """,
+        # the salted two-stage plan is semantics-free: the oracle is the
+        # naive one-window formulation (lossless-salting equality is
+        # ALSO locked engine-side in test_trainprep.py)
+        "source_cap": f"""
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY {hash60_sql('doc_id', _TP_CAP_SEED)}, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= {_TP_CAP_K}
         """,
     }
 
@@ -2761,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,  # trainprep family: train_split
         "det_shuffle": q_det_shuffle,        # trainprep family: train_split
         "pack_bins": q_pack_bins,            # trainprep family: doc_chunks
+        "source_cap": q_source_cap,          # trainprep family: per-domain quota (salted two-stage top-k)
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle

@@ -273,3 +273,80 @@ def pack_contiguous(
         .withColumn(out_col, F.expr(f"_cum0 DIV {int(budget)}"))
         .drop("_pid", "_offset", "_local", "_h60", "_cum0")
     )
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    seed: int = 0,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group quota: keep at most ``k`` rows of each group — the
+    domain-cap stage of a web-corpus pipeline ("at most k pages per
+    host"), selecting the ``k`` smallest portable hashes of ``key_col``
+    (ties by key asc), so the survivor set is a pure function of
+    (seed, key): stable across reshards, re-runs, and engines — and
+    oracle-checkable as a plain ``row_number() OVER (PARTITION BY
+    group ORDER BY hash, key)`` in any SQL engine.
+
+    ``key_col`` must be unique within its group (a doc id — duplicate
+    keys would ride through the keep-set semi-join together). NULL keys
+    hash to NULL and sort LAST on both engines (explicit
+    ``asc_nulls_last`` here; DuckDB's ASC default), so they survive
+    only in under-quota groups.
+
+    Scale shape (the reason this is not one window): the naive
+    formulation funnels every row of the hottest group through a single
+    task's sort — a 1-billion-page host becomes a 1-billion-row window
+    partition no salting or AQE can split. This runs TWO bounded
+    windows instead: stage 1 partitions by ``(group, hash %
+    salt_buckets)`` and keeps k per salt bucket — any global top-k row
+    is top-k within its own bucket, so nothing is lost and no sort
+    partition exceeds ~|group| / salt_buckets; stage 2 re-ranks the
+    ≤ k·salt_buckets survivors per group. Only (group, key, hash)
+    travel through the exchanges — payload columns (the document text)
+    never shuffle; survivors rejoin via a semi-join on the keep-set.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    reserved = {"_gc_h", "_gc_salt", "_gc_rn", "_gc_g", "_gc_k"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"group_cap reserves column names {sorted(reserved)}; rename "
+            f"input columns {sorted(clash)} first"
+        )
+    keys = df.select(group_col, key_col).withColumn(
+        "_gc_h", portable_hash60(F.col(key_col), seed)
+    )
+    order = [F.col("_gc_h").asc_nulls_last(), F.col(key_col).asc_nulls_last()]
+    if salt_buckets > 1:
+        keys = keys.withColumn(
+            "_gc_salt", F.pmod(F.coalesce(F.col("_gc_h"), F.lit(0)), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(group_col, "_gc_salt").orderBy(*order)
+        keys = (
+            keys.withColumn("_gc_rn", F.row_number().over(w1))
+            .filter(F.col("_gc_rn") <= k)
+            .drop("_gc_rn", "_gc_salt")
+        )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    keep = (
+        keys.withColumn("_gc_rn", F.row_number().over(w2))
+        .filter(F.col("_gc_rn") <= k)
+        .select(
+            F.col(group_col).alias("_gc_g"), F.col(key_col).alias("_gc_k")
+        )
+    )
+    # null-SAFE equality: a NULL group or NULL key row that won its
+    # quota slot must still rejoin (plain `on=[...]` would drop it)
+    cond = F.col(group_col).eqNullSafe(F.col("_gc_g")) & F.col(
+        key_col
+    ).eqNullSafe(F.col("_gc_k"))
+    return df.join(keep, on=cond, how="left_semi")

@@ -22,6 +22,7 @@ from decisions_knowledge_graph_data_spark.operators.trainprep import (
     chunk_text,
     deterministic_shuffle,
     fraction_threshold,
+    group_cap,
     pack_contiguous,
     portable_hash60,
     sample_deterministic,
@@ -202,3 +203,74 @@ def test_reserved_scratch_names_rejected(keyed):
             deterministic_shuffle(keyed.withColumn(bad, F.lit(1)), "k", seed=1)
         with pytest.raises(ValueError, match="reserves column names"):
             pack_contiguous(keyed.withColumn(bad, F.lit(1)), "k", "tok", 10)
+
+
+def _cap_model(keys_by_group: dict, k: int, seed: int) -> set:
+    """Independent model: k smallest (h, key) per group."""
+    want = set()
+    for g, ks in keys_by_group.items():
+        for key in sorted(ks, key=lambda x: (h60(x, seed), x))[:k]:
+            want.add((g, key))
+    return want
+
+
+def test_group_cap_model_exact_and_salt_invariant(keyed):
+    """Two-stage salted top-k == naive single window == the Python
+    model, for several salt_buckets — the lossless-salting property
+    (any global top-k row is top-k within its own salt bucket)."""
+    groups: dict = {}
+    for i in range(600):
+        groups.setdefault(["en", "fr", "zh"][i % 3], []).append(i)
+    want = _cap_model(groups, 17, 5)
+    results = []
+    for buckets in (1, 5, 32):  # 1 == the naive single-window plan
+        got = {
+            (r.lang, r.k)
+            for r in group_cap(
+                keyed, "lang", "k", 17, seed=5, salt_buckets=buckets
+            ).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2] == want
+    # under-quota groups pass through whole
+    small = group_cap(keyed, "lang", "k", 10_000, seed=5).count()
+    assert small == 600
+    # payload columns survive the semi-join untouched
+    cols = group_cap(keyed, "lang", "k", 3, seed=5).columns
+    assert cols == keyed.columns
+
+
+def test_group_cap_null_group_and_key(spark):
+    """NULL group is its own quota bucket (both engines' PARTITION BY
+    semantics); NULL keys hash NULL, sort LAST, and survive only in
+    under-quota groups — and the null-safe semi-join keeps them."""
+    rows = [Row(g=g, k=k, payload=f"p{g}-{k}") for g in ("a", None) for k in
+            ["x1", "x2", "x3", None]]
+    df = spark.createDataFrame(rows)
+    out = {(r.g, r.k) for r in group_cap(df, "g", "k", 4, seed=2).collect()}
+    assert out == {(g, k) for g in ("a", None) for k in ("x1", "x2", "x3", None)}
+    capped = {(r.g, r.k) for r in group_cap(df, "g", "k", 3, seed=2).collect()}
+    # k=3 of 4: the NULL key (sorts last) is evicted from BOTH groups
+    assert capped == {(g, k) for g in ("a", None) for k in ("x1", "x2", "x3")}
+
+
+def test_group_cap_validation(keyed):
+    with pytest.raises(ValueError):
+        group_cap(keyed, "lang", "k", 0)
+    with pytest.raises(ValueError):
+        group_cap(keyed, "lang", "k", 5, salt_buckets=0)
+    with pytest.raises(ValueError, match="reserves column names"):
+        group_cap(keyed.withColumn("_gc_h", F.lit(1)), "lang", "k", 5)
+
+
+def test_group_cap_payload_never_shuffles(keyed):
+    """Scale contract: only (group, key, hash) flow through the window
+    exchanges; the payload column appears in no Window or Sort operator
+    (it rides the final semi-join only)."""
+    out = group_cap(keyed.withColumnRenamed("tok", "payload_tok"),
+                    "lang", "k", 17, seed=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line or "Sort " in line:
+            assert "payload_tok" not in line, line
+    assert "LeftSemi" in plan
