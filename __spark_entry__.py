@@ -847,6 +847,74 @@ def q_stream_asof_enrich(spark, sf):
     return _asof_project(read_snapshot(spark, out_root)).orderBy("click_id")
 
 
+def q_stream_interval_join(spark, sf):
+    """True stream×stream join, ORACLE-CHECKED: clicks and purchases
+    each stream in as 3 micro-batch files; the watermarked interval
+    join (StreamingSymmetricHashJoin — per-key state on BOTH sides,
+    bounded by watermark + the time-range condition) attributes every
+    purchase within 120 minutes of a same-user click; matches publish
+    exactly-once through batchId-keyed snapshots. With the watermark
+    longer than the drained data's event-time span no state evicts
+    early, so the drain emits exactly the static interval join — the
+    quadratic BETWEEN join DuckDB runs. Crash mid-drain resumes off
+    the stream checkpoint; replayed batches are HWM no-ops."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        read_snapshot,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned, stream_interval_join,
+    )
+    base = _stream_events_root(sf) + "_ssj"
+    out_root = os.path.join(base, "out")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        # watermarks need TIMESTAMP (events.ts is NTZ); the cast is a
+        # constant offset on both sides, so interval matches are invariant
+        sel = ["event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")]
+        ev = _t(spark, sf, "events").select(*sel)
+        dirs = {}
+        for name, etype in (("clicks", "click"), ("purchases", "purchase")):
+            d = os.path.join(base, name)
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                _t(spark, sf, "events").filter(
+                    F.col("event_type") == etype
+                ).select(*sel).repartitionByRange(
+                    3, "event_id"
+                ).write.mode("overwrite").parquet(d)
+            dirs[name] = d
+        def _src(d):
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(d)
+            )
+        joined = stream_interval_join(
+            _src(dirs["clicks"]), _src(dirs["purchases"]),
+            on="user_id", left_ts="ts", right_ts="ts",
+            upper="120 minutes", watermark="40 days",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: publish_batch_versioned(df, bid, out_root)
+            )
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        read_snapshot(spark, out_root)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            "user_id",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def q_versioned_incremental_read(spark, sf):
     """Incremental append scan as an ORACLE-CHECKED query (round 5):
     orders is committed in three deterministic key-range appends
@@ -2791,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
+        "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
@@ -4011,6 +4080,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(DISTINCT event_id) AS n_ids,
                    bit_xor(event_id) AS xor_ids
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_interval_join": """
+            -- a fully-drained watermarked stream-stream interval join
+            -- equals the static interval join (state never evicts when
+            -- the watermark exceeds the data's event-time span)
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 120 MINUTES
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, purchase_id
         """,
         "versioned_semijoin_read": """
             -- the key-pruned semi-join read must equal the IN-subquery

@@ -223,3 +223,59 @@ def session_events(events: DataFrame, gap: str = "30 minutes",
             "n_events", "sum_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str,
+    lower: str = "0 seconds",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join (inner) — the
+    ad-attribution shape: every left row pairs with the right rows of
+    the same ``on`` key whose ``right_ts`` falls in
+    ``[left_ts + lower, left_ts + upper]``.
+
+    This is the engine's true stream×stream join (vs
+    :func:`stream_asof_enrich`, a stream×TABLE temporal join): both
+    sides are unbounded, so Spark keeps per-key state for each and the
+    watermark + time-range condition are what make that state FINITE —
+    the planner derives, from ``watermark`` and ``upper``/``lower``,
+    how long a buffered row can still find a partner, and
+    StreamingSymmetricHashJoin evicts it afterwards. Without the range
+    condition state grows with the stream; this function therefore
+    *requires* both. At 100 TB/day the state size is
+    rate × (watermark + interval width), independent of history length.
+
+    A match is emitted exactly once, in the micro-batch where the LATER
+    of its two rows arrives; with a watermark no shorter than the
+    drained data's event-time span, a bounded drain emits exactly the
+    static interval join (the oracle identity the board query checks).
+
+    Works unchanged on static frames (``withWatermark`` is a no-op in
+    batch) — the twin the equality tests use. Right-side columns are
+    prefixed with ``right_prefix`` in the output; the prefixed names
+    must not collide with left columns.
+    """
+    renamed = right
+    for c in right.columns:
+        renamed = renamed.withColumnRenamed(c, right_prefix + c)
+    clash = set(left.columns) & set(renamed.columns)
+    if clash:
+        raise ValueError(
+            f"right columns collide with left after prefixing: {sorted(clash)}"
+        )
+    l = left.withWatermark(left_ts, watermark)
+    r = renamed.withWatermark(right_prefix + right_ts, watermark)
+    rts = F.col(right_prefix + right_ts)
+    cond = (
+        (F.col(on) == F.col(right_prefix + on))
+        & (rts >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

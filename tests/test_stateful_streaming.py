@@ -1,5 +1,7 @@
 """Cross-restart stateful dedup: state survives via the streaming checkpoint."""
 
+from pyspark.sql import functions as F
+
 from decisions_knowledge_graph_data_spark.streaming.stateful import (
     run_dedup_stream,
 )
@@ -122,3 +124,104 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert [n for _, _, n in by_user[1]] == [4, 1]
     assert by_user[1][0][1] == t0 + dt.timedelta(seconds=3600 + 1800)
     assert [n for _, _, n in by_user[2]] == [1, 1]
+
+
+def test_stream_interval_join_drain_equals_static(spark, tmp_path):
+    """A fully-drained watermarked stream-stream interval join emits
+    exactly the static interval join, exactly once — even with both
+    sides split across micro-batches so matches straddle batch
+    boundaries (the later row's batch emits the pair)."""
+    import datetime as dt
+
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left_rows = [(i, i % 3, ts(i * 10)) for i in range(12)]
+    right_rows = [(100 + i, i % 3, ts(i * 10 + 15)) for i in range(12)]
+    schema = "id long, k long, ts timestamp"
+    left = spark.createDataFrame(left_rows, schema)
+    right = spark.createDataFrame(right_rows, schema)
+
+    # static twin: same function on batch frames (withWatermark no-op)
+    static = {
+        (r.id, r.r_id)
+        for r in stream_interval_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            upper="25 seconds", watermark="1 hour",
+        ).collect()
+    }
+    assert static  # non-trivial case
+
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.repartitionByRange(3, "id").write.parquet(l_dir)
+    right.repartitionByRange(3, "id").write.parquet(r_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def src(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+
+    joined = stream_interval_join(
+        src(l_dir), src(r_dir), on="k", left_ts="ts", right_ts="ts",
+        upper="25 seconds", watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the stateful operator really ran as a symmetric hash join
+    assert any(
+        op.get("operatorName") == "symmetricHashJoin"
+        for op in (q.lastProgress or {}).get("stateOperators", [])
+    )
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {(r.id, r.r_id) for r in got_rows}
+    assert len(got_rows) == len(got)  # exactly-once: no duplicate pairs
+    assert got == static
+
+
+def test_stream_interval_join_bounds_and_validation(spark):
+    """Lower bound excludes too-close matches; inclusive boundaries on
+    both ends; prefixed-name collisions are refused."""
+    import datetime as dt
+
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "id long, k long, ts timestamp"
+    left = spark.createDataFrame([(1, 1, t0)], schema)
+    right = spark.createDataFrame(
+        [(10, 1, t0 + dt.timedelta(seconds=s)) for s in (0, 5, 10, 20)],
+        schema,
+    )
+    got = sorted(
+        r.r_ts.second
+        for r in stream_interval_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            lower="5 seconds", upper="10 seconds", watermark="1 hour",
+        ).collect()
+    )
+    assert got == [5, 10]  # 0 below lower, 20 above upper; bounds inclusive
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        stream_interval_join(
+            left.withColumn("r_id", F.lit(1)), right,
+            on="k", left_ts="ts", right_ts="ts",
+            upper="10 seconds", watermark="1 hour",
+        )
