@@ -915,6 +915,87 @@ def q_stream_interval_join(spark, sf):
     )
 
 
+def q_stream_interval_join_outer(spark, sf):
+    """LEFT-OUTER stream×stream join, ORACLE-CHECKED — the stateful
+    behavior the inner drain never exercises: an unattributed click
+    emits NULL-padded only when the watermark PROVES no purchase can
+    still arrive (eviction-time emission). A bounded drain's watermark
+    can never pass max_event − delay, so the producer closes the books
+    with two far-future watermark-sentinel generations (sentinel
+    user_id −1 matches nothing; gen 1's timestamp only takes effect in
+    the batch that reads gen 2 — append_watermark_sentinels docstring);
+    sentinels are filtered from the OUTPUT read, never inside the
+    streaming query, where Catalyst would push the filter below the
+    watermark node and defeat the flush. Result == DuckDB's static
+    LEFT BETWEEN join."""
+    import datetime as dt
+
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        read_snapshot,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        append_watermark_sentinels, publish_batch_versioned,
+        stream_interval_join,
+    )
+    base = _stream_events_root(sf) + "_ssjo"
+    out_root = os.path.join(base, "out")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        sel = ["event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")]
+        ev = _t(spark, sf, "events").select(*sel)
+        dirs = {}
+        for name, etype in (("clicks", "click"), ("purchases", "purchase")):
+            d = os.path.join(base, name)
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                _t(spark, sf, "events").filter(
+                    F.col("event_type") == etype
+                ).select(*sel).repartitionByRange(
+                    3, "event_id"
+                ).write.mode("overwrite").parquet(d)
+            dirs[name] = d
+        sent_done = os.path.join(base, "_SENTINELS")
+        if not os.path.exists(sent_done):
+            append_watermark_sentinels(
+                spark, list(dirs.values()), ev.schema,
+                lambda t: [(-1, -1, t)],
+                [dt.datetime(2099, 1, 1), dt.datetime(2099, 6, 1)],
+            )
+            with open(sent_done, "w") as f:
+                f.write("ok")
+        def _src(d):
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(d)
+            )
+        joined = stream_interval_join(
+            _src(dirs["clicks"]), _src(dirs["purchases"]),
+            on="user_id", left_ts="ts", right_ts="ts",
+            upper="120 minutes", watermark="40 days", how="left_outer",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: publish_batch_versioned(df, bid, out_root)
+            )
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        read_snapshot(spark, out_root)
+        .filter(F.col("event_id") >= 0)  # drop drained sentinels (batch read: no pushdown hazard)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            "user_id",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def q_versioned_incremental_read(spark, sf):
     """Incremental append scan as an ORACLE-CHECKED query (round 5):
     orders is committed in three deterministic key-range appends
@@ -2860,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
+        "stream_interval_join_outer": q_stream_interval_join_outer,  # eviction-time NULL emission, sentinel-flushed drain
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
@@ -4092,6 +4174,18 @@ def _oracle_sql_literal() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 120 MINUTES
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, purchase_id
+        """,
+        "stream_interval_join_outer": """
+            -- eviction-time NULL emission: after a sentinel-flushed
+            -- drain the left-outer stream join equals the static one
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 120 MINUTES
             ORDER BY click_id, purchase_id
         """,
         "versioned_semijoin_read": """

@@ -235,11 +235,24 @@ def stream_interval_join(
     watermark: str,
     lower: str = "0 seconds",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INTERVAL join (inner) — the
-    ad-attribution shape: every left row pairs with the right rows of
-    the same ``on`` key whose ``right_ts`` falls in
-    ``[left_ts + lower, left_ts + upper]``.
+    """Watermarked stream-stream INTERVAL join — the ad-attribution
+    shape: every left row pairs with the right rows of the same ``on``
+    key whose ``right_ts`` falls in ``[left_ts + lower, left_ts +
+    upper]``. ``how`` may be ``inner`` or ``left_outer`` (an outer
+    left row emits NULL-padded once the watermark proves no partner
+    can still arrive — eviction-time emission, the stateful behavior
+    inner joins never exercise).
+
+    Outer-drain caveats (both learned empirically, locked by tests):
+    the watermark can never pass the newest event minus the delay, so
+    a BOUNDED drain leaves the event-time tail un-emitted unless the
+    producer closes the books with watermark sentinels — see
+    :func:`append_watermark_sentinels`; and sentinel rows must be
+    filtered from the OUTPUT (batch read of the sink), never inside
+    the streaming query: Catalyst pushes such a filter below the
+    EventTimeWatermark node, silently un-advancing the watermark.
 
     This is the engine's true stream×stream join (vs
     :func:`stream_asof_enrich`, a stream×TABLE temporal join): both
@@ -272,10 +285,47 @@ def stream_interval_join(
         )
     l = left.withWatermark(left_ts, watermark)
     r = renamed.withWatermark(right_prefix + right_ts, watermark)
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     rts = F.col(right_prefix + right_ts)
     cond = (
         (F.col(on) == F.col(right_prefix + on))
         & (rts >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
         & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
+
+
+def append_watermark_sentinels(
+    spark: SparkSession,
+    input_dirs: list[str],
+    schema,
+    rows_for_ts,
+    times: list,
+) -> None:
+    """Close the books on a bounded stream-stream drain: append, to
+    every input directory, one single-row file per timestamp in
+    ``times`` (``rows_for_ts(ts) -> list[Row-like]`` builds the row —
+    use key values no real row carries, e.g. ids of -1).
+
+    Why TWO generations are needed (empirical, locked by tests): the
+    watermark a batch runs with is computed from the data of PRIOR
+    batches, so the first sentinel's far-future timestamp only takes
+    effect in the batch that reads the second sentinel — that batch
+    (not a trailing no-data batch, which ``availableNow`` is not
+    guaranteed to run before terminating) is what evicts and emits
+    every remaining outer row. Each write sleeps past the previous
+    file's mtime so the file source (oldest-first) drains sentinels
+    strictly after the real files and in generation order. Consumers
+    must filter sentinel keys from the OUTPUT after the drain (a
+    filter inside the streaming query is pushed below the watermark
+    node and defeats the mechanism).
+    """
+    import time as _time
+
+    for t in times:
+        _time.sleep(1.1)
+        for d in input_dirs:
+            spark.createDataFrame(rows_for_ts(t), schema).coalesce(
+                1
+            ).write.mode("append").parquet(d)

@@ -1,5 +1,6 @@
 """Cross-restart stateful dedup: state survives via the streaming checkpoint."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from decisions_knowledge_graph_data_spark.streaming.stateful import (
@@ -225,3 +226,71 @@ def test_stream_interval_join_bounds_and_validation(spark):
             on="k", left_ts="ts", right_ts="ts",
             upper="10 seconds", watermark="1 hour",
         )
+
+
+def test_stream_interval_join_outer_sentinel_drain(spark, tmp_path):
+    """Left-outer drain: unmatched rows emit NULL-padded only at
+    EVICTION (watermark proof of no future partner). A bounded drain's
+    watermark stalls at max_event - delay, so the books are closed with
+    two watermark-sentinel generations; after the sentinel-flushed
+    drain the output (sans sentinels) equals the static left join."""
+    import datetime as dt
+
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        append_watermark_sentinels, stream_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    schema = "id long, k long, ts timestamp"
+    left = spark.createDataFrame([(i, i % 3, ts(i * 10)) for i in range(12)], schema)
+    # only k=0 left rows can match → 8 unmatched rows must flush
+    right = spark.createDataFrame(
+        [(100 + i, 0, ts(i * 30 + 15)) for i in range(4)], schema
+    )
+    kwargs = dict(on="k", left_ts="ts", right_ts="ts",
+                  upper="25 seconds", watermark="10 minutes")
+    static = {
+        (r.id, r.r_id)
+        for r in stream_interval_join(
+            left, right, how="left_outer", **kwargs
+        ).collect()
+    }
+    assert any(rid is None for _, rid in static)  # non-trivial outer case
+
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.repartitionByRange(3, "ts").write.parquet(l_dir)
+    right.repartitionByRange(3, "ts").write.parquet(r_dir)
+    append_watermark_sentinels(
+        spark, [l_dir, r_dir], schema, lambda t: [(-1, -1, t)],
+        [t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=2)],
+    )
+
+    def src(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+
+    joined = stream_interval_join(
+        src(l_dir), src(r_dir), how="left_outer", **kwargs
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).filter(F.col("id") >= 0).collect()
+    got = {(r.id, r.r_id) for r in rows}
+    assert len(rows) == len(got)  # exactly-once
+    assert got == static
+
+    with pytest.raises(ValueError, match="unsupported join type"):
+        stream_interval_join(left, right, how="full_outer", **kwargs)
