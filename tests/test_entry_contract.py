@@ -40,16 +40,20 @@ def test_driver_window_composition():
         "kg_star_triples", "kg_triples", "kg_references", "kg_citations",
         "kg_jurisdiction", "reference_extract", "citation_snippets",
         "jurisdiction_counts", "md_blocks",
-        # dedup / similarity family
-        "simhash_hamming_check", "minhash_dups", "simhash_pairs",
+        # dedup / similarity family (simhash_hamming_check moved to the
+        # tail in the round-5 curation swap — simhash stays visible via
+        # simhash_pairs; span_dedup is the new global-dedup representative)
+        "minhash_dups", "simhash_pairs",
         "ngram_jaccard", "embedding_dup_lsh", "ivf_topk",
         "ivf_topk_full_probe", "embedding_topk", "exact_dedup",
+        "span_dedup",
         # iterative-graph + temporal-join families (round-3 ops)
         "graph_pagerank", "asof_join", "range_join",
-        # text-analysis family (language_id moved to the tail in round 3,
-        # quality_score in round 5 — textstats twins with green prior
-        # driver rows; regex_scan/token_counts stay visible)
-        "token_counts", "regex_scan",
+        # text-analysis / curation family (language_id moved to the tail
+        # in round 3, quality_score + token_counts in the round-5 swap —
+        # textstats twins with green prior driver rows; regex_scan and
+        # the Gopher-repetition representative stay visible)
+        "regex_scan", "repetition_stats",
         # streaming family (stream_events_versioned new in round 5)
         "events_windowed", "stream_events_versioned",
         # versioned-table (Iceberg-semantics) read + row-op paths (r4-5)
