@@ -2755,6 +2755,39 @@ def q_pack_bins(spark, sf):
     )
 
 
+_PYDS_N, _PYDS_PARTS = 5000, 8
+
+
+def q_python_datasource(spark, sf):
+    """Spark 4 Python DataSource API: a pure-Python custom source whose
+    partitions() list IS the scan parallelism contract (one task per
+    contiguous id range, no shuffle). Rows are a pure function of the
+    options, so DuckDB rebuilds them from range(n) — the oracle checks
+    the source end-to-end: split completeness (count/min/max per
+    bucket) and value fidelity (bit_xor over a 60-bit slice of md5)."""
+    from decisions_knowledge_graph_data_spark.sources.python_datasource import (
+        RangeHashDataSource,
+    )
+
+    spark.dataSource.register(RangeHashDataSource)
+    g = (
+        spark.read.format("range_hash")
+        .option("n", _PYDS_N).option("partitions", _PYDS_PARTS).load()
+    )
+    return (
+        g.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.bit_xor(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+            ).alias("xor_h"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _TP_CAP_K, _TP_CAP_SEED = 10, 13
 
 
@@ -2839,6 +2872,19 @@ def _trainprep_oracles() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_tokens, cum0 // {_TP_PACK_BUDGET} AS bin_id FROM c
+        """,
+        # the custom Python data source is a pure function of (n,
+        # partitions≡physical only): DuckDB rebuilds it from range(n)
+        "python_datasource": f"""
+            WITH g AS (
+              SELECT r AS id, md5(CAST(r AS VARCHAR)) AS h
+              FROM range({_PYDS_N}) t(r)
+            )
+            SELECT CAST(CAST('0x' || substring(h, 1, 2) AS INT) % 16 AS INT)
+                     AS bucket,
+                   count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+                   bit_xor(CAST('0x' || substring(h, 1, 15) AS BIGINT)) AS xor_h
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         # the salted two-stage plan is semantics-free: the oracle is the
         # naive one-window formulation (lossless-salting equality is
@@ -2937,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,        # trainprep family: train_split
         "pack_bins": q_pack_bins,            # trainprep family: doc_chunks
         "source_cap": q_source_cap,          # trainprep family: per-domain quota (salted two-stage top-k)
+        "python_datasource": q_python_datasource,  # Spark 4 Python DataSource API scan, range(n) oracle
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle

@@ -109,3 +109,44 @@ def test_with_cached_computation_broadcast_plan(spark):
     got = out.toPandas()
     assert set(got["translated"]) == {"ahpla ateb", "ammag atled"}
     assert len(got) == 100
+
+
+def test_python_datasource_model_and_splits(spark):
+    """Spark 4 Python DataSource API: rows match the hashlib model,
+    the partition list drives task parallelism, remainder ranges are
+    spread (no straggler), and an empty source still plans."""
+    import hashlib
+
+    from decisions_knowledge_graph_data_spark.sources.python_datasource import (
+        N_BUCKETS, RangeHashDataSource, RangeHashReader,
+    )
+
+    spark.dataSource.register(RangeHashDataSource)
+    df = (
+        spark.read.format("range_hash")
+        .option("n", 50).option("partitions", 4).load()
+    )
+    got = {r.id: (r.h, r.bucket) for r in df.collect()}
+    assert set(got) == set(range(50))  # complete, no dupes across splits
+    for i in (0, 17, 49):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        assert got[i] == (h, int(h[:2], 16) % N_BUCKETS)
+    assert df.rdd.getNumPartitions() == 4
+
+    # remainder spread: 10 rows over 4 partitions → 3,3,2,2
+    sizes = [
+        hi - lo
+        for p in RangeHashReader({"n": "10", "partitions": "4"}).partitions()
+        for lo, hi in [p.value]
+    ]
+    assert sizes == [3, 3, 2, 2]
+    assert (
+        spark.read.format("range_hash").option("n", 0).load().count() == 0
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        RangeHashReader({"n": "-1"})
+    with pytest.raises(ValueError):
+        RangeHashReader({"n": "5", "partitions": "0"})
