@@ -996,6 +996,84 @@ def q_stream_interval_join_outer(spark, sf):
     )
 
 
+def q_stream_dedup_watermark(spark, sf):
+    """Built-in streaming dedup (``dropDuplicatesWithinWatermark``),
+    ORACLE-CHECKED — the JVM-native complement to the custom stateful
+    processors in streaming/stateful.py: when the dedup key is a
+    column and the horizon is time-bounded, the built-in operator is
+    the 100-TB answer (state lives in the state store keyed by
+    event_id, evicted by the watermark natively — no Python worker, no
+    hand-rolled TTL). Input: the events table split into 3 files PLUS
+    a 4th file replaying the ``event_id % 7 == 0`` slice verbatim
+    (exact duplicate rows). Drained availableNow with
+    maxFilesPerTrigger=1; the delay (3650 days) exceeds the corpus'
+    event-time span, so no state evicts mid-drain and no row is late —
+    the output is the global first-occurrence dedup, i.e. exactly the
+    original events set, whose per-type integer invariants DuckDB
+    recomputes from the source table. A failed dedup doubles the
+    replayed slice and breaks the row hash."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        read_snapshot,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        publish_batch_versioned,
+    )
+    base = _stream_events_root(sf) + "_ddw"
+    out_root = os.path.join(base, "out")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        sel = [
+            "event_id", "user_id", "event_type", "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+        ]
+        ev = _t(spark, sf, "events").select(*sel)
+        in_dir = os.path.join(base, "in")
+        if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+            ev.repartitionByRange(3, "event_id").write.mode(
+                "overwrite").parquet(in_dir)
+        dup_done = os.path.join(base, "_DUPS")
+        if not os.path.exists(dup_done):
+            # exact replay of a deterministic slice, appended as extra
+            # input files (duplicates arrive in a LATER micro-batch, so
+            # the dedup must hit cross-batch state, not in-batch distinct)
+            ev.filter(F.col("event_id") % 7 == 0).coalesce(1).write.mode(
+                "append").parquet(in_dir)
+            with open(dup_done, "w") as f:
+                f.write("ok")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        deduped = (
+            src.withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda df, bid: publish_batch_versioned(df, bid, out_root)
+            )
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    out = read_snapshot(spark, out_root)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_id").alias("n_ids"),
+            F.bit_xor("event_id").alias("xor_ids"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_versioned_incremental_read(spark, sf):
     """Incremental append scan as an ORACLE-CHECKED query (round 5):
     orders is committed in three deterministic key-range appends
@@ -1399,6 +1477,44 @@ def q_json_extract(spark, sf):
         e.select("event_id", parsed["k"].alias("k"))
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_variant_extract(spark, sf):
+    """Semi-structured VARIANT path (Spark 4), ORACLE-CHECKED: rows
+    are made schema-HETEROGENEOUS (clicks gain a nested ``ext`` object
+    the other event types lack), parsed ONCE into a VariantType column
+    (binary variant encoding — at scale the shredded-storage form of
+    semi-structured data, where from_json's one-rigid-schema-per-column
+    would force a union schema and NULL-pad every row), then read with
+    typed paths via variant_get: ``$.k`` everywhere, ``$.ext.u`` only
+    where present (missing path → NULL, no schema error). DuckDB
+    rebuilds the same values from json_extract + the injection rule."""
+    e = _t(spark, sf, "events")
+    j = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.expr("substring(props, 1, length(props) - 1)"),
+            F.lit(', "ext": {"u": '),
+            F.col("user_id").cast("string"),
+            F.lit("}}"),
+        ),
+    ).otherwise(F.col("props"))
+    v = F.parse_json(j)
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.variant_get(v, "$.ext.u", "bigint").alias("u"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("u").alias("n_u"),
+            F.bit_xor("u").alias("xor_u"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -2788,6 +2904,38 @@ def q_python_datasource(spark, sf):
     )
 
 
+def q_udtf_chunks(spark, sf):
+    """Python UDTF (Spark 4 ``@udtf``) in its ``TABLE(...) PARTITION
+    BY`` form, ORACLE-CHECKED — the third Python extension surface
+    next to the DataSource API and transformWithStateInPandas: the
+    planner shuffles the input on doc_id, instantiates the UDTF per
+    key, streams rows through eval and calls terminate once per
+    partition, so ONE pass emits both the per-chunk rows (sliding
+    120-char windows, stride 100, md5-prefix fingerprints) and a
+    per-doc summary row (chunk_idx = -1, full-text length +
+    fingerprint) — an explode would need a second aggregation over its
+    own output for that. Production chunkers stay explode-based
+    (doc_chunks); this is the pluggable-custom-logic slot. Every
+    output value is a pure function of the text, so DuckDB rebuilds
+    the table arithmetically (substr + md5)."""
+    from decisions_knowledge_graph_data_spark.functions.udtfs import (
+        register_chunk_text,
+    )
+
+    register_chunk_text(spark)
+    (
+        _t(spark, sf, "documents")
+        .filter((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .createOrReplaceTempView("udtf_docs_v")
+    )
+    return spark.sql("""
+        SELECT doc_id, chunk_idx, n_chars, h8
+        FROM chunk_text(TABLE(udtf_docs_v) PARTITION BY doc_id)
+        ORDER BY doc_id, chunk_idx
+    """)
+
+
 _TP_CAP_K, _TP_CAP_SEED = 10, 13
 
 
@@ -2806,6 +2954,10 @@ def q_source_cap(spark, sf):
 def _trainprep_oracles() -> dict[str, str]:
     """DuckDB twins for the trainprep family — thresholds and the hash
     idiom are DERIVED from operators/trainprep.py, not hand-copied."""
+    from decisions_knowledge_graph_data_spark.functions.udtfs import (
+        CHUNK_CHARS as _U_CHUNK,
+        STRIDE_CHARS as _U_STRIDE,
+    )
     from decisions_knowledge_graph_data_spark.operators.trainprep import (
         HASH_DOMAIN,
         fraction_threshold,
@@ -2872,6 +3024,31 @@ def _trainprep_oracles() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_tokens, cum0 // {_TP_PACK_BUDGET} AS bin_id FROM c
+        """,
+        # the chunker UDTF's output is a pure function of the text:
+        # DuckDB rebuilds chunks (substr + md5 prefix) and the
+        # terminate-emitted per-doc summary rows arithmetically
+        "udtf_chunks": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 20 = 0 AND text IS NOT NULL
+            ), c AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(text), {_U_STRIDE}),
+                       s -> struct_pack(
+                         chunk_idx := CAST(s // {_U_STRIDE} AS INT),
+                         n_chars := CAST(least({_U_CHUNK}, len(text) - s) AS INT),
+                         h8 := substring(md5(substring(text, s + 1, {_U_CHUNK})), 1, 8))),
+                       recursive := true)
+              FROM d
+            )
+            SELECT doc_id, chunk_idx, n_chars, h8 FROM c
+            UNION ALL
+            SELECT doc_id, CAST(-1 AS INT) AS chunk_idx,
+                   CAST(len(text) AS INT) AS n_chars,
+                   substring(md5(text), 1, 8) AS h8
+            FROM d
+            ORDER BY doc_id, chunk_idx
         """,
         # the custom Python data source is a pure function of (n,
         # partitions≡physical only): DuckDB rebuilds it from range(n)
@@ -2984,6 +3161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,            # trainprep family: doc_chunks
         "source_cap": q_source_cap,          # trainprep family: per-domain quota (salted two-stage top-k)
         "python_datasource": q_python_datasource,  # Spark 4 Python DataSource API scan, range(n) oracle
+        "udtf_chunks": q_udtf_chunks,        # Spark 4 Python UDTF (TABLE + PARTITION BY + terminate), arithmetic oracle
+        "stream_dedup_watermark": q_stream_dedup_watermark,  # built-in streaming dedup, source-invariant oracle
+        "variant_extract": q_variant_extract,  # Spark 4 VARIANT typed-path reads over heterogeneous JSON
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
@@ -3799,6 +3979,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
             FROM events GROUP BY 1
         """,
+        "variant_extract": """
+            -- variant_get('$.ext.u') is non-NULL exactly where the
+            -- query injected ext (clicks), and equals user_id there;
+            -- sum CAST to BIGINT (DuckDB sum(int) is HUGEINT)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                     AS sum_k,
+                   count(CASE WHEN event_type = 'click' THEN user_id END)
+                     AS n_u,
+                   bit_xor(CASE WHEN event_type = 'click' THEN user_id END)
+                     AS xor_u
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "block_numbering": r"""
             WITH parts AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -4208,6 +4401,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_events,
                    count(DISTINCT event_id) AS n_ids,
                    bit_xor(event_id) AS xor_ids
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_dedup_watermark": """
+            -- dropDuplicatesWithinWatermark over (events UNION a
+            -- replayed slice) with delay > the event-time span equals
+            -- global first-occurrence dedup = the original events set
+            -- (event_id is unique in the source table)
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT event_id) AS n_ids,
+                   bit_xor(event_id) AS xor_ids,
+                   min(value) AS min_value,
+                   max(value) AS max_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "stream_interval_join": """

@@ -150,3 +150,46 @@ def test_python_datasource_model_and_splits(spark):
         RangeHashReader({"n": "-1"})
     with pytest.raises(ValueError):
         RangeHashReader({"n": "5", "partitions": "0"})
+
+
+def test_udtf_chunk_text_table_partition(spark):
+    """Spark 4 Python UDTF in TABLE(...) PARTITION BY form: one pass
+    emits per-chunk rows (eval) AND a per-doc summary (terminate);
+    values match the hashlib/slicing model; NULL-text docs emit
+    nothing and do not inherit a neighbor partition's summary."""
+    import hashlib
+
+    from decisions_knowledge_graph_data_spark.functions.udtfs import (
+        CHUNK_CHARS, STRIDE_CHARS, register_chunk_text,
+    )
+
+    register_chunk_text(spark)
+    rows = [(1, "abcdefghij" * 25), (2, ""), (3, "short"), (4, None)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_t")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM chunk_text(TABLE(udtf_t) PARTITION BY doc_id) "
+            "ORDER BY doc_id, chunk_idx"
+        ).collect()
+    ]
+
+    def h8(s):
+        return hashlib.md5(s.encode()).hexdigest()[:8]
+
+    exp = []
+    for did, t in rows:
+        if t is None:
+            continue  # NULL text: no chunks, no summary
+        for k, s in enumerate(range(0, len(t), STRIDE_CHARS)):
+            c = t[s:s + CHUNK_CHARS]
+            exp.append((did, k, len(c), h8(c)))
+        exp.append((did, -1, len(t), h8(t)))
+    exp.sort(key=lambda r: (r[0], r[1]))
+    assert got == exp
+    # doc 1 (250 chars) chunks at 0/100/200 with lengths 120/120/50
+    assert [(r[1], r[2]) for r in got if r[0] == 1] == [
+        (-1, 250), (0, 120), (1, 120), (2, 50),
+    ]

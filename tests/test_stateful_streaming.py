@@ -405,3 +405,46 @@ def test_tws_dedup_across_restarts(spark, tmp_path):
     q2.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
     assert ids == [10, 11, 12, 20, 21]
+
+
+def test_drop_duplicates_within_watermark_cross_batch(spark, tmp_path):
+    """Built-in dropDuplicatesWithinWatermark (the JVM-native
+    complement to the custom stateful processors): exact-duplicate
+    rows replayed in a LATER micro-batch are dropped via cross-batch
+    state-store state; with the delay beyond the data's event-time
+    span the availableNow drain equals global first-occurrence dedup."""
+    import datetime as dt
+
+    sch = ("event_id long, user_id long, event_type string, "
+           "value double, ts timestamp")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i):
+        return (i, i % 3, "click", float(i), t0 + dt.timedelta(minutes=i))
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([ev(i) for i in range(6)], sch).coalesce(
+        1).write.mode("append").parquet(in_dir)
+    # later file: exact replays of 0 and 3 plus one genuinely new id
+    spark.createDataFrame([ev(0), ev(3), ev(6)], sch).coalesce(
+        1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        src.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert sorted(r["event_id"] for r in out.collect()) == list(range(7))
+    assert out.count() == 7  # each id exactly once despite the replay
