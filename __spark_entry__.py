@@ -3114,12 +3114,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         # ---- operator-family representatives (all oracle-green)
-        "translate_cache": q_translate_cache,
-        "coerce_cast": q_coerce_cast,
+        # round-5 curation (sixth pass): the four modern extension /
+        # streaming surfaces join the first 50 — Python DataSource API,
+        # Python UDTF, VARIANT typed paths, built-in watermark dedup;
+        # displaced twins (green r1-r5, families stay visible):
+        # translate_cache (broadcast-join: dimension_lookup), coerce_cast
+        # (validation: keyword_validation + sha_invariant), rollup_agg
+        # (agg: pricing_summary/teaching_pivot/percentiles), set_ops
+        # (set-ops: nway_intersection)
+        "python_datasource": q_python_datasource,
+        "udtf_chunks": q_udtf_chunks,
         "keyword_validation": q_keyword_validation,
         "teaching_pivot": q_teaching_pivot,
         "issue_key": q_issue_key,
-        "rollup_agg": q_rollup_agg,
+        "variant_extract": q_variant_extract,
         "range_window": q_range_window,
         "unmapped_discovery": q_unmapped_discovery,
         "exclusion_filter": q_exclusion_filter,
@@ -3133,7 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nway_intersection": q_nway_intersection,
         "dimension_lookup": q_dimension_lookup,
         "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
         "regex_scan": q_regex_scan,
         "repetition_stats": q_repetition_stats,
         # ---- training-data assembly family (round-5: trainprep)
@@ -3160,10 +3168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,        # trainprep family: train_split
         "pack_bins": q_pack_bins,            # trainprep family: doc_chunks
         "source_cap": q_source_cap,          # trainprep family: per-domain quota (salted two-stage top-k)
-        "python_datasource": q_python_datasource,  # Spark 4 Python DataSource API scan, range(n) oracle
-        "udtf_chunks": q_udtf_chunks,        # Spark 4 Python UDTF (TABLE + PARTITION BY + terminate), arithmetic oracle
-        "stream_dedup_watermark": q_stream_dedup_watermark,  # built-in streaming dedup, source-invariant oracle
-        "variant_extract": q_variant_extract,  # Spark 4 VARIANT typed-path reads over heterogeneous JSON
+        # displaced by the round-5 sixth-pass curation (green r1-r5)
+        "translate_cache": q_translate_cache,  # broadcast-cache join family: dimension_lookup
+        "coerce_cast": q_coerce_cast,        # validation family: keyword_validation, sha_invariant
+        "rollup_agg": q_rollup_agg,          # agg family: pricing_summary, teaching_pivot
+        "set_ops": q_set_ops,                # set-ops family: nway_intersection
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle

@@ -63,6 +63,14 @@ def test_driver_window_composition():
         # displaced twins sessionize/anti_join stay covered by
         # range_window/running_window and unmapped_discovery)
         "train_split", "doc_chunks",
+        # modern extension / streaming surfaces (round-5 sixth pass:
+        # Python DataSource API, Python UDTF, VARIANT, built-in
+        # watermark dedup; displaced twins translate_cache/coerce_cast/
+        # rollup_agg/set_ops stay covered by dimension_lookup,
+        # keyword_validation + sha_invariant, pricing_summary +
+        # teaching_pivot + percentiles, and nway_intersection)
+        "python_datasource", "udtf_chunks", "variant_extract",
+        "stream_dedup_watermark",
     }
     assert must_be_visible <= first_50, must_be_visible - first_50
 
