@@ -737,6 +737,67 @@ def q_versioned_delete_read(spark, sf):
     )
 
 
+def q_versioned_mv_read(spark, sf):
+    """Incremental materialized-view maintenance (plans/ivm.py),
+    ORACLE-CHECKED end-to-end: a count/sum MV over the versioned
+    orders table is built once, then the source takes a CoW MERGE
+    (the versioned_merge_read recipe) and a date DELETE (the
+    versioned_delete_read recipe), and the MV is brought current by
+    folding the row-level CHANGE FEED of those two commits — signed
+    +1/+x / -1/-x deltas re-aggregated against the aggregate-sized MV
+    state; the source is never rescanned (refresh cost ∝ churn, the
+    100-TB contract). sum_keys (exact integer sum of o_orderkey) rides
+    along as an integrity check that is maintained, not recomputed.
+    The read must equal DuckDB's full aggregate over the FINAL state."""
+    from decisions_knowledge_graph_data_spark.plans.ivm import (
+        refresh_agg_mv,
+    )
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, delete_where, merge_snapshot, read_snapshot,
+        table_history, write_snapshot,
+    )
+    src_root = _versioned_orders_root(sf) + "_mvsrc"
+    mv_root = _versioned_orders_root(sf) + "_mv"
+    mv_args = (spark, src_root, mv_root,
+               ["o_orderstatus", "o_orderpriority"],
+               ["o_totalprice", "o_orderkey"])
+    if current_version(src_root) is None:
+        write_snapshot(
+            _t(spark, sf, "orders").repartitionByRange(8, "o_orderkey"),
+            src_root, stats_cols=["o_orderkey"],
+        )
+    # build the MV BEFORE the row ops land, so the final refresh is the
+    # genuinely incremental path (crash anywhere: each refresh folds
+    # whatever window is outstanding — every interleaving converges)
+    refresh_agg_mv(*mv_args)
+    if len(table_history(src_root)) == 1:
+        o = read_snapshot(spark, src_root, version=1)
+        updated = o.filter(F.col("o_custkey") % 97 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        )
+        inserted = (
+            o.filter(F.col("o_custkey") % 101 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 100_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        merge_snapshot(
+            spark, src_root, updated.unionByName(inserted), "o_orderkey")
+    if len(table_history(src_root)) == 2:
+        delete_where(spark, src_root, {"o_orderdate": ("<", "1993-07-01")})
+    refresh_agg_mv(*mv_args)
+    mv = read_snapshot(spark, mv_root)
+    return (
+        mv.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("n_rows").alias("n_orders"),
+            F.round(F.col("sum_o_totalprice"), 2).alias("sum_price"),
+            F.col("sum_o_orderkey").alias("sum_keys"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 def _stream_events_root(sf: str) -> str:
     """Cache root for the streamed-events versioned table: keyed by the
     source file fingerprint so regenerated test data rolls the cache."""
@@ -3181,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
+        "versioned_mv_read": q_versioned_mv_read,  # incremental MV maintenance from the change feed
         "session_window_agg": q_session_window,  # engine-native session windows; lag-window twin: sessionize
         "versioned_semijoin_read": q_versioned_semijoin_read,  # DPP-style key-pruned read, versioned family
         # round-5 displacements (all green r1-r4; families stay
@@ -4331,6 +4393,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price,
                    bit_xor(o_orderkey) AS xor_keys
             FROM merged GROUP BY 1 ORDER BY 1
+        """,
+        "versioned_mv_read": """
+            -- the incrementally-maintained MV (change-feed fold, never
+            -- a source rescan) must equal the full aggregate over the
+            -- FINAL state: merge upsert then date delete; sum CAST to
+            -- BIGINT (DuckDB sum(int) is HUGEINT)
+            WITH merged AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_orderdate,
+                     CASE WHEN o_custkey % 97 = 0
+                          THEN o_totalprice + 1.0 ELSE o_totalprice
+                     END AS o_totalprice
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'N', o_orderpriority,
+                     o_orderdate, o_totalprice
+              FROM orders WHERE o_custkey % 101 = 0
+            ), final AS (
+              SELECT * FROM merged
+              WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
+            )
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+            FROM final GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "versioned_delete_read": """
             -- row-level DELETE == the WHERE-NOT scan (SQL NULL

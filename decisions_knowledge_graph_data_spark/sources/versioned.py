@@ -302,7 +302,7 @@ def write_snapshot(
             # expire_versions — even when a maintenance append or a
             # re-clustering overwrite lands between stream batches
             # (round-5 reviews); caller-supplied meta still wins
-            for k in ("batch_id_hwm",):
+            for k in ("batch_id_hwm", "mv_src_version"):
                 if k in pm.get("meta", {}) and k not in meta_out:
                     meta_out[k] = pm["meta"][k]
             if mode == "append":
@@ -966,7 +966,10 @@ def plan_files_semijoin(
 # append whose files lack the layout column would make point lookups
 # silently MISS those rows, so bucketed/transformed appends must go
 # through their validating writers instead.
-_DURABLE_ROW_OP_META = ("batch_id_hwm", "bucket_transform", "partition_transform")
+_DURABLE_ROW_OP_META = (
+    "batch_id_hwm", "bucket_transform", "partition_transform",
+    "mv_src_version",
+)
 
 
 def _parent_stats_cols(pm: dict, extra: list[str]) -> list[str]:

@@ -1381,3 +1381,59 @@ def test_semijoin_read_prunes_and_matches(spark, tmp_path, monkeypatch):
     # multi-column key frame is refused
     with pytest.raises(ValueError, match="single-column"):
         V.read_snapshot_semijoin(spark, root, _df(spark, 0, 3), "id")
+
+
+def test_incremental_mv_maintenance(spark, tmp_path):
+    """plans/ivm.py: the MV folds multi-commit change feeds (merge +
+    delete) without rescanning the source, drops groups whose count
+    reaches 0, no-ops on an unchanged source, and falls back to a full
+    rebuild when the applied version fell out of retention."""
+    from decisions_knowledge_graph_data_spark.plans.ivm import (
+        mv_applied_version, refresh_agg_mv,
+    )
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where, expire_versions, merge_snapshot,
+    )
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+            (5, "c", 50), (6, "c", 60)]
+    write_snapshot(
+        spark.createDataFrame(rows, "id long, grp string, x long"), src)
+    assert refresh_agg_mv(spark, src, mv, ["grp"], ["x"]) == 1
+    assert mv_applied_version(mv) == 1
+
+    # v2: merge (update id=1's x, insert id=7 into c); v3: delete grp a
+    merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(1, "a", 100), (7, "c", 70)],
+                              "id long, grp string, x long"),
+        "id",
+    )
+    delete_where(spark, src, {"grp": ("==", "a")})
+    assert refresh_agg_mv(spark, src, mv, ["grp"], ["x"]) == 3
+
+    def mv_rows():
+        return {
+            (r["grp"], r["n_rows"], r["sum_x"])
+            for r in read_snapshot(spark, mv).collect()
+        }
+
+    # grp a disappeared (count hit 0); b unchanged; c gained id=7
+    assert mv_rows() == {("b", 2, 70), ("c", 3, 180)}
+
+    # no-op refresh: no new MV commit
+    v_mv = current_version(mv)
+    assert refresh_agg_mv(spark, src, mv, ["grp"], ["x"]) == 3
+    assert current_version(mv) == v_mv
+
+    # retention lapse: commit v4 then expire everything below it — the
+    # change window from applied=3 is gone, so the refresh rebuilds
+    write_snapshot(
+        spark.createDataFrame([(8, "d", 80)], "id long, grp string, x long"),
+        src, mode="append",
+    )
+    expire_versions(src, keep_last=1)
+    assert refresh_agg_mv(spark, src, mv, ["grp"], ["x"]) == 4
+    assert mv_rows() == {("b", 2, 70), ("c", 3, 180), ("d", 1, 80)}
+    assert mv_applied_version(mv) == 4
