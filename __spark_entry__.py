@@ -3196,7 +3196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "block_numbering": q_block_numbering,
         "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
+        # incremental MV maintenance from the CDC feed (round-5 swap:
+        # top_orders → tail; the corpus equi-join family stays visible
+        # via dimension_lookup + asof_join/range_join)
+        "versioned_mv_read": q_versioned_mv_read,
         "top1_per_group": q_top1_per_group,
         "seq_ids": q_seq_ids,
         "nway_intersection": q_nway_intersection,
@@ -3242,7 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
         "versioned_zorder_read": q_versioned_zorder_read,  # versioned family
         "versioned_changes_read": q_versioned_changes_read,  # CDC feed, versioned family
-        "versioned_mv_read": q_versioned_mv_read,  # incremental MV maintenance from the change feed
+        "top_orders": q_top_orders,  # displaced to the tail in the round-5 MV swap
         "session_window_agg": q_session_window,  # engine-native session windows; lag-window twin: sessionize
         "versioned_semijoin_read": q_versioned_semijoin_read,  # DPP-style key-pruned read, versioned family
         # round-5 displacements (all green r1-r4; families stay

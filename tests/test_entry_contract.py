@@ -56,9 +56,13 @@ def test_driver_window_composition():
         "regex_scan", "repetition_stats",
         # streaming family (stream_events_versioned new in round 5)
         "events_windowed", "stream_events_versioned",
-        # versioned-table (Iceberg-semantics) read + row-op paths (r4-5)
+        # versioned-table (Iceberg-semantics) read + row-op paths (r4-5;
+        # versioned_mv_read = incremental MV maintenance joined in the
+        # round-5 seventh pass, displacing top_orders whose corpus
+        # equi-join family stays visible via dimension_lookup +
+        # asof_join/range_join)
         "versioned_pruned_read", "versioned_month_read",
-        "versioned_merge_read",
+        "versioned_merge_read", "versioned_mv_read",
         # training-data assembly family (round-5 second pass; the
         # displaced twins sessionize/anti_join stay covered by
         # range_window/running_window and unmapped_discovery)
