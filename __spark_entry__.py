@@ -757,10 +757,13 @@ def q_versioned_mv_read(spark, sf):
         table_history, write_snapshot,
     )
     src_root = _versioned_orders_root(sf) + "_mvsrc"
-    mv_root = _versioned_orders_root(sf) + "_mv"
+    # "_mv2": the spec gained min/max columns — a stale sum-only MV from
+    # an earlier run must not trip the cross-spec maintenance guard
+    mv_root = _versioned_orders_root(sf) + "_mv2"
     mv_args = (spark, src_root, mv_root,
                ["o_orderstatus", "o_orderpriority"],
                ["o_totalprice", "o_orderkey"])
+    mv_kw = {"minmax_cols": ["o_totalprice"]}
     if current_version(src_root) is None:
         write_snapshot(
             _t(spark, sf, "orders").repartitionByRange(8, "o_orderkey"),
@@ -769,7 +772,7 @@ def q_versioned_mv_read(spark, sf):
     # build the MV BEFORE the row ops land, so the final refresh is the
     # genuinely incremental path (crash anywhere: each refresh folds
     # whatever window is outstanding — every interleaving converges)
-    refresh_agg_mv(*mv_args)
+    refresh_agg_mv(*mv_args, **mv_kw)
     if len(table_history(src_root)) == 1:
         o = read_snapshot(spark, src_root, version=1)
         updated = o.filter(F.col("o_custkey") % 97 == 0).withColumn(
@@ -784,7 +787,7 @@ def q_versioned_mv_read(spark, sf):
             spark, src_root, updated.unionByName(inserted), "o_orderkey")
     if len(table_history(src_root)) == 2:
         delete_where(spark, src_root, {"o_orderdate": ("<", "1993-07-01")})
-    refresh_agg_mv(*mv_args)
+    refresh_agg_mv(*mv_args, **mv_kw)
     mv = read_snapshot(spark, mv_root)
     return (
         mv.select(
@@ -793,6 +796,12 @@ def q_versioned_mv_read(spark, sf):
             F.col("n_rows").alias("n_orders"),
             F.round(F.col("sum_o_totalprice"), 2).alias("sum_price"),
             F.col("sum_o_orderkey").alias("sum_keys"),
+            # min/max maintained through the fold + group-local rescan
+            # (the date DELETE removes many group minima, so the rescan
+            # path is exercised and oracle-checked here); exact doubles,
+            # no rounding needed
+            F.col("min_o_totalprice").alias("min_price"),
+            F.col("max_o_totalprice").alias("max_price"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
@@ -860,6 +869,54 @@ def q_stream_events_versioned(spark, sf):
             F.count("*").alias("n_events"),
             F.count_distinct("event_id").alias("n_ids"),
             F.bit_xor("event_id").alias("xor_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_stream_mv_maintain(spark, sf):
+    """Streaming ingest with a self-maintaining aggregate, ORACLE-
+    CHECKED: the events table drains as 4 micro-batches
+    (maxFilesPerTrigger=1), each published exactly-once to a versioned
+    table AND immediately folded into a count/sum/min/max MV by
+    ``plans/ivm.refresh_agg_mv`` — per-batch maintenance cost is the
+    batch, never the accreted table (the Kappa rollup: no nightly
+    rebuild at 100 TB). All-integer aggregates keep the oracle exact:
+    after 4 publishes + 4 incremental folds the MV must equal DuckDB's
+    one-shot aggregate over the full events view — a lost batch, a
+    double-fold, or a broken fold algebra all break the row hash."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        read_snapshot,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        stream_publish_with_mv,
+    )
+    base = _stream_events_root(sf) + "_mvmaint"
+    root = os.path.join(base, "table")
+    mv_root = os.path.join(base, "mv")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        src = _t(spark, sf, "events")
+        in_dir = os.path.join(base, "in")
+        if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+            src.repartitionByRange(4, "event_id").write.mode(
+                "overwrite").parquet(in_dir)
+        q = stream_publish_with_mv(
+            spark, in_dir, root, src.schema, os.path.join(base, "ckpt"),
+            mv_root, ["event_type"], ["event_id"],
+            minmax_cols=["event_id"], max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    mv = read_snapshot(spark, mv_root)
+    return (
+        mv.select(
+            "event_type",
+            F.col("n_rows").alias("n_events"),
+            F.col("sum_event_id").alias("sum_ids"),
+            F.col("min_event_id").alias("min_id"),
+            F.col("max_event_id").alias("max_id"),
         )
         .orderBy("event_type")
     )
@@ -3240,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
+        "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
         "stream_interval_join_outer": q_stream_interval_join_outer,  # eviction-time NULL emission, sentinel-flushed drain
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
@@ -4419,8 +4477,20 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price,
-                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
             FROM final GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_mv_maintain": """
+            -- 4 exactly-once stream publishes + 4 incremental MV folds
+            -- must equal the one-shot aggregate over the events view
+            -- (all-integer: exact across engines; BIGINT cast — DuckDB
+            -- sum(int) is HUGEINT)
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "versioned_delete_read": """
             -- row-level DELETE == the WHERE-NOT scan (SQL NULL

@@ -14,10 +14,16 @@ exactly-once publish: batch commits in, self-maintaining aggregate out.
 
 Self-maintainability: ``count`` and ``sum`` form an abelian group under
 insert/delete, so the fold is exact; ``avg`` derives as sum/count at
-read time. ``min``/``max`` are NOT self-maintainable under deletes
-(a deleted current-min needs a rescan) and are deliberately out of
-scope — the reference point is Iceberg/Materialize-style IVM of
-group-by-sum views, the workhorse shape for metrics rollups.
+read time. ``min``/``max`` (``minmax_cols``) are self-maintainable
+under INSERTS (``min(cur, min(inserted))``) but not under deletes — a
+deleted current-min can expose a value only the base rows know. The
+standard IVM treatment applies: fold inserts, then rescan ONLY the
+groups where a deleted value ties-or-beats the folded extremum (a
+semi-join-filtered read of the current snapshot — cost proportional to
+the affected groups' data, never the full table; the common case of
+deleting non-extremal rows stays scan-free). The affected test runs
+against the FOLDED state, not the prior MV, which also covers groups
+born and partially deleted inside one refresh window.
 
 Bookkeeping: the applied source version rides the MV's NEWEST manifest
 under meta key ``mv_src_version`` (same durability contract as the
@@ -35,7 +41,8 @@ reconstructed — ``refresh_agg_mv`` then falls back to a full rebuild
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.versioned import (
@@ -49,16 +56,37 @@ from ..sources.versioned import (
 
 MV_SRC_VERSION_KEY = "mv_src_version"
 N_ROWS_COL = "n_rows"
+# scratch columns carried through the fold only (never committed)
+_DEL_MIN, _DEL_MAX = "_del_min_", "_del_max_"
 
 
 def _sum_col(c: str) -> str:
     return f"sum_{c}"
 
 
-def _full_agg(src: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+def _min_col(c: str) -> str:
+    return f"min_{c}"
+
+
+def _max_col(c: str) -> str:
+    return f"max_{c}"
+
+
+def _mv_cols(keys: list[str], sum_cols: list[str],
+             minmax_cols: list[str]) -> list[str]:
+    return (
+        list(keys) + [N_ROWS_COL] + [_sum_col(c) for c in sum_cols]
+        + [x for c in minmax_cols for x in (_min_col(c), _max_col(c))]
+    )
+
+
+def _full_agg(src: DataFrame, keys: list[str], sum_cols: list[str],
+              minmax_cols: list[str]) -> DataFrame:
     return src.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(N_ROWS_COL),
         *[F.sum(c).alias(_sum_col(c)) for c in sum_cols],
+        *[a for c in minmax_cols
+          for a in (F.min(c).alias(_min_col(c)), F.max(c).alias(_max_col(c)))],
     )
 
 
@@ -70,30 +98,49 @@ def mv_applied_version(mv_root: str) -> int | None:
     return int(_read_manifest(mv_root, v)["meta"][MV_SRC_VERSION_KEY])
 
 
+def _needs_rescan(minmax_cols: list[str]) -> Column:
+    """True for folded groups where some delete in the window ties or
+    beats the folded extremum — the insert-fold alone can't prove the
+    extremum survived, so the group's base rows must be re-read. NULL
+    comparisons (all-NULL column, or no deletes in the window) are
+    false, i.e. scan-free."""
+    cond = F.lit(False)
+    for c in minmax_cols:
+        cond = cond | (F.col(_DEL_MIN + c) <= F.col(_min_col(c))) | (
+            F.col(_DEL_MAX + c) >= F.col(_max_col(c))
+        )
+    return cond
+
+
 def refresh_agg_mv(
     spark: SparkSession,
     src_root: str,
     mv_root: str,
     keys: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> int:
-    """Bring the count/sum MV at ``mv_root`` up to the source's current
-    version; returns the source version now applied.
+    """Bring the count/sum(/min/max) MV at ``mv_root`` up to the
+    source's current version; returns the source version now applied.
 
     First call (no MV yet): one full aggregation of the source.
     Later calls: read_changes(applied → current) → signed delta agg →
     union with the current MV rows → one aggregate-sized hash re-agg;
     groups whose maintained count reaches 0 are dropped (a group that
-    lost all its rows must disappear, not linger as a zero row).
+    lost all its rows must disappear, not linger as a zero row). With
+    ``minmax_cols``, groups whose folded extremum is threatened by a
+    delete are recomputed from a semi-join-filtered snapshot read (see
+    module docstring); everything else never touches the source.
     No-op (and no commit) when the source hasn't moved.
     """
+    minmax_cols = list(minmax_cols or [])
     src_v = current_version(src_root)
     if src_v is None:
         raise FileNotFoundError(f"no committed version at {src_root}")
     applied = mv_applied_version(mv_root)
     if applied is None:
         mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
-                       keys, sum_cols)
+                       keys, sum_cols, minmax_cols)
         write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
         return src_v
     if applied == src_v:
@@ -104,6 +151,15 @@ def refresh_agg_mv(
             f"source's current {src_v} (source rolled back?) — rebuild "
             "explicitly instead of maintaining backwards"
         )
+    cur = read_snapshot(spark, mv_root)
+    expect = _mv_cols(keys, sum_cols, minmax_cols)
+    if sorted(cur.columns) != sorted(expect):
+        raise ValueError(
+            f"MV at {mv_root} has columns {sorted(cur.columns)} but the "
+            f"requested aggregates need {sorted(expect)} — the MV was "
+            "built with a different spec; rebuild it (delete the MV "
+            "table) instead of maintaining across specs"
+        )
     try:
         ch = read_changes(spark, src_root, since_version=applied,
                           version=src_v)
@@ -112,25 +168,71 @@ def refresh_agg_mv(
         # gone, so rebuild from the current snapshot (correct, just not
         # incremental — and only ever pays when retention lapsed)
         mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
-                       keys, sum_cols)
+                       keys, sum_cols, minmax_cols)
         write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
         return src_v
-    sign = F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    is_ins = F.col(CHANGE_TYPE_COL) == "insert"
+    sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
     delta = ch.groupBy(*keys).agg(
         F.sum(sign).alias(N_ROWS_COL),
         *[F.sum(sign * F.col(c)).alias(_sum_col(c)) for c in sum_cols],
+        # inserts fold into the running extrema; deleted extrema are
+        # carried as scratch columns that only drive the rescan test
+        *[a for c in minmax_cols for a in (
+            F.min(F.when(is_ins, F.col(c))).alias(_min_col(c)),
+            F.max(F.when(is_ins, F.col(c))).alias(_max_col(c)),
+            F.min(F.when(~is_ins, F.col(c))).alias(_DEL_MIN + c),
+            F.max(F.when(~is_ins, F.col(c))).alias(_DEL_MAX + c),
+        )],
     )
-    cur = read_snapshot(spark, mv_root)
-    merged = (
-        cur.unionByName(delta)
+    # scratch NULLs on the cur side take each column's REAL type from the
+    # delta frame (min/max columns can be long/date/string, and a union
+    # across mismatched types would fail analysis)
+    delta_types = dict(delta.dtypes)
+    cur_padded = cur.select(
+        "*", *[F.lit(None).cast(delta_types[n]).alias(n)
+               for c in minmax_cols for n in (_DEL_MIN + c, _DEL_MAX + c)]
+    )
+    folded = (
+        cur_padded.unionByName(delta, allowMissingColumns=False)
         .groupBy(*keys)
         .agg(
             F.sum(N_ROWS_COL).alias(N_ROWS_COL),
             *[F.sum(_sum_col(c)).alias(_sum_col(c)) for c in sum_cols],
+            *[a for c in minmax_cols for a in (
+                F.min(_min_col(c)).alias(_min_col(c)),
+                F.max(_max_col(c)).alias(_max_col(c)),
+                F.min(_DEL_MIN + c).alias(_DEL_MIN + c),
+                F.max(_DEL_MAX + c).alias(_DEL_MAX + c),
+            )],
         )
         .filter(F.col(N_ROWS_COL) > 0)
     )
-    write_snapshot(merged, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+    scratch = [n for c in minmax_cols for n in (_DEL_MIN + c, _DEL_MAX + c)]
+    if not minmax_cols:
+        write_snapshot(folded, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+        return src_v
+    # aggregate-sized and consumed by up to three ops below — persist so
+    # the change feed + MV read fold exactly once (DISK_ONLY per the
+    # repo's capped-heap policy; the frame is tiny, the policy is cheap)
+    folded = folded.persist(StorageLevel.DISK_ONLY)
+    try:
+        rescan_keys = folded.filter(_needs_rescan(minmax_cols)).select(*keys)
+        if rescan_keys.limit(1).count() == 0:
+            out = folded.drop(*scratch)
+            write_snapshot(out, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+            return src_v
+        snap = read_snapshot(spark, src_root, version=src_v)
+        rescanned = _full_agg(
+            snap.join(rescan_keys, on=keys, how="left_semi"),
+            keys, sum_cols, minmax_cols,
+        )
+        out = (
+            folded.drop(*scratch)
+            .join(rescan_keys, on=keys, how="left_anti")
+            .unionByName(rescanned)
+        )
+        write_snapshot(out, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+    finally:
+        folded.unpersist()
     return src_v

@@ -117,6 +117,45 @@ def stream_publish_versioned(
     )
 
 
+def stream_publish_with_mv(
+    spark: SparkSession, input_dir: str, root: str, doc_schema: str,
+    checkpoint_dir: str, mv_root: str, keys: list[str],
+    sum_cols: list[str], minmax_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingest with a self-maintaining downstream aggregate:
+    each micro-batch appends exactly-once to the versioned table at
+    ``root`` (:func:`publish_batch_versioned`), then
+    ``plans.ivm.refresh_agg_mv`` folds ONLY that batch's change feed
+    into the MV at ``mv_root`` — per-batch maintenance cost is the
+    batch size, never the accreted table. The composition inherits
+    exactly-once end-to-end from its two idempotent halves: a replayed
+    batch_id is a publish no-op AND a refresh no-op (``mv_src_version``
+    already at the table head), and a crash BETWEEN publish and refresh
+    self-heals at the next batch, whose refresh folds the whole
+    outstanding window (the fold is over a version RANGE, not a single
+    batch). This is the Kappa-architecture rollup: stream in, versioned
+    facts + always-current aggregate out, no nightly rebuild."""
+    from ..plans.ivm import refresh_agg_mv
+
+    reader = spark.readStream.schema(doc_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def publish_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        publish_batch_versioned(batch_df, batch_id, root)
+        refresh_agg_mv(batch_df.sparkSession, root, mv_root, keys,
+                       sum_cols, minmax_cols)
+
+    return (
+        stream.writeStream.foreachBatch(publish_and_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_asof_enrich(
     spark: SparkSession,
     input_dir: str,

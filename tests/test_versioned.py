@@ -1437,3 +1437,123 @@ def test_incremental_mv_maintenance(spark, tmp_path):
     assert refresh_agg_mv(spark, src, mv, ["grp"], ["x"]) == 4
     assert mv_rows() == {("b", 2, 70), ("c", 3, 180), ("d", 1, 80)}
     assert mv_applied_version(mv) == 4
+
+
+def test_incremental_mv_minmax(spark, tmp_path, monkeypatch):
+    """plans/ivm.py minmax_cols: min/max fold scan-free under inserts
+    and non-extremal deletes; a delete that ties the folded extremum
+    triggers a rescan of ONLY the affected groups; the affected test
+    runs against the FOLDED state so a group born and partially deleted
+    inside one refresh window repairs correctly; a spec change is
+    refused instead of silently mis-maintained."""
+    import decisions_knowledge_graph_data_spark.plans.ivm as ivm
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where,
+    )
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+            (4, "b", 5), (5, "b", 50)]
+    write_snapshot(
+        spark.createDataFrame(rows, "id long, grp string, x long"), src)
+
+    def mv_rows():
+        return {
+            (r["grp"], r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+            for r in read_snapshot(spark, mv).collect()
+        }
+
+    args = (spark, src, mv, ["grp"], ["x"])
+    assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 1
+    assert mv_rows() == {("a", 3, 60, 10, 30), ("b", 2, 55, 5, 50)}
+
+    # spy on ivm's own snapshot reads to prove which refreshes touch the
+    # source (read_changes' internals are not routed through this name)
+    src_reads = []
+    real_read = ivm.read_snapshot
+
+    def spy(s, root, **kw):
+        if root == src:
+            src_reads.append(kw)
+        return real_read(s, root, **kw)
+
+    monkeypatch.setattr(ivm, "read_snapshot", spy)
+
+    # non-extremal delete (a's x=20): fold-only, the source is not read
+    delete_where(spark, src, {"id": ("==", 2)})
+    assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 2
+    assert src_reads == []
+    assert mv_rows() == {("a", 2, 40, 10, 30), ("b", 2, 55, 5, 50)}
+
+    # extremal delete (a's min x=10): group-local rescan repairs min
+    delete_where(spark, src, {"id": ("==", 1)})
+    assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 3
+    assert len(src_reads) == 1
+    assert mv_rows() == {("a", 1, 30, 30, 30), ("b", 2, 55, 5, 50)}
+
+    # a group born AND partially deleted inside one refresh window: the
+    # folded insert-min (7) is deleted again before the refresh ever
+    # sees the group — comparing deletes against the FOLDED state (not
+    # the prior MV, which lacks the group) must still trigger the rescan
+    write_snapshot(
+        spark.createDataFrame([(6, "d", 7), (7, "d", 70)],
+                              "id long, grp string, x long"),
+        src, mode="append",
+    )
+    delete_where(spark, src, {"id": ("==", 6)})
+    assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 5
+    assert mv_rows() == {("a", 1, 30, 30, 30), ("b", 2, 55, 5, 50),
+                         ("d", 1, 70, 70, 70)}
+
+    # refusing to maintain across a spec change (sum-only vs minmax MV)
+    delete_where(spark, src, {"id": ("==", 7)})
+    with pytest.raises(ValueError, match="different spec"):
+        ivm.refresh_agg_mv(*args)
+
+
+def test_stream_publish_with_mv(spark, tmp_path):
+    """streaming/incremental.stream_publish_with_mv: a multi-batch
+    drain publishes each micro-batch exactly-once AND folds it into the
+    MV, leaving the MV at the table head and equal to the full
+    aggregate; a checkpoint re-run with no new input changes nothing."""
+    from decisions_knowledge_graph_data_spark.plans.ivm import (
+        mv_applied_version,
+    )
+    from decisions_knowledge_graph_data_spark.streaming.incremental import (
+        stream_publish_with_mv,
+    )
+
+    in_dir = str(tmp_path / "in")
+    root, mv = str(tmp_path / "tbl"), str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 100).select(
+        "id",
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 3).alias("x"),
+    )
+    df.repartitionByRange(2, "id").write.parquet(in_dir)
+
+    args = (spark, in_dir, root, df.schema, ckpt, mv, ["grp"], ["x"])
+    q = stream_publish_with_mv(*args, minmax_cols=["x"],
+                               max_files_per_trigger=1)
+    q.awaitTermination()
+    assert current_version(root) >= 2, "drain must split into batches"
+    assert mv_applied_version(mv) == current_version(root)
+
+    expect = {
+        (str(g), 20, sum(3 * i for i in range(100) if i % 5 == g),
+         3 * g, 3 * (95 + g))
+        for g in range(5)
+    }
+    got = {
+        (r["grp"], r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in read_snapshot(spark, mv).collect()
+    }
+    assert got == expect
+
+    # re-run off the same checkpoint with no new files: pure no-op
+    v_t, v_m = current_version(root), current_version(mv)
+    q2 = stream_publish_with_mv(*args, minmax_cols=["x"],
+                                max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert (current_version(root), current_version(mv)) == (v_t, v_m)
