@@ -3,14 +3,22 @@
 At 100 TB an aggregate table is never recomputed from scratch on every
 source commit — refresh cost must be proportional to CHURN, not to
 table size. :func:`refresh_agg_mv` maintains a grouped count/sum
-materialization of a versioned source table by reading only the
-row-level change feed since the last applied source version
-(``read_changes`` scans just the files each commit touched — appends
-read only added files, row-op rewrites diff only rewritten files),
-folding inserts as ``+1 / +x`` and deletes as ``-1 / -x``, and
-re-aggregating against the CURRENT MV state — which is aggregate-sized,
-never source-sized. This is the warehouse-side dual of the streaming
-exactly-once publish: batch commits in, self-maintaining aggregate out.
+materialization of a versioned source table from the NET FILE DIFF
+between the last applied manifest and the current one: rows of
+net-added files fold with sign ``+1 / +x``, rows of net-removed files
+with ``-1 / -x``, re-aggregated against the CURRENT MV state — which is
+aggregate-sized, never source-sized. Because count/sum are distributive
+this is exact even though copy-on-write rewrites carry kept rows into
+new files (they appear on both sides and cancel in the aggregate), so
+the delta needs NO row-level exceptAll diff and the scan prunes to the
+key/value columns — appends read only the added files, rewrites read
+only the touched files, and a rewrite-everything window (compaction)
+falls back to one full-agg scan by an explicit file-count heuristic.
+This is the warehouse-side dual of the streaming exactly-once publish:
+batch commits in, self-maintaining aggregate out. (The row-level
+``read_changes`` CDC feed remains the right tool when the CONSUMER
+needs rows; for distributive aggregates the file-diff fold is strictly
+cheaper — no full-row scan, no shuffle diff.)
 
 Self-maintainability: ``count`` and ``sum`` form an abelian group under
 insert/delete, so the fold is exact; ``avg`` derives as sum/count at
@@ -41,15 +49,16 @@ reconstructed — ``refresh_agg_mv`` then falls back to a full rebuild
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..sources.versioned import (
-    CHANGE_TYPE_COL,
     _read_manifest,
     current_version,
-    read_changes,
     read_snapshot,
     write_snapshot,
 )
@@ -58,6 +67,7 @@ MV_SRC_VERSION_KEY = "mv_src_version"
 N_ROWS_COL = "n_rows"
 # scratch columns carried through the fold only (never committed)
 _DEL_MIN, _DEL_MAX = "_del_min_", "_del_max_"
+_SIGN = "_mv_sign_"
 
 
 def _sum_col(c: str) -> str:
@@ -98,6 +108,40 @@ def mv_applied_version(mv_root: str) -> int | None:
     return int(_read_manifest(mv_root, v)["meta"][MV_SRC_VERSION_KEY])
 
 
+def _net_file_diff(root: str, lo_v: int, hi_v: int):
+    """Net data-file diff between two manifests on the same lineage:
+    (added, removed, hi_manifest), where added/removed are relative
+    paths present in exactly one of the two file lists. Files born AND
+    dead inside the window cancel without ever being listed. Raises
+    FileNotFoundError when ``lo_v`` fell out of retention and
+    ValueError when ``hi_v`` does not descend from ``lo_v`` (rollback).
+
+    Why this beats a row-level change feed for MV deltas: count/sum are
+    DISTRIBUTIVE, so aggregating +rows(added files) − rows(removed
+    files) is exact even though a copy-on-write rewrite carries kept
+    rows into new files — the kept rows appear on both sides with
+    opposite signs and cancel IN THE AGGREGATE, no exceptAll shuffle
+    diff, and the scan prunes to the key/value columns (a row-level
+    feed must read and shuffle full rows). For min/max the kept rows
+    make the delete side conservative: a spurious (never missed)
+    rescan trigger, with the same soundness argument as the exact feed
+    — if an insert beat the dead extremum the folded value is already
+    right; otherwise folded == the dead value and the trigger fires.
+    """
+    m_hi = _read_manifest(root, hi_v)
+    v, m = hi_v, m_hi
+    while v != lo_v:  # validate lineage (reads only window manifests)
+        if m["parent"] is None:
+            raise ValueError(
+                f"version {lo_v} is not on version {hi_v}'s lineage "
+                f"at {root} (rolled back?)"
+            )
+        v = m["parent"]
+        m = _read_manifest(root, v)
+    lo_files, hi_files = set(m["files"]), set(m_hi["files"])
+    return sorted(hi_files - lo_files), sorted(lo_files - hi_files), m_hi
+
+
 def _needs_rescan(minmax_cols: list[str]) -> Column:
     """True for folded groups where some delete in the window ties or
     beats the folded extremum — the insert-fold alone can't prove the
@@ -124,8 +168,8 @@ def refresh_agg_mv(
     source's current version; returns the source version now applied.
 
     First call (no MV yet): one full aggregation of the source.
-    Later calls: read_changes(applied → current) → signed delta agg →
-    union with the current MV rows → one aggregate-sized hash re-agg;
+    Later calls: net file diff (applied → current) → signed pruned-column
+    delta agg → union with the current MV rows → one aggregate-sized re-agg;
     groups whose maintained count reaches 0 are dropped (a group that
     lost all its rows must disappear, not linger as a zero row). With
     ``minmax_cols``, groups whose folded extremum is threatened by a
@@ -161,8 +205,7 @@ def refresh_agg_mv(
             "table) instead of maintaining across specs"
         )
     try:
-        ch = read_changes(spark, src_root, since_version=applied,
-                          version=src_v)
+        added, removed, m_hi = _net_file_diff(src_root, applied, src_v)
     except FileNotFoundError:
         # the applied version fell out of retention: the delta window is
         # gone, so rebuild from the current snapshot (correct, just not
@@ -171,8 +214,40 @@ def refresh_agg_mv(
                        keys, sum_cols, minmax_cols)
         write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
         return src_v
-    is_ins = F.col(CHANGE_TYPE_COL) == "insert"
-    sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+    if not added and not removed:
+        # data-identical window (e.g. meta-only commits): re-commit the
+        # MV rows as-is so mv_src_version advances (aggregate-sized)
+        write_snapshot(cur, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+        return src_v
+    if len(added) + len(removed) >= len(m_hi["files"]):
+        # the delta scan would touch at least as many files as the
+        # current snapshot (compaction / re-clustering in the window):
+        # one full-agg scan is strictly cheaper than two delta scans
+        mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
+                       keys, sum_cols, minmax_cols)
+        write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+        return src_v
+    need = list(dict.fromkeys(
+        keys + sum_cols + minmax_cols))  # pruned-scan column set
+    src_schema = StructType.fromJson(m_hi["schema"])
+
+    def _side(files: list[str], sgn: int) -> DataFrame | None:
+        if not files:
+            return None
+        # current schema on both sides: pre-evolution files surface the
+        # later-added columns as NULL, matching read_snapshot semantics
+        return (
+            spark.read.schema(src_schema)
+            .parquet(*[os.path.join(src_root, f) for f in files])
+            .select(*need)
+            .withColumn(_SIGN, F.lit(sgn))
+        )
+
+    sides = [s for s in (_side(added, 1), _side(removed, -1))
+             if s is not None]
+    ch = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    is_ins = F.col(_SIGN) == 1
+    sign = F.col(_SIGN)
     delta = ch.groupBy(*keys).agg(
         F.sum(sign).alias(N_ROWS_COL),
         *[F.sum(sign * F.col(c)).alias(_sum_col(c)) for c in sum_cols],
@@ -222,9 +297,28 @@ def refresh_agg_mv(
             out = folded.drop(*scratch)
             write_snapshot(out, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
             return src_v
-        snap = read_snapshot(spark, src_root, version=src_v)
+        # extrema repair is adaptive: the affected groups' rows can be
+        # read file-locally ONLY when the single group key carries
+        # per-file stats (a key-clustered table — the Iceberg runtime-
+        # filtering shape); otherwise a semi-join "rescan" would scan
+        # every file anyway, and one plain full rebuild is strictly
+        # cheaper than delta + filtered scan + anti-join plumbing
+        key_stats = (
+            len(keys) == 1
+            and bool(m_hi["files"])
+            and any(keys[0] in m_hi.get("file_stats", {}).get(f, {})
+                    for f in m_hi["files"])
+        )
+        if not key_stats:
+            mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
+                           keys, sum_cols, minmax_cols)
+            write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
+            return src_v
+        from ..sources.versioned import read_snapshot_semijoin
+
         rescanned = _full_agg(
-            snap.join(rescan_keys, on=keys, how="left_semi"),
+            read_snapshot_semijoin(spark, src_root, rescan_keys, keys[0],
+                                   version=src_v),
             keys, sum_cols, minmax_cols,
         )
         out = (

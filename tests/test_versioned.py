@@ -1454,8 +1454,18 @@ def test_incremental_mv_minmax(spark, tmp_path, monkeypatch):
     src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
     rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30),
             (4, "b", 5), (5, "b", 50)]
+    # one row per file + id stats: point deletes prune to exactly the
+    # file holding the row, so the net file diff carries no bystander
+    # rows (a shared file would put a KEPT extremum on the delete side
+    # and — conservatively, correctly — force a repair; an unclustered
+    # write would trip the rewrite-everything heuristic and rebuild).
+    # grp stats make extrema repair take the file-local semijoin read.
     write_snapshot(
-        spark.createDataFrame(rows, "id long, grp string, x long"), src)
+        spark.createDataFrame(
+            rows, "id long, grp string, x long"
+        ).repartitionByRange(8, "id"),
+        src, stats_cols=["id", "grp"],
+    )
 
     def mv_rows():
         return {
@@ -1467,34 +1477,42 @@ def test_incremental_mv_minmax(spark, tmp_path, monkeypatch):
     assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 1
     assert mv_rows() == {("a", 3, 60, 10, 30), ("b", 2, 55, 5, 50)}
 
-    # spy on ivm's own snapshot reads to prove which refreshes touch the
-    # source (read_changes' internals are not routed through this name)
-    src_reads = []
-    real_read = ivm.read_snapshot
+    # spy on ivm's full snapshot reads AND the semijoin repair read to
+    # prove which refreshes touch the source, and how
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    src_reads, sj_reads = [], []
+    real_read, real_sj = ivm.read_snapshot, V.read_snapshot_semijoin
 
     def spy(s, root, **kw):
         if root == src:
             src_reads.append(kw)
         return real_read(s, root, **kw)
 
+    def spy_sj(s, root, *a, **kw):
+        sj_reads.append(root)
+        return real_sj(s, root, *a, **kw)
+
     monkeypatch.setattr(ivm, "read_snapshot", spy)
+    monkeypatch.setattr(V, "read_snapshot_semijoin", spy_sj)
 
     # non-extremal delete (a's x=20): fold-only, the source is not read
     delete_where(spark, src, {"id": ("==", 2)})
     assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 2
-    assert src_reads == []
+    assert src_reads == [] and sj_reads == []
     assert mv_rows() == {("a", 2, 40, 10, 30), ("b", 2, 55, 5, 50)}
 
-    # extremal delete (a's min x=10): group-local rescan repairs min
+    # extremal delete (a's min x=10): the single grp key has file stats,
+    # so repair is the file-local semijoin read — never a full snapshot
     delete_where(spark, src, {"id": ("==", 1)})
     assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 3
-    assert len(src_reads) == 1
+    assert src_reads == [] and len(sj_reads) == 1
     assert mv_rows() == {("a", 1, 30, 30, 30), ("b", 2, 55, 5, 50)}
 
     # a group born AND partially deleted inside one refresh window: the
-    # folded insert-min (7) is deleted again before the refresh ever
-    # sees the group — comparing deletes against the FOLDED state (not
-    # the prior MV, which lacks the group) must still trigger the rescan
+    # NET file diff cancels the born-and-died file, so the delete of
+    # the would-be group min (7) never even reaches the fold — correct
+    # result with NO rescan (src_reads stays at 1)
     write_snapshot(
         spark.createDataFrame([(6, "d", 7), (7, "d", 70)],
                               "id long, grp string, x long"),
@@ -1502,6 +1520,7 @@ def test_incremental_mv_minmax(spark, tmp_path, monkeypatch):
     )
     delete_where(spark, src, {"id": ("==", 6)})
     assert ivm.refresh_agg_mv(*args, minmax_cols=["x"]) == 5
+    assert src_reads == [] and len(sj_reads) == 1
     assert mv_rows() == {("a", 1, 30, 30, 30), ("b", 2, 55, 5, 50),
                          ("d", 1, 70, 70, 70)}
 
