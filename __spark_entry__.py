@@ -807,6 +807,60 @@ def q_versioned_mv_read(spark, sf):
     )
 
 
+def q_versioned_wap_read(spark, sf):
+    """Write-audit-publish (sources/versioned.py WAP API), ORACLE-
+    CHECKED end-to-end: the orders table's ``%3 == 0`` slice arrives as
+    a staged append that committed readers cannot see; the audit (a
+    negative-price scan over the WOULD-BE table via
+    read_snapshot_staged) rejects a first, deliberately corrupted batch
+    (abort_staged), then passes the clean batch (publish_staged — the
+    pointer swap stays the sole commit point). The final read must
+    equal DuckDB's aggregate over the FULL orders view: a leaked
+    corrupt batch, a lost clean batch, or audit reading the committed
+    table instead of the staged view all break the row hash."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        abort_staged, current_version, list_staged, publish_staged,
+        read_snapshot, read_snapshot_staged, stage_snapshot,
+        write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_wap"
+    if current_version(root) is None:
+        write_snapshot(
+            _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 != 0),
+            root,
+        )
+    if current_version(root) == 1:
+        for e in list_staged(root):  # crashed prior run: clear the queue
+            abort_staged(root, e["wap_id"])
+        slice3 = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
+        bad = slice3.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_custkey") % 50 == 0,
+                   -F.col("o_totalprice")).otherwise(F.col("o_totalprice")),
+        )
+        w1 = stage_snapshot(bad, root, mode="append")
+        n_bad = (
+            read_snapshot_staged(spark, root, w1)
+            .filter(F.col("o_totalprice") < 0).count()
+        )
+        if n_bad > 0:  # the audit catches the planted corruption
+            abort_staged(root, w1)
+        w2 = stage_snapshot(slice3, root, mode="append")
+        if (read_snapshot_staged(spark, root, w2)
+                .filter(F.col("o_totalprice") < 0).count()) == 0:
+            publish_staged(root, w2)
+    final = read_snapshot(spark, root)
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _stream_events_root(sf: str) -> str:
     """Cache root for the streamed-events versioned table: keyed by the
     source file fingerprint so regenerated test data rolls the cache."""
@@ -3298,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
+        "versioned_wap_read": q_versioned_wap_read,  # write-audit-publish staged commits
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
         "stream_interval_join_outer": q_stream_interval_join_outer,  # eviction-time NULL emission, sentinel-flushed drain
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
@@ -4481,6 +4536,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(o_totalprice) AS min_price,
                    max(o_totalprice) AS max_price
             FROM final GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "versioned_wap_read": """
+            -- write-audit-publish: the corrupt staged batch was aborted
+            -- and the clean one published, so the table equals the FULL
+            -- orders view (BIGINT cast — DuckDB sum(int) is HUGEINT)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "stream_mv_maintain": """
             -- 4 exactly-once stream publishes + 4 incremental MV folds

@@ -62,6 +62,7 @@ from pyspark.sql.types import StructType
 
 VERSION_PTR = "VERSION"
 MANIFEST_DIR = "_versions"
+STAGED_DIR = "_staged"
 LOCK = "_commit.lock"
 DATA_PREFIX = "data_"
 
@@ -220,15 +221,38 @@ def _acquire_lock(root: str) -> int:
     raise AssertionError("unreachable")
 
 
+def _staged_live_dirs(root: str) -> set[str]:
+    """Data dirs referenced by write-audit-publish staging entries: live
+    for BOTH garbage collectors (orphan GC and expire_versions) even
+    though no committed manifest lists them yet — a staged-but-unaudited
+    commit must survive unrelated writers landing in between."""
+    sdir = os.path.join(root, STAGED_DIR)
+    live: set[str] = set()
+    if not os.path.isdir(sdir):
+        return live
+    for name in os.listdir(sdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(sdir, name)) as f:
+                entry = json.load(f)
+        except (OSError, ValueError):
+            continue  # half-written entry: its dir is fair GC game
+        for fpath in entry.get("new_files", []):
+            live.add(fpath.split("/", 1)[0])
+    return live
+
+
 def _gc_orphans(root: str) -> None:
     """Crash recovery, run under the commit lock: drop manifests above the
     pointer (commit never completed) and data dirs no surviving manifest
-    references (parquet written, manifest never landed)."""
+    references (parquet written, manifest never landed). Staged WAP
+    entries' dirs are live (see _staged_live_dirs)."""
     ptr = current_version(root) or 0
     for v in _manifest_versions(root):
         if v > ptr:
             os.unlink(_manifest_path(root, v))
-    live_dirs = set()
+    live_dirs = _staged_live_dirs(root)
     for v in _manifest_versions(root):
         for f in _read_manifest(root, v)["files"]:
             live_dirs.add(f.split("/", 1)[0])
@@ -273,26 +297,9 @@ def write_snapshot(
         _gc_orphans(root)
         parent = current_version(root)
         version = (parent or 0) + 1
-        data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
-        data_dir = os.path.join(root, data_name)
-
-        obs = Observation(f"snap_{uuid.uuid4().hex[:8]}")
-        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        observed.write.mode("error").parquet(data_dir)
-        n = int(obs.get["rows"])
-
-        new_files = [
-            f"{data_name}/{f}"
-            for f in sorted(os.listdir(data_dir))
-            if f.endswith(".parquet")
-        ]
+        new_files, file_stats, n = _write_data_dir(df, root, stats_cols)
         schema = df.schema
-        files, file_stats = new_files, {}
-        if stats_cols:
-            file_stats = {
-                f"{data_name}/{name}": st
-                for name, st in _collect_file_stats(data_dir, stats_cols).items()
-            }
+        files = new_files
         meta_out = dict(meta or {})
         if parent is not None:
             pm = _read_manifest(root, parent)
@@ -327,6 +334,32 @@ def write_snapshot(
         if fd is not None:
             os.close(fd)
             os.unlink(lock_path)
+
+
+def _write_data_dir(
+    df: DataFrame, root: str, stats_cols: list[str] | None
+) -> tuple[list[str], dict, int]:
+    """Write ``df`` into a fresh uuid data dir under ``root``; returns
+    (relative file paths, per-file stats for ``stats_cols``, row count).
+    Shared by the committing writer and the WAP staging writer."""
+    data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(root, data_name)
+    obs = Observation(f"snap_{uuid.uuid4().hex[:8]}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed.write.mode("error").parquet(data_dir)
+    n = int(obs.get["rows"])
+    new_files = [
+        f"{data_name}/{f}"
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    file_stats = {}
+    if stats_cols:
+        file_stats = {
+            f"{data_name}/{name}": st
+            for name, st in _collect_file_stats(data_dir, stats_cols).items()
+        }
+    return new_files, file_stats, n
 
 
 def _publish_manifest(root: str, version: int, manifest: dict) -> None:
@@ -1656,7 +1689,7 @@ def expire_versions(root: str, keep_last: int) -> dict:
         committed = _committed_versions(root)
         drop = committed[:-keep_last]
         keep = committed[-keep_last:]
-        live_dirs = set()
+        live_dirs = _staged_live_dirs(root)
         for v in keep:
             for f in _read_manifest(root, v)["files"]:
                 live_dirs.add(f.split("/", 1)[0])
@@ -1671,3 +1704,198 @@ def expire_versions(root: str, keep_last: int) -> dict:
     finally:
         os.close(fd)
         os.unlink(lock_path)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP): stage a commit invisibly, audit it, then
+# publish or abort — the Iceberg `spark.wap.id` / cherry-pick workflow
+# (the standard shape for validating a 100-TB ingest before readers can
+# see it). The existing commit machinery already separates the durable
+# write (data dir + manifest) from the commit point (the pointer swap);
+# staging simply pauses between the two: the staged entry lives under
+# `_staged/`, outside the `NNNNN.json` manifest namespace, so every
+# committed-read path ignores it by construction, and both garbage
+# collectors treat its data dir as live (see _staged_live_dirs) so
+# unrelated commits landing mid-audit cannot vaporize it.
+
+
+def _staged_path(root: str, wap_id: str) -> str:
+    return os.path.join(root, STAGED_DIR, f"{wap_id}.json")
+
+
+def _load_staged(root: str, wap_id: str) -> dict:
+    try:
+        with open(_staged_path(root, wap_id)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no staged entry {wap_id!r} at {root} (published or aborted?)"
+        ) from None
+
+
+def list_staged(root: str) -> list[dict]:
+    """All staging entries (audit queues, janitor jobs)."""
+    sdir = os.path.join(root, STAGED_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(sdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(sdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _refuse_transformed_parent(pm: dict, what: str) -> None:
+    for k in ("bucket_transform", "partition_transform"):
+        if pm.get("meta", {}).get(k):
+            raise ValueError(
+                f"{what} onto a table with a recorded {k} would add files "
+                "without the layout column — point lookups would silently "
+                "miss those rows; write through the validating transformed "
+                "writer instead"
+            )
+
+
+def stage_snapshot(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+    wap_id: str | None = None,
+) -> str:
+    """Write ``df`` durably but INVISIBLY: no committed reader (any
+    version, time travel, changes feed) can observe it until
+    :func:`publish_staged`. Returns the ``wap_id`` handle. ``mode``
+    semantics match :func:`write_snapshot`, resolved at PUBLISH time:
+    an append attaches to whatever the parent is then (pure addition
+    rebases cleanly across concurrent commits); an overwrite records
+    the parent seen here and refuses to publish if the table moved.
+    Audit the staged view with :func:`read_snapshot_staged`."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    os.makedirs(os.path.join(root, STAGED_DIR), exist_ok=True)
+    wap_id = wap_id or uuid.uuid4().hex[:12]
+    path = _staged_path(root, wap_id)
+    if os.path.exists(path):
+        raise ValueError(f"staged entry {wap_id!r} already exists at {root}")
+    fd = _acquire_lock(root)
+    try:
+        _gc_orphans(root)
+        parent = current_version(root)
+        if mode == "append" and parent is not None:
+            _refuse_transformed_parent(
+                _read_manifest(root, parent), "a staged append")
+        new_files, file_stats, n = _write_data_dir(df, root, stats_cols)
+        entry = {
+            "wap_id": wap_id,
+            "mode": mode,
+            "new_files": new_files,
+            "file_stats": file_stats,
+            "schema": df.schema.jsonValue(),
+            "rows_written": n,
+            "parent_at_stage": parent,
+            "staged_at": time.time(),
+            "meta": dict(meta or {}),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, path)
+        return wap_id
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+def read_snapshot_staged(spark: SparkSession, root: str, wap_id: str) -> DataFrame:
+    """The table AS IT WOULD BE after publishing ``wap_id`` — the audit
+    surface: for an append, the current committed files plus the staged
+    files (merged schema, pre-evolution files read missing columns as
+    NULL); for an overwrite, just the staged files. Committed readers
+    remain unaffected."""
+    entry = _load_staged(root, wap_id)
+    schema = StructType.fromJson(entry["schema"])
+    files = list(entry["new_files"])
+    if entry["mode"] == "append":
+        parent = current_version(root)
+        if parent is not None:
+            pm = _read_manifest(root, parent)
+            schema = _merge_schemas(StructType.fromJson(pm["schema"]), schema)
+            files = pm["files"] + files
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+
+
+def publish_staged(root: str, wap_id: str) -> int:
+    """Promote a staged entry to the next committed version (the pointer
+    swap is, as everywhere, the sole commit point); returns the version.
+    Appends rebase onto the CURRENT parent (concurrent commits since
+    staging are fine — addition conflicts with nothing); an overwrite
+    whose parent moved since staging raises instead of clobbering the
+    interleaved commits. Durable meta (batch HWM, MV mark) is inherited
+    exactly as a direct write would inherit it."""
+    fd = _acquire_lock(root)
+    try:
+        entry = _load_staged(root, wap_id)
+        parent = current_version(root)
+        version = (parent or 0) + 1
+        schema = StructType.fromJson(entry["schema"])
+        files, file_stats = list(entry["new_files"]), dict(entry["file_stats"])
+        meta_out = dict(entry["meta"])
+        if entry["mode"] == "overwrite":
+            if parent != entry["parent_at_stage"]:
+                raise ValueError(
+                    f"staged overwrite {wap_id!r} was built against version "
+                    f"{entry['parent_at_stage']} but the table is now at "
+                    f"{parent} — publishing would clobber the interleaved "
+                    "commits; re-stage against the current table"
+                )
+        if parent is not None:
+            pm = _read_manifest(root, parent)
+            for k in _DURABLE_ROW_OP_META:
+                if k in pm.get("meta", {}) and k not in meta_out:
+                    meta_out[k] = pm["meta"][k]
+            if entry["mode"] == "append":
+                _refuse_transformed_parent(pm, "publishing a staged append")
+                schema = _merge_schemas(
+                    StructType.fromJson(pm["schema"]), schema)
+                files = pm["files"] + files
+                file_stats = {**pm.get("file_stats", {}), **file_stats}
+        _publish_manifest(root, version, {
+            "version": version,
+            "parent": parent,
+            "mode": entry["mode"],
+            "files": files,
+            "file_stats": file_stats,
+            "schema": schema.jsonValue(),
+            "rows_written": entry["rows_written"],
+            "committed_at": time.time(),
+            "meta": meta_out,
+        })
+        os.unlink(_staged_path(root, wap_id))
+        return version
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+def abort_staged(root: str, wap_id: str) -> None:
+    """Drop a staged entry and its data (the audit said no). Removing the
+    entry first makes the data dir an orphan; the explicit rmtree is
+    just eager cleanup — a crash in between leaves nothing visible and
+    the next writer's GC finishes the job."""
+    fd = _acquire_lock(root)
+    try:
+        entry = _load_staged(root, wap_id)
+        os.unlink(_staged_path(root, wap_id))
+        for d in {f.split("/", 1)[0] for f in entry["new_files"]}:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))

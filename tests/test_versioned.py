@@ -1576,3 +1576,67 @@ def test_stream_publish_with_mv(spark, tmp_path):
                                 max_files_per_trigger=1)
     q2.awaitTermination()
     assert (current_version(root), current_version(mv)) == (v_t, v_m)
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP staging: invisible until published, survives interleaved
+    commits and their GC, appends rebase onto a moved parent, stale
+    overwrites refuse, aborts clean up, durable meta is inherited."""
+    import os
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), root, meta={"batch_id_hwm": 7})
+
+    # stage an append: committed readers see nothing, the audit view
+    # sees base + staged
+    wid = V.stage_snapshot(_df(spark, 10, 15), root, mode="append",
+                           wap_id="w1")
+    assert wid == "w1"
+    assert read_snapshot(spark, root).count() == 10
+    assert V.read_snapshot_staged(spark, root, "w1").count() == 15
+    assert [e["wap_id"] for e in V.list_staged(root)] == ["w1"]
+    with pytest.raises(ValueError, match="already exists"):
+        V.stage_snapshot(_df(spark, 0, 1), root, wap_id="w1")
+
+    # an unrelated commit lands mid-audit; its GC must NOT vaporize the
+    # staged data, and publish rebases the append onto the moved parent
+    write_snapshot(_df(spark, 100, 103), root, mode="append")
+    staged_dirs = {f.split("/", 1)[0]
+                   for f in V._load_staged(root, "w1")["new_files"]}
+    assert all(os.path.isdir(os.path.join(root, d)) for d in staged_dirs)
+    v = V.publish_staged(root, "w1")
+    assert v == 3 and current_version(root) == 3
+    assert read_snapshot(spark, root).count() == 18
+    assert V.list_staged(root) == []
+    # durable meta inherited through the publish
+    assert V._read_manifest(root, 3)["meta"]["batch_id_hwm"] == 7
+    with pytest.raises(FileNotFoundError, match="published or aborted"):
+        V.publish_staged(root, "w1")
+
+    # abort drops the entry AND its data dir
+    w2 = V.stage_snapshot(_df(spark, 20, 25), root, mode="append")
+    d2 = {f.split("/", 1)[0] for f in V._load_staged(root, w2)["new_files"]}
+    V.abort_staged(root, w2)
+    assert V.list_staged(root) == []
+    assert not any(os.path.isdir(os.path.join(root, d)) for d in d2)
+    assert read_snapshot(spark, root).count() == 18
+
+    # a staged OVERWRITE refuses to publish over interleaved commits
+    w3 = V.stage_snapshot(_df(spark, 0, 4), root, mode="overwrite")
+    write_snapshot(_df(spark, 200, 201), root, mode="append")
+    with pytest.raises(ValueError, match="re-stage"):
+        V.publish_staged(root, w3)
+    V.abort_staged(root, w3)
+
+    # ...and publishes cleanly when the table did not move
+    w4 = V.stage_snapshot(_df(spark, 0, 4), root, mode="overwrite")
+    V.publish_staged(root, w4)
+    assert read_snapshot(spark, root).count() == 4
+
+    # staged appends refuse transformed parents (layout-column hazard)
+    broot = str(tmp_path / "bucketed")
+    V.write_snapshot_bucketed(_df(spark, 0, 20), broot, "id", 4)
+    with pytest.raises(ValueError, match="layout column"):
+        V.stage_snapshot(_df(spark, 20, 25), broot, mode="append")
