@@ -739,52 +739,50 @@ def q_versioned_delete_read(spark, sf):
 
 def q_versioned_mv_read(spark, sf):
     """Incremental materialized-view maintenance (plans/ivm.py),
-    ORACLE-CHECKED end-to-end: a count/sum MV over the versioned
-    orders table is built once, then the source takes a CoW MERGE
-    (the versioned_merge_read recipe) and a date DELETE (the
-    versioned_delete_read recipe), and the MV is brought current by
-    folding the row-level CHANGE FEED of those two commits — signed
-    +1/+x / -1/-x deltas re-aggregated against the aggregate-sized MV
-    state; the source is never rescanned (refresh cost ∝ churn, the
-    100-TB contract). sum_keys (exact integer sum of o_orderkey) rides
-    along as an integrity check that is maintained, not recomputed.
-    The read must equal DuckDB's full aggregate over the FINAL state."""
+    ORACLE-CHECKED end-to-end on the paths it advertises: the source is
+    DATE-clustered (range layout + o_orderdate stats), the MV is built
+    on a partial table, then (window 1) the held-out ``%101`` slice
+    arrives as an APPEND — folded from just the added files, the
+    guaranteed-incremental branch (2 new files vs 10, far under the
+    rewrite-everything heuristic) — and (window 2) a date DELETE
+    rewrites only the stats-pruned early files; its count/sum delta
+    folds from that file-local net diff while the threatened min/max
+    extrema take the adaptive repair (multi-column group key → full
+    rebuild branch, documented). sum_keys (exact integer sum of
+    o_orderkey) rides along as an integrity check that is maintained,
+    not recomputed. The read must equal DuckDB's one-shot aggregate
+    over the FINAL state."""
     from decisions_knowledge_graph_data_spark.plans.ivm import (
         refresh_agg_mv,
     )
     from decisions_knowledge_graph_data_spark.sources.versioned import (
-        current_version, delete_where, merge_snapshot, read_snapshot,
-        table_history, write_snapshot,
+        current_version, delete_where, read_snapshot, table_history,
+        write_snapshot,
     )
-    src_root = _versioned_orders_root(sf) + "_mvsrc"
-    # "_mv2": the spec gained min/max columns — a stale sum-only MV from
-    # an earlier run must not trip the cross-spec maintenance guard
-    mv_root = _versioned_orders_root(sf) + "_mv2"
+    src_root = _versioned_orders_root(sf) + "_mvsrc3"
+    mv_root = _versioned_orders_root(sf) + "_mv3"
     mv_args = (spark, src_root, mv_root,
                ["o_orderstatus", "o_orderpriority"],
                ["o_totalprice", "o_orderkey"])
     mv_kw = {"minmax_cols": ["o_totalprice"]}
+    orders = _t(spark, sf, "orders")
     if current_version(src_root) is None:
         write_snapshot(
-            _t(spark, sf, "orders").repartitionByRange(8, "o_orderkey"),
-            src_root, stats_cols=["o_orderkey"],
+            orders.filter(F.col("o_orderkey") % 101 != 0)
+            .repartitionByRange(8, "o_orderdate"),
+            src_root, stats_cols=["o_orderdate"],
         )
-    # build the MV BEFORE the row ops land, so the final refresh is the
-    # genuinely incremental path (crash anywhere: each refresh folds
-    # whatever window is outstanding — every interleaving converges)
+    # build the MV BEFORE the commits land, so each later refresh folds
+    # a genuinely outstanding window (crash anywhere: every
+    # interleaving converges — refreshes are idempotent)
     refresh_agg_mv(*mv_args, **mv_kw)
     if len(table_history(src_root)) == 1:
-        o = read_snapshot(spark, src_root, version=1)
-        updated = o.filter(F.col("o_custkey") % 97 == 0).withColumn(
-            "o_totalprice", F.col("o_totalprice") + 1.0
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 101 == 0)
+            .repartitionByRange(2, "o_orderdate"),
+            src_root, mode="append",
         )
-        inserted = (
-            o.filter(F.col("o_custkey") % 101 == 0)
-            .withColumn("o_orderkey", F.col("o_orderkey") + 100_000_000)
-            .withColumn("o_orderstatus", F.lit("N"))
-        )
-        merge_snapshot(
-            spark, src_root, updated.unionByName(inserted), "o_orderkey")
+        refresh_agg_mv(*mv_args, **mv_kw)  # append window: pure fold
     if len(table_history(src_root)) == 2:
         delete_where(spark, src_root, {"o_orderdate": ("<", "1993-07-01")})
     refresh_agg_mv(*mv_args, **mv_kw)
@@ -4511,31 +4509,19 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM merged GROUP BY 1 ORDER BY 1
         """,
         "versioned_mv_read": """
-            -- the incrementally-maintained MV (change-feed fold, never
-            -- a source rescan) must equal the full aggregate over the
-            -- FINAL state: merge upsert then date delete; sum CAST to
-            -- BIGINT (DuckDB sum(int) is HUGEINT)
-            WITH merged AS (
-              SELECT o_orderkey, o_orderstatus, o_orderpriority,
-                     o_orderdate,
-                     CASE WHEN o_custkey % 97 = 0
-                          THEN o_totalprice + 1.0 ELSE o_totalprice
-                     END AS o_totalprice
-              FROM orders
-              UNION ALL
-              SELECT o_orderkey + 100000000, 'N', o_orderpriority,
-                     o_orderdate, o_totalprice
-              FROM orders WHERE o_custkey % 101 = 0
-            ), final AS (
-              SELECT * FROM merged
-              WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
-            )
+            -- the incrementally-maintained MV (append fold + file-local
+            -- delete fold + adaptive extrema repair) must equal the
+            -- one-shot aggregate over the FINAL state: full orders
+            -- (base + appended %101 slice) minus the date delete; sum
+            -- CAST to BIGINT (DuckDB sum(int) is HUGEINT)
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price,
                    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
                    min(o_totalprice) AS min_price,
                    max(o_totalprice) AS max_price
-            FROM final GROUP BY 1, 2 ORDER BY 1, 2
+            FROM orders
+            WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "versioned_wap_read": """
             -- write-audit-publish: the corrupt staged batch was aborted

@@ -181,12 +181,16 @@ def refresh_agg_mv(
     src_v = current_version(src_root)
     if src_v is None:
         raise FileNotFoundError(f"no committed version at {src_root}")
-    applied = mv_applied_version(mv_root)
-    if applied is None:
+
+    def _rebuild() -> int:
         mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
                        keys, sum_cols, minmax_cols)
         write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
         return src_v
+
+    applied = mv_applied_version(mv_root)
+    if applied is None:
+        return _rebuild()
     if applied == src_v:
         return applied
     if applied > src_v:
@@ -210,10 +214,7 @@ def refresh_agg_mv(
         # the applied version fell out of retention: the delta window is
         # gone, so rebuild from the current snapshot (correct, just not
         # incremental — and only ever pays when retention lapsed)
-        mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
-                       keys, sum_cols, minmax_cols)
-        write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
-        return src_v
+        return _rebuild()
     if not added and not removed:
         # data-identical window (e.g. meta-only commits): re-commit the
         # MV rows as-is so mv_src_version advances (aggregate-sized)
@@ -223,10 +224,7 @@ def refresh_agg_mv(
         # the delta scan would touch at least as many files as the
         # current snapshot (compaction / re-clustering in the window):
         # one full-agg scan is strictly cheaper than two delta scans
-        mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
-                       keys, sum_cols, minmax_cols)
-        write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
-        return src_v
+        return _rebuild()
     need = list(dict.fromkeys(
         keys + sum_cols + minmax_cols))  # pruned-scan column set
     src_schema = StructType.fromJson(m_hi["schema"])
@@ -302,18 +300,20 @@ def refresh_agg_mv(
         # per-file stats (a key-clustered table — the Iceberg runtime-
         # filtering shape); otherwise a semi-join "rescan" would scan
         # every file anyway, and one plain full rebuild is strictly
-        # cheaper than delta + filtered scan + anti-join plumbing
+        # cheaper than delta + filtered scan + anti-join plumbing.
+        # A NULL grouping key also falls back: the semijoin drops NULL
+        # probe keys and the anti-join below never matches NULL==NULL,
+        # so the NULL group would silently keep its stale extremum
         key_stats = (
             len(keys) == 1
             and bool(m_hi["files"])
             and any(keys[0] in m_hi.get("file_stats", {}).get(f, {})
                     for f in m_hi["files"])
+            and rescan_keys.filter(
+                F.col(keys[0]).isNull()).limit(1).count() == 0
         )
         if not key_stats:
-            mv = _full_agg(read_snapshot(spark, src_root, version=src_v),
-                           keys, sum_cols, minmax_cols)
-            write_snapshot(mv, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
-            return src_v
+            return _rebuild()
         from ..sources.versioned import read_snapshot_semijoin
 
         rescanned = _full_agg(

@@ -66,6 +66,15 @@ STAGED_DIR = "_staged"
 LOCK = "_commit.lock"
 DATA_PREFIX = "data_"
 
+# Meta keys every plain writer (overwrite, append, staged publish)
+# carries forward from the parent: marks that must ride the NEWEST
+# manifest to survive expire_versions. Layout transforms are NOT here —
+# an overwrite replaces the file layout, so inheriting a transform spec
+# onto files that lack the layout column would make point lookups
+# silently miss rows (row ops, which preserve layout, inherit the wider
+# _DURABLE_ROW_OP_META instead).
+_DURABLE_WRITER_META = ("batch_id_hwm", "mv_src_version")
+
 _PRUNE_OPS = ("==", "<", "<=", ">", ">=", "between")
 
 
@@ -309,7 +318,7 @@ def write_snapshot(
             # expire_versions — even when a maintenance append or a
             # re-clustering overwrite lands between stream batches
             # (round-5 reviews); caller-supplied meta still wins
-            for k in ("batch_id_hwm", "mv_src_version"):
+            for k in _DURABLE_WRITER_META:
                 if k in pm.get("meta", {}) and k not in meta_out:
                     meta_out[k] = pm["meta"][k]
             if mode == "append":
@@ -1741,8 +1750,13 @@ def list_staged(root: str) -> list[dict]:
     out = []
     for name in sorted(os.listdir(sdir)):
         if name.endswith(".json"):
-            with open(os.path.join(sdir, name)) as f:
-                out.append(json.load(f))
+            try:
+                with open(os.path.join(sdir, name)) as f:
+                    out.append(json.load(f))
+            except (OSError, ValueError):
+                # published/aborted between listdir and open, or a
+                # half-written entry — skip, same policy as the GC
+                continue
     return out
 
 
@@ -1779,10 +1793,14 @@ def stage_snapshot(
     os.makedirs(os.path.join(root, STAGED_DIR), exist_ok=True)
     wap_id = wap_id or uuid.uuid4().hex[:12]
     path = _staged_path(root, wap_id)
-    if os.path.exists(path):
-        raise ValueError(f"staged entry {wap_id!r} already exists at {root}")
     fd = _acquire_lock(root)
     try:
+        # uniqueness decided under the lock: an unlocked peek could race
+        # a concurrent stager with the same explicit wap_id and silently
+        # os.replace its entry, orphaning that writer's data
+        if os.path.exists(path):
+            raise ValueError(
+                f"staged entry {wap_id!r} already exists at {root}")
         _gc_orphans(root)
         parent = current_version(root)
         if mode == "append" and parent is not None:
@@ -1844,6 +1862,13 @@ def publish_staged(root: str, wap_id: str) -> int:
     try:
         entry = _load_staged(root, wap_id)
         parent = current_version(root)
+        if _entry_files_committed(root, entry):
+            # a previous publish crashed BETWEEN the pointer swap and
+            # the entry unlink: the commit is complete, only the
+            # bookkeeping is stale — finish it idempotently instead of
+            # appending the same file paths a second time
+            os.unlink(_staged_path(root, wap_id))
+            return parent
         version = (parent or 0) + 1
         schema = StructType.fromJson(entry["schema"])
         files, file_stats = list(entry["new_files"]), dict(entry["file_stats"])
@@ -1858,7 +1883,10 @@ def publish_staged(root: str, wap_id: str) -> int:
                 )
         if parent is not None:
             pm = _read_manifest(root, parent)
-            for k in _DURABLE_ROW_OP_META:
+            # writer-grade inheritance only: an overwrite must NOT carry
+            # a parent's layout-transform spec onto files that lack the
+            # layout column (write_snapshot drops it the same way)
+            for k in _DURABLE_WRITER_META:
                 if k in pm.get("meta", {}) and k not in meta_out:
                     meta_out[k] = pm["meta"][k]
             if entry["mode"] == "append":
@@ -1885,17 +1913,37 @@ def publish_staged(root: str, wap_id: str) -> int:
         os.unlink(os.path.join(root, LOCK))
 
 
+def _entry_files_committed(root: str, entry: dict) -> bool:
+    """True when every staged file already appears in the CURRENT
+    committed manifest — the signature of a publish that crashed after
+    the pointer swap but before the staged-entry unlink. Such an entry
+    is bookkeeping debris over LIVE data: publish must no-op and abort
+    must not rmtree."""
+    parent = current_version(root)
+    if parent is None or not entry["new_files"]:
+        return False
+    return set(entry["new_files"]) <= set(_read_manifest(root, parent)["files"])
+
+
 def abort_staged(root: str, wap_id: str) -> None:
     """Drop a staged entry and its data (the audit said no). Removing the
     entry first makes the data dir an orphan; the explicit rmtree is
     just eager cleanup — a crash in between leaves nothing visible and
-    the next writer's GC finishes the job."""
+    the next writer's GC finishes the job. Data dirs any committed
+    manifest still references are NEVER deleted: an entry whose publish
+    crashed post-commit (files live in a manifest) or whose dir is
+    shared must only lose its bookkeeping."""
     fd = _acquire_lock(root)
     try:
         entry = _load_staged(root, wap_id)
         os.unlink(_staged_path(root, wap_id))
+        committed_dirs = set()
+        for v in _manifest_versions(root):
+            for f in _read_manifest(root, v)["files"]:
+                committed_dirs.add(f.split("/", 1)[0])
         for d in {f.split("/", 1)[0] for f in entry["new_files"]}:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            if d not in committed_dirs:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     finally:
         os.close(fd)
         os.unlink(os.path.join(root, LOCK))

@@ -1640,3 +1640,21 @@ def test_write_audit_publish(spark, tmp_path):
     V.write_snapshot_bucketed(_df(spark, 0, 20), broot, "id", 4)
     with pytest.raises(ValueError, match="layout column"):
         V.stage_snapshot(_df(spark, 20, 25), broot, mode="append")
+
+    # crash window: publish swapped the pointer but died before the
+    # entry unlink — the stale entry sits over COMMITTED files. A retry
+    # publish must no-op (no duplicate file paths), and abort must not
+    # rmtree live data.
+    import shutil as _sh
+
+    w5 = V.stage_snapshot(_df(spark, 50, 55), root, mode="append")
+    saved = str(tmp_path / "saved_entry.json")
+    _sh.copy(V._staged_path(root, w5), saved)
+    v5 = V.publish_staged(root, w5)
+    n_after = read_snapshot(spark, root).count()
+    _sh.copy(saved, V._staged_path(root, w5))  # resurrect = simulated crash
+    assert V.publish_staged(root, w5) == v5  # replay: idempotent no-op
+    assert current_version(root) == v5
+    _sh.copy(saved, V._staged_path(root, w5))
+    V.abort_staged(root, w5)  # janitor pass must not destroy live data
+    assert read_snapshot(spark, root).count() == n_after
