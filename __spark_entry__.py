@@ -859,6 +859,46 @@ def q_versioned_wap_read(spark, sf):
     )
 
 
+def q_versioned_tag_read(spark, sf):
+    """Tags pinning data through retention (sources/versioned.py),
+    ORACLE-CHECKED: version 1 holds the even-orderkey half of orders
+    and is tagged ``baseline``; the table is then OVERWRITTEN with a
+    disjoint slice and retention is squeezed to keep_last=1 — which
+    would normally expire v1's manifest and data. The tag pins it: the
+    read-by-tag must still equal DuckDB's aggregate over the even-key
+    half (a tag that lost its data files, or retention that dropped a
+    pinned manifest, breaks the row hash). This is the 'corpus we
+    trained on' reproducibility contract at 100 TB."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        create_tag, current_version, expire_versions, list_tags,
+        read_snapshot, write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_tag"
+    if current_version(root) is None:
+        write_snapshot(
+            _t(spark, sf, "orders").filter(F.col("o_orderkey") % 2 == 0),
+            root,
+        )
+    if "baseline" not in list_tags(root):
+        create_tag(root, "baseline", 1)
+    if current_version(root) == 1:
+        write_snapshot(
+            _t(spark, sf, "orders").filter(F.col("o_orderkey") % 2 == 1),
+            root, mode="overwrite",
+        )
+        expire_versions(root, keep_last=1)
+    tagged = read_snapshot(spark, root, tag="baseline")
+    return (
+        tagged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _stream_events_root(sf: str) -> str:
     """Cache root for the streamed-events versioned table: keyed by the
     source file fingerprint so regenerated test data rolls the cache."""
@@ -3351,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
         "versioned_wap_read": q_versioned_wap_read,  # write-audit-publish staged commits
+        "versioned_tag_read": q_versioned_tag_read,  # tags pin versions through retention
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
         "stream_interval_join_outer": q_stream_interval_join_outer,  # eviction-time NULL emission, sentinel-flushed drain
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
@@ -4522,6 +4563,16 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "versioned_tag_read": """
+            -- the tag pinned version 1 (even orderkeys) through an
+            -- overwrite + keep_last=1 retention squeeze (BIGINT cast —
+            -- DuckDB sum(int) is HUGEINT)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders WHERE o_orderkey % 2 = 0
+            GROUP BY 1 ORDER BY 1
         """,
         "versioned_wap_read": """
             -- write-audit-publish: the corrupt staged batch was aborted

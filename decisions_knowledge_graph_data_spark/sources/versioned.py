@@ -510,9 +510,11 @@ def read_snapshot(
     as_of: float | None = None,
     predicates: dict | None = None,
     keep_internal: bool = False,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read the table at ``version``, at the latest version committed at
-    or before timestamp ``as_of``, or (default) at the current pointer.
+    or before timestamp ``as_of``, at the version a ``tag`` pins, or
+    (default) at the current pointer.
 
     ``predicates``: ``{col: (op, value)}`` with op in ``==, <, <=, >,
     >=, between`` (between → value=(lo, hi)). Files whose manifest
@@ -530,6 +532,10 @@ def read_snapshot(
     oracle comparisons). ``keep_internal=True`` keeps it (debugging /
     layout inspection).
     """
+    if tag is not None:
+        if version is not None or as_of is not None:
+            raise ValueError("pass exactly one of version / as_of / tag")
+        version = resolve_tag(root, tag)
     v = _resolve_version(root, version, as_of)
     files, _, schema = plan_files(root, version=v, predicates=predicates)
     if not files:
@@ -1696,8 +1702,12 @@ def expire_versions(root: str, keep_last: int) -> dict:
     try:
         _gc_orphans(root)
         committed = _committed_versions(root)
-        drop = committed[:-keep_last]
-        keep = committed[-keep_last:]
+        tagged = set(list_tags(root).values())
+        # tagged versions are retention-pinned (Iceberg tag semantics):
+        # their manifests and data survive any keep_last window until
+        # the tag is deleted
+        drop = [v for v in committed[:-keep_last] if v not in tagged]
+        keep = [v for v in committed if v not in drop]
         live_dirs = _staged_live_dirs(root)
         for v in keep:
             for f in _read_manifest(root, v)["files"]:
@@ -1944,6 +1954,97 @@ def abort_staged(root: str, wap_id: str) -> None:
         for d in {f.split("/", 1)[0] for f in entry["new_files"]}:
             if d not in committed_dirs:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+# ---------------------------------------------------------------------------
+# Tags: named immutable refs to committed versions (Iceberg tag
+# semantics). A tag pins its version through retention — expire_versions
+# keeps tagged manifests and their data alive regardless of keep_last —
+# so "the corpus we trained v3 on" stays reproducible for as long as the
+# tag exists, while the table keeps churning. Tags resolve anywhere a
+# version does: read_snapshot(..., tag="x") is exact time travel by name.
+
+TAGS_DIR = "_tags"
+_TAG_NAME_RE = r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}"
+
+
+def _tag_path(root: str, name: str) -> str:
+    return os.path.join(root, TAGS_DIR, f"{name}.json")
+
+
+def _check_tag_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(_TAG_NAME_RE, name):
+        raise ValueError(
+            f"invalid tag name {name!r}: must match {_TAG_NAME_RE}"
+        )
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Pin ``version`` (default: current) under ``name``; returns the
+    pinned version. Tags are immutable — re-tagging an existing name
+    raises (delete it first); the target must be a committed version."""
+    _check_tag_name(name)
+    fd = _acquire_lock(root)
+    try:
+        v = _resolve_version(root, version, None)
+        path = _tag_path(root, name)
+        if os.path.exists(path):
+            raise ValueError(
+                f"tag {name!r} already exists at {root} (tags are "
+                "immutable — delete_tag first to retarget)"
+            )
+        os.makedirs(os.path.join(root, TAGS_DIR), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v,
+                       "created_at": time.time()}, f)
+        os.replace(tmp, path)
+        return v
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """{tag name: pinned version} for every live tag."""
+    tdir = os.path.join(root, TAGS_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out: dict[str, int] = {}
+    for fname in sorted(os.listdir(tdir)):
+        if not fname.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, fname)) as f:
+                t = json.load(f)
+            out[t["name"]] = int(t["version"])
+        except (OSError, ValueError, KeyError):
+            continue  # half-written or concurrently deleted — skip
+    return out
+
+
+def resolve_tag(root: str, name: str) -> int:
+    """The version a tag pins (FileNotFoundError when absent)."""
+    try:
+        with open(_tag_path(root, name)) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no tag {name!r} at {root}") from None
+
+
+def delete_tag(root: str, name: str) -> None:
+    """Drop the tag; its version becomes expirable like any other."""
+    fd = _acquire_lock(root)
+    try:
+        try:
+            os.unlink(_tag_path(root, name))
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no tag {name!r} at {root}") from None
     finally:
         os.close(fd)
         os.unlink(os.path.join(root, LOCK))

@@ -1658,3 +1658,45 @@ def test_write_audit_publish(spark, tmp_path):
     _sh.copy(saved, V._staged_path(root, w5))
     V.abort_staged(root, w5)  # janitor pass must not destroy live data
     assert read_snapshot(spark, root).count() == n_after
+
+
+def test_tags_pin_versions_through_retention(spark, tmp_path):
+    """Tags: named immutable refs; expire_versions keeps tagged versions
+    (manifest + data) alive regardless of keep_last; delete_tag makes
+    them expirable again; reads resolve by tag name."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), root)
+    assert V.create_tag(root, "baseline") == 1
+    write_snapshot(_df(spark, 100, 105), root, mode="overwrite")
+    write_snapshot(_df(spark, 200, 202), root, mode="overwrite")
+
+    assert V.list_tags(root) == {"baseline": 1}
+    assert read_snapshot(spark, root, tag="baseline").count() == 10
+    with pytest.raises(ValueError, match="exactly one"):
+        read_snapshot(spark, root, tag="baseline", version=1)
+
+    # retention: keep_last=1 would normally drop v1 and v2 — the tag
+    # pins v1 (manifest AND data dir), v2 goes
+    res = V.expire_versions(root, keep_last=1)
+    assert res["expired_versions"] == [2]
+    assert read_snapshot(spark, root, tag="baseline").count() == 10
+    assert read_snapshot(spark, root).count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=2)
+
+    # immutability + validation
+    with pytest.raises(ValueError, match="immutable"):
+        V.create_tag(root, "baseline")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        V.create_tag(root, "../escape")
+    with pytest.raises(FileNotFoundError):
+        V.resolve_tag(root, "nope")
+
+    # delete_tag → the pinned version becomes expirable
+    V.delete_tag(root, "baseline")
+    res = V.expire_versions(root, keep_last=1)
+    assert res["expired_versions"] == [1]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, tag="baseline")
