@@ -1014,6 +1014,61 @@ def q_stream_mv_maintain(spark, sf):
     )
 
 
+def q_stream_versioned_source(spark, sf):
+    """A versioned table as a Structured-Streaming SOURCE
+    (sources/versioned_stream.py — the Delta/Iceberg 'stream from a
+    table' shape via the Spark 4 Python DataSource streaming API),
+    ORACLE-CHECKED: orders lands in a versioned table as three
+    append commits (the %3 residue classes), the stream consumes them
+    with MANIFEST-VERSION offsets (a micro-batch = a version window's
+    net-new files, one task per file), and the drained sink must carry
+    exactly the committed rows — integer invariants per o_orderstatus
+    that DuckDB reproduces from the original orders view; a skipped
+    version, a double-delivered file, or a broken offset resume breaks
+    the row hash."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, table_history, write_snapshot,
+    )
+    from decisions_knowledge_graph_data_spark.sources.versioned_stream import (
+        VersionedAppendsDataSource,
+    )
+    base = _stream_events_root(sf) + "_vsrc"
+    root = os.path.join(base, "table")
+    out = os.path.join(base, "out")
+    done = os.path.join(base, "_DONE")
+    orders = _t(spark, sf, "orders")
+    if current_version(root) is None:
+        write_snapshot(orders.filter(F.col("o_orderkey") % 3 == 0), root)
+    for residue in (1, 2):
+        if len(table_history(root)) == residue:
+            write_snapshot(
+                orders.filter(F.col("o_orderkey") % 3 == residue),
+                root, mode="append",
+            )
+    if not os.path.exists(done):
+        spark.dataSource.register(VersionedAppendsDataSource)
+        q = (
+            spark.readStream.format("versioned_appends")
+            .option("path", root).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    drained = spark.read.parquet(out)
+    return (
+        drained.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.bit_xor("o_orderkey").alias("xor_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_stream_asof_enrich(spark, sf):
     """Streaming as-of enrichment ORACLE-CHECKED (puts the round-4
     `stream_asof_enrich` composition under the driver's eye): click
@@ -3392,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
         "versioned_wap_read": q_versioned_wap_read,  # write-audit-publish staged commits
         "versioned_tag_read": q_versioned_tag_read,  # tags pin versions through retention
+        "stream_versioned_source": q_stream_versioned_source,  # versioned table AS a streaming source
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
         "stream_interval_join_outer": q_stream_interval_join_outer,  # eviction-time NULL emission, sentinel-flushed drain
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family
@@ -4563,6 +4619,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_versioned_source": """
+            -- the versioned-appends stream (manifest-version offsets)
+            -- drained exactly the three committed residue slices ==
+            -- the full orders view (BIGINT cast for the HUGEINT sum)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "versioned_tag_read": """
             -- the tag pinned version 1 (even orderkeys) through an

@@ -58,7 +58,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 VERSION_PTR = "VERSION"
 MANIFEST_DIR = "_versions"
@@ -185,7 +185,14 @@ def _merge_schemas(parent: StructType, new: StructType) -> StructType:
                 f"{old.dataType.simpleString()} to {f.dataType.simpleString()}"
             )
     merged = list(parent.fields)
-    merged += [f for f in new.fields if f.name not in by_name]
+    # added columns are recorded NULLABLE regardless of the appended
+    # frame's flag: pre-evolution files read them as NULL, and a
+    # non-nullable recorded field makes the vectorized reader refuse
+    # those files outright ("Required column is missing in data file")
+    merged += [
+        StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
+        for f in new.fields if f.name not in by_name
+    ]
     return StructType(merged)
 
 

@@ -1700,3 +1700,85 @@ def test_tags_pin_versions_through_retention(spark, tmp_path):
     assert res["expired_versions"] == [1]
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, root, tag="baseline")
+
+
+def test_versioned_appends_stream_source(spark, tmp_path):
+    """sources/versioned_stream.py: a versioned table is a streaming
+    SOURCE with manifest-version offsets — a drain delivers exactly the
+    committed rows, a checkpointed re-drain consumes only the delta,
+    pre-evolution files surface added columns as NULL, and a rewrite
+    commit in the window refuses (append-only contract)."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        delete_where,
+    )
+    from decisions_knowledge_graph_data_spark.sources.versioned_stream import (
+        VersionedAppendsDataSource,
+    )
+
+    root = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_snapshot(_df(spark, 0, 50), root)
+    write_snapshot(_df(spark, 50, 80), root, mode="append")
+    spark.dataSource.register(VersionedAppendsDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_appends")
+            .option("path", root).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        # mergeSchema: the plain parquet SINK dir accrues files of both
+        # pre- and post-evolution schemas across drains
+        return spark.read.option("mergeSchema", "true").parquet(out)
+
+    got = drain()
+    assert got.count() == 80 and got.select("id").distinct().count() == 80
+
+    # schema evolution mid-stream: the appended frame adds a column;
+    # the source schema is fixed per QUERY START, so the re-drain plans
+    # with the evolved schema and the new batch carries the new column
+    evolved = _df(spark, 80, 90).withColumn("tagcol", F.lit("new"))
+    write_snapshot(evolved, root, mode="append")
+    got = drain()
+    assert got.count() == 90
+    assert got.filter(F.col("tagcol") == "new").count() == 10
+
+    # exactly-once across restarts: nothing new → no new rows
+    assert drain().count() == 90
+
+    # a rewrite commit breaks the append-only contract loudly
+    delete_where(spark, root, {"id": ("==", 1)})
+    write_snapshot(_df(spark, 90, 92), root, mode="append")
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="delete|append-only"):
+        q = (
+            spark.readStream.format("versioned_appends")
+            .option("path", root).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+
+def test_evolution_nonnullable_added_column(spark, tmp_path):
+    """Regression: a column added by an append with a NON-nullable type
+    (e.g. F.lit(...)) must be recorded nullable in the merged schema —
+    pre-evolution files read it as NULL, and a non-nullable recorded
+    field makes the vectorized parquet reader refuse those files
+    ('Required column is missing in data file')."""
+    root = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), root)
+    write_snapshot(
+        _df(spark, 5, 8).withColumn("tagcol", F.lit("new")),
+        root, mode="append",
+    )
+    got = read_snapshot(spark, root)
+    assert got.schema["tagcol"].nullable
+    assert got.count() == 8
+    assert got.filter(F.col("tagcol").isNull()).count() == 5
+    assert got.filter(F.col("tagcol") == "new").count() == 3
