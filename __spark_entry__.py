@@ -3395,7 +3395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "range_window": q_range_window,
         "unmapped_discovery": q_unmapped_discovery,
-        "exclusion_filter": q_exclusion_filter,
+        # round-5 swap: exclusion_filter → tail (NOT-LIKE filtering
+        # stays visible via unmapped_discovery's anti-join + the kg
+        # pipeline's own ingest filters); WAP takes the slot
+        "versioned_wap_read": q_versioned_wap_read,
         "sha_invariant": q_sha_invariant,
         "json_extract": q_json_extract,
         "block_numbering": q_block_numbering,
@@ -3404,7 +3407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top_orders → tail; the corpus equi-join family stays visible
         # via dimension_lookup + asof_join/range_join)
         "versioned_mv_read": q_versioned_mv_read,
-        "top1_per_group": q_top1_per_group,
+        # round-5 swap: top1_per_group → tail (top-1-per-key stays
+        # visible via range_window/block_numbering/seq_ids); the
+        # versioned-appends streaming source takes the slot
+        "stream_versioned_source": q_stream_versioned_source,
         "seq_ids": q_seq_ids,
         "nway_intersection": q_nway_intersection,
         "dimension_lookup": q_dimension_lookup,
@@ -3445,9 +3451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
-        "versioned_wap_read": q_versioned_wap_read,  # write-audit-publish staged commits
         "versioned_tag_read": q_versioned_tag_read,  # tags pin versions through retention
-        "stream_versioned_source": q_stream_versioned_source,  # versioned table AS a streaming source
+        "exclusion_filter": q_exclusion_filter,  # displaced to the tail in the round-5 WAP swap
+        "top1_per_group": q_top1_per_group,  # displaced to the tail in the round-5 stream-source swap
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
         "stream_interval_join_outer": q_stream_interval_join_outer,  # eviction-time NULL emission, sentinel-flushed drain
         "versioned_incremental_read": q_versioned_incremental_read,  # versioned family

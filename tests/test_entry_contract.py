@@ -61,8 +61,13 @@ def test_driver_window_composition():
         # round-5 seventh pass, displacing top_orders whose corpus
         # equi-join family stays visible via dimension_lookup +
         # asof_join/range_join)
+        # round-5 eighth pass: WAP + the versioned-appends streaming
+        # source join the window (displacing exclusion_filter and
+        # top1_per_group, whose families stay visible via
+        # unmapped_discovery and range_window/block_numbering/seq_ids)
         "versioned_pruned_read", "versioned_month_read",
         "versioned_merge_read", "versioned_mv_read",
+        "versioned_wap_read", "stream_versioned_source",
         # training-data assembly family (round-5 second pass; the
         # displaced twins sessionize/anti_join stay covered by
         # range_window/running_window and unmapped_discovery)
