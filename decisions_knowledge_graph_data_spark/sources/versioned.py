@@ -248,12 +248,16 @@ def _staged_live_dirs(root: str) -> set[str]:
         return live
     for name in os.listdir(sdir):
         if not name.endswith(".json"):
-            continue
+            continue  # .tmp of an in-flight atomic write: not live yet
         try:
             with open(os.path.join(sdir, name)) as f:
                 entry = json.load(f)
-        except (OSError, ValueError):
-            continue  # half-written entry: its dir is fair GC game
+        except FileNotFoundError:
+            continue  # aborted/published between listdir and open
+        # any other read error PROPAGATES: entries are written atomically
+        # (tmp + os.replace), so an unreadable one is a transient fault
+        # (EMFILE, NFS hiccup) — treating it as absent would let the GC
+        # destroy exactly the mid-audit data this function protects
         for fpath in entry.get("new_files", []):
             live.add(fpath.split("/", 1)[0])
     return live
@@ -1485,9 +1489,9 @@ def read_appended(
     re-read. Reads exactly the files the newer manifests added, with
     the end version's schema."""
     hi = _resolve_version(root, version, None)
-    end = _read_manifest(root, hi)
-    schema = StructType.fromJson(end["schema"])
     if since_version == hi:
+        end = _read_manifest(root, hi)
+        schema = StructType.fromJson(end["schema"])
         return _drop_internal(spark.createDataFrame([], schema), end)
     if since_version not in _committed_versions(root):
         raise FileNotFoundError(
@@ -1495,20 +1499,8 @@ def read_appended(
         )
     if since_version > hi:
         raise ValueError(f"since_version {since_version} is newer than {hi}")
-    v = hi
-    while v != since_version:
-        m = _read_manifest(root, v)
-        if m["mode"] != "append":
-            raise ValueError(
-                f"version {v} is a {m['mode']!r} commit — the range "
-                f"({since_version}, {hi}] is not pure append lineage, a "
-                "file diff is not a row delta; re-read the snapshot"
-            )
-        if m["parent"] is None:
-            raise ValueError(f"version {since_version} not on {hi}'s lineage")
-        v = m["parent"]
-    base = set(_read_manifest(root, since_version)["files"])
-    delta = [f for f in end["files"] if f not in base]
+    delta, end = plan_appended_files(root, since_version, hi)
+    schema = StructType.fromJson(end["schema"])
     if not delta:
         return _drop_internal(spark.createDataFrame([], schema), end)
     return _drop_internal(
@@ -1516,6 +1508,44 @@ def read_appended(
             *[os.path.join(root, f) for f in delta]),
         end,
     )
+
+
+def plan_appended_files(
+    root: str, since_version: int, version: int,
+    genesis_exempt: bool = False,
+) -> tuple[list[str], dict]:
+    """The shared append-lineage contract behind :func:`read_appended`
+    and the ``versioned_appends`` streaming source: relative paths of
+    files added in ``(since_version, version]`` plus the end manifest,
+    raising when any commit in the window rewrote files (a file diff is
+    only a row delta across pure appends). ``since_version=0`` means
+    from genesis (every file at ``version``); ``genesis_exempt`` allows
+    version 1 any mode — it is the table's initial data, not a rewrite
+    of consumed rows (the streaming source's contract)."""
+    end = _read_manifest(root, version)
+    v, m = version, end
+    while v > since_version:
+        if m["mode"] != "append" and not (genesis_exempt and v == 1):
+            raise ValueError(
+                f"version {v} is a {m['mode']!r} commit — the range "
+                f"({since_version}, {version}] is not pure append "
+                "lineage, a file diff is not a row delta; re-read the "
+                "snapshot (or use the read_changes CDC feed)"
+            )
+        parent = m["parent"]
+        if parent is None:
+            if since_version > 0:
+                raise ValueError(
+                    f"version {since_version} not on {version}'s lineage")
+            break
+        v, m = parent, _read_manifest(root, parent)
+    if since_version > 0 and v != since_version:
+        # a parent link that jumps past since_version (rollback-style
+        # lineage) must not silently diff against the wrong base
+        raise ValueError(
+            f"version {since_version} not on {version}'s lineage")
+    base = set(m["files"]) if since_version > 0 else set()
+    return [f for f in end["files"] if f not in base], end
 
 
 CHANGE_TYPE_COL = "_change_type"
@@ -1858,6 +1888,12 @@ def read_snapshot_staged(spark: SparkSession, root: str, wap_id: str) -> DataFra
         parent = current_version(root)
         if parent is not None:
             pm = _read_manifest(root, parent)
+            # same refusal as publish: if a transformed overwrite landed
+            # mid-audit, the append can never commit — fail the audit
+            # read HERE instead of spending the audit on a dead state
+            # (also keeps the parent's internal layout columns out of
+            # the audit view)
+            _refuse_transformed_parent(pm, "auditing a staged append")
             schema = _merge_schemas(StructType.fromJson(pm["schema"]), schema)
             files = pm["files"] + files
     if not files:
@@ -1879,13 +1915,43 @@ def publish_staged(root: str, wap_id: str) -> int:
     try:
         entry = _load_staged(root, wap_id)
         parent = current_version(root)
-        if _entry_files_committed(root, entry):
-            # a previous publish crashed BETWEEN the pointer swap and
-            # the entry unlink: the commit is complete, only the
-            # bookkeeping is stale — finish it idempotently instead of
-            # appending the same file paths a second time
+        # replay detection, two tiers — the commit may be complete with
+        # only the bookkeeping stale, and a retry must then no-op
+        # instead of re-appending the same files (double delivery /
+        # resurrection of deleted rows):
+        # (1) the entry records the version a previous attempt was
+        #     about to swap to, and the published manifest carries this
+        #     wap_id in its meta. pointer >= marked does NOT alone prove
+        #     our swap (a crash BEFORE the swap leaves an orphan that
+        #     the next writer GCs, REUSING the version number), so the
+        #     manifest's wap_id is the actual proof; a marked manifest
+        #     that has since been EXPIRED is genuinely ambiguous —
+        #     refuse loudly rather than guess either way;
+        # (2) for entries staged before this marker existed, any
+        #     retained manifest listing every staged file (uuid dirs —
+        #     no false positives) is the same proof.
+        marked = entry.get("publishing_version")
+        if marked is not None and parent is not None and parent >= marked:
+            try:
+                mm = _read_manifest(root, marked)
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"cannot decide whether staged entry {wap_id!r} was "
+                    f"published: its target version {marked} has been "
+                    f"expired from {root}'s history. Resolve manually — "
+                    "abort_staged if the data is visible in the table, "
+                    "or delete the entry's publishing_version field to "
+                    "force a fresh publish"
+                ) from None
+            if mm.get("meta", {}).get("wap_id") == wap_id:
+                os.unlink(_staged_path(root, wap_id))
+                return int(marked)
+            # another writer reused the number after GCing our orphan:
+            # our swap never happened — fall through to a fresh publish
+        published_at = _entry_committed_version(root, entry)
+        if published_at is not None:
             os.unlink(_staged_path(root, wap_id))
-            return parent
+            return published_at
         version = (parent or 0) + 1
         schema = StructType.fromJson(entry["schema"])
         files, file_stats = list(entry["new_files"]), dict(entry["file_stats"])
@@ -1912,6 +1978,15 @@ def publish_staged(root: str, wap_id: str) -> int:
                     StructType.fromJson(pm["schema"]), schema)
                 files = pm["files"] + files
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
+        # durably record the intended version BEFORE the pointer swap
+        # and stamp the manifest with this wap_id — together they make
+        # replay detection exact (tier 1 above)
+        meta_out["wap_id"] = wap_id
+        entry["publishing_version"] = version
+        tmp = _staged_path(root, wap_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, _staged_path(root, wap_id))
         _publish_manifest(root, version, {
             "version": version,
             "parent": parent,
@@ -1930,16 +2005,21 @@ def publish_staged(root: str, wap_id: str) -> int:
         os.unlink(os.path.join(root, LOCK))
 
 
-def _entry_files_committed(root: str, entry: dict) -> bool:
-    """True when every staged file already appears in the CURRENT
-    committed manifest — the signature of a publish that crashed after
-    the pointer swap but before the staged-entry unlink. Such an entry
-    is bookkeeping debris over LIVE data: publish must no-op and abort
-    must not rmtree."""
-    parent = current_version(root)
-    if parent is None or not entry["new_files"]:
-        return False
-    return set(entry["new_files"]) <= set(_read_manifest(root, parent)["files"])
+def _entry_committed_version(root: str, entry: dict) -> int | None:
+    """The committed version whose manifest lists every staged file, or
+    None — the signature of a publish that crashed after the pointer
+    swap but before the staged-entry unlink. Checked against ALL
+    retained manifests, not just the current one: a rewrite commit
+    landing between the crash and the retry must not make the retry
+    re-append (and thus double-deliver / resurrect) already-published
+    files. Returns the newest matching version."""
+    if not entry["new_files"]:
+        return None
+    wanted = set(entry["new_files"])
+    for v in reversed(_committed_versions(root)):
+        if wanted <= set(_read_manifest(root, v)["files"]):
+            return v
+    return None
 
 
 def abort_staged(root: str, wap_id: str) -> None:
@@ -2025,13 +2105,17 @@ def list_tags(root: str) -> dict[str, int]:
     out: dict[str, int] = {}
     for fname in sorted(os.listdir(tdir)):
         if not fname.endswith(".json"):
-            continue
+            continue  # .tmp of an in-flight atomic write
         try:
             with open(os.path.join(tdir, fname)) as f:
                 t = json.load(f)
-            out[t["name"]] = int(t["version"])
-        except (OSError, ValueError, KeyError):
-            continue  # half-written or concurrently deleted — skip
+        except FileNotFoundError:
+            continue  # deleted between listdir and open — benign race
+        # other read errors PROPAGATE: tags are written atomically, and
+        # expire_versions consumes this listing to decide which pinned
+        # versions to KEEP — silently dropping an unreadable tag would
+        # delete the very data the tag exists to protect
+        out[t["name"]] = int(t["version"])
     return out
 
 

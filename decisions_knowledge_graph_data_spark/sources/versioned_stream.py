@@ -46,28 +46,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .versioned import _read_manifest, current_version
-
-
-def _append_window_files(root: str, lo: int, hi: int) -> list[str]:
-    """Relative paths of files added in (lo, hi], validating the window
-    is append-only (genesis exempt). Driver-side manifest reads only."""
-    m_hi = _read_manifest(root, hi)
-    v, m = hi, m_hi
-    while v > lo:
-        if v > 1 and m["mode"] != "append":
-            raise ValueError(
-                f"versioned_appends stream hit a {m['mode']!r} commit at "
-                f"version {v} of {root}: this source delivers append-only "
-                "tables exactly once; rewritten rows need the read_changes "
-                "CDC feed instead"
-            )
-        parent = m["parent"]
-        if parent is None:
-            break
-        v, m = parent, _read_manifest(root, parent)
-    lo_files = set(m["files"]) if lo > 0 else set()
-    return [f for f in m_hi["files"] if f not in lo_files]
+from .versioned import _read_manifest, current_version, plan_appended_files
 
 
 class VersionedAppendsDataSource(DataSource):
@@ -104,6 +83,7 @@ class VersionedAppendsStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema: StructType, starting: int) -> None:
         self.root = root
         self.schema_json = schema.json()
+        self.planned_fields = set(schema.fieldNames())
         self.starting = starting
 
     def initialOffset(self) -> dict:
@@ -117,7 +97,22 @@ class VersionedAppendsStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi <= lo:
             return [InputPartition(None)]  # empty batch: one no-op split
-        files = _append_window_files(self.root, lo, hi)
+        files, m_hi = plan_appended_files(self.root, lo, hi,
+                                          genesis_exempt=True)
+        # schema drift check: a column added DURING a running query
+        # would be silently dropped from delivered rows (the plan is
+        # fixed at query start) and never redelivered — fail loudly so
+        # the operator restarts the query with the evolved schema (the
+        # Delta table-stream contract)
+        hi_fields = {f["name"] for f in m_hi["schema"]["fields"]}
+        extra = hi_fields - self.planned_fields
+        if extra:
+            raise ValueError(
+                f"table {self.root} gained column(s) {sorted(extra)} "
+                f"after this stream was planned — restart the query to "
+                "pick up the evolved schema (delivering rows without "
+                "them would silently drop data)"
+            )
         if not files:
             return [InputPartition(None)]
         return [
@@ -135,14 +130,22 @@ class VersionedAppendsStreamReader(DataSourceStreamReader):
 
         path, schema_json = partition.value
         expected = to_arrow_schema(_St.fromJson(json.loads(schema_json)))
-        t = pq.read_table(path)
-        cols = []
-        for field in expected:
-            if field.name in t.column_names:
-                cols.append(t[field.name].cast(field.type))
-            else:  # pre-evolution file: later-added column reads as NULL
-                cols.append(pa.nulls(t.num_rows, type=field.type))
-        yield from pa.Table.from_arrays(cols, schema=expected).to_batches()
+        # stream record batches instead of materializing the file: one
+        # InputPartition per file means a large appended file would
+        # otherwise sit whole (twice, after the cast/pad copy) in one
+        # Python worker's memory
+        pf = pq.ParquetFile(path)
+        present = set(pf.schema_arrow.names)
+        read_cols = [f.name for f in expected if f.name in present]
+        for rb in pf.iter_batches(columns=read_cols):
+            t = pa.Table.from_batches([rb])
+            cols = []
+            for field in expected:
+                if field.name in present:
+                    cols.append(t[field.name].cast(field.type))
+                else:  # pre-evolution file: added column reads as NULL
+                    cols.append(pa.nulls(t.num_rows, type=field.type))
+            yield from pa.Table.from_arrays(cols, schema=expected).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are engine-checkpointed; nothing source-side

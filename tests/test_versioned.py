@@ -1653,7 +1653,19 @@ def test_write_audit_publish(spark, tmp_path):
     v5 = V.publish_staged(root, w5)
     n_after = read_snapshot(spark, root).count()
     _sh.copy(saved, V._staged_path(root, w5))  # resurrect = simulated crash
-    assert V.publish_staged(root, w5) == v5  # replay: idempotent no-op
+    assert V.publish_staged(root, w5) == v5  # tier-2 replay: file subset
+    assert current_version(root) == v5
+    # tier-1 replay: the entry carries its publishing_version marker and
+    # the committed manifest carries the wap_id
+    import json as _json
+
+    with open(saved) as f:
+        e = _json.load(f)
+    assert V._read_manifest(root, v5)["meta"]["wap_id"] == w5
+    e["publishing_version"] = v5
+    with open(V._staged_path(root, w5), "w") as f:
+        _json.dump(e, f)
+    assert V.publish_staged(root, w5) == v5
     assert current_version(root) == v5
     _sh.copy(saved, V._staged_path(root, w5))
     V.abort_staged(root, w5)  # janitor pass must not destroy live data
@@ -1752,9 +1764,8 @@ def test_versioned_appends_stream_source(spark, tmp_path):
     # a rewrite commit breaks the append-only contract loudly
     delete_where(spark, root, {"id": ("==", 1)})
     write_snapshot(_df(spark, 90, 92), root, mode="append")
-    import pyspark.errors
 
-    with pytest.raises(Exception, match="delete|append-only"):
+    with pytest.raises(Exception, match="delete|append"):
         q = (
             spark.readStream.format("versioned_appends")
             .option("path", root).load()
