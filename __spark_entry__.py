@@ -805,6 +805,61 @@ def q_versioned_mv_read(spark, sf):
     )
 
 
+def q_versioned_mv_distinct(spark, sf):
+    """Exact COUNT(DISTINCT) under incremental MV maintenance — the
+    standard two-level IVM shape, expressed as a pure COMPOSITION of
+    the engine's existing fold: distinct-count is not self-maintainable
+    directly (a deleted value may or may not still exist in other
+    rows), but a SUPPORT MV that folds the distinct column INTO the
+    group key (count per (status, custkey)) is plain count/sum algebra;
+    groups whose support count hits 0 vanish, so the visible
+    distinct-count is just an aggregate-sized rollup of the support at
+    read time. The support table is churn-foldable like any MV; its
+    size is bounded by the number of DISTINCT (key, value) pairs — the
+    known cost of exact distinct IVM at 100 TB (use a sketch when that
+    explodes). Oracle: DuckDB COUNT(DISTINCT) over the FINAL state
+    after an append and a delete commit."""
+    from decisions_knowledge_graph_data_spark.plans.ivm import (
+        refresh_agg_mv,
+    )
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, delete_where, read_snapshot, table_history,
+        write_snapshot,
+    )
+    src_root = _versioned_orders_root(sf) + "_mvdsrc"
+    support_root = _versioned_orders_root(sf) + "_mvdsup"
+    sup_args = (spark, src_root, support_root,
+                ["o_orderstatus", "o_custkey"], ["o_totalprice"])
+    orders = _t(spark, sf, "orders")
+    if current_version(src_root) is None:
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 7 != 0)
+            .repartitionByRange(8, "o_orderdate"),
+            src_root, stats_cols=["o_orderdate"],
+        )
+    refresh_agg_mv(*sup_args)
+    if len(table_history(src_root)) == 1:
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 7 == 0)
+            .repartitionByRange(2, "o_orderdate"),
+            src_root, mode="append",
+        )
+        refresh_agg_mv(*sup_args)  # append window: pure fold
+    if len(table_history(src_root)) == 2:
+        delete_where(spark, src_root, {"o_orderdate": (">=", "1998-01-01")})
+    refresh_agg_mv(*sup_args)
+    support = read_snapshot(spark, support_root)
+    return (
+        support.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_custkeys"),
+            F.sum("n_rows").alias("n_orders"),
+            F.round(F.sum("sum_o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_versioned_wap_read(spark, sf):
     """Write-audit-publish (sources/versioned.py WAP API), ORACLE-
     CHECKED end-to-end: the orders table's ``%3 == 0`` slice arrives as
@@ -3452,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
         "versioned_tag_read": q_versioned_tag_read,  # tags pin versions through retention
+        "versioned_mv_distinct": q_versioned_mv_distinct,  # exact COUNT(DISTINCT) via support-MV fold
         "exclusion_filter": q_exclusion_filter,  # displaced to the tail in the round-5 WAP swap
         "top1_per_group": q_top1_per_group,  # displaced to the tail in the round-5 stream-source swap
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
@@ -4625,6 +4681,20 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "versioned_mv_distinct": """
+            -- two-level IVM: the support MV (count per (status,
+            -- custkey)) folded incrementally across an append + a date
+            -- delete must roll up to the exact COUNT(DISTINCT) over the
+            -- FINAL state (base is orders minus the %7 slice, which the
+            -- append restores; then the 1998+ dates are deleted)
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS n_custkeys,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE NOT (o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "stream_versioned_source": """
             -- the versioned-appends stream (manifest-version offsets)
