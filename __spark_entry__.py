@@ -860,6 +860,44 @@ def q_versioned_mv_distinct(spark, sf):
     )
 
 
+def q_versioned_meta_agg(spark, sf):
+    """Metadata-only aggregation (sources/versioned.py
+    snapshot_meta_agg — the Iceberg metadata-scan analog),
+    ORACLE-CHECKED: count(*) + min/max over the versioned orders copy
+    answered from the manifest alone — ZERO Spark jobs against the
+    data, no file I/O. The table is built as a base write plus an
+    append (which INHERITS the parent's stats columns — the round-5
+    contract fix this query locks), so both writers' recorded counts
+    and footer stats must agree exactly with DuckDB's full scan. At
+    100 TB this is a catalog lookup replacing a cluster-wide scan."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, snapshot_meta_agg, table_history, write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_meta"
+    orders = _t(spark, sf, "orders")
+    if current_version(root) is None:
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 5 != 0)
+            .repartitionByRange(6, "o_orderkey"),
+            root, stats_cols=["o_orderkey", "o_totalprice"],
+        )
+    if len(table_history(root)) == 1:
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 5 == 0),
+            root, mode="append",  # stats columns inherited
+        )
+    agg = snapshot_meta_agg(root, ["o_orderkey", "o_totalprice"])
+    return spark.createDataFrame(
+        [(
+            agg["n_rows"],
+            agg["min_o_orderkey"], agg["max_o_orderkey"],
+            float(agg["min_o_totalprice"]), float(agg["max_o_totalprice"]),
+        )],
+        "n_orders long, min_key long, max_key long, "
+        "min_price double, max_price double",
+    )
+
+
 def q_versioned_wap_read(spark, sf):
     """Write-audit-publish (sources/versioned.py WAP API), ORACLE-
     CHECKED end-to-end: the orders table's ``%3 == 0`` slice arrives as
@@ -3508,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
         "versioned_tag_read": q_versioned_tag_read,  # tags pin versions through retention
         "versioned_mv_distinct": q_versioned_mv_distinct,  # exact COUNT(DISTINCT) via support-MV fold
+        "versioned_meta_agg": q_versioned_meta_agg,  # metadata-only count/min/max (zero data I/O)
         "exclusion_filter": q_exclusion_filter,  # displaced to the tail in the round-5 WAP swap
         "top1_per_group": q_top1_per_group,  # displaced to the tail in the round-5 stream-source swap
         "stream_interval_join": q_stream_interval_join,  # stream x stream symmetric-hash join, static-join oracle
@@ -4681,6 +4720,17 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "versioned_meta_agg": """
+            -- the manifest-only aggregate (per-file footer row counts +
+            -- min/max stats; base write + stats-inheriting append) must
+            -- equal the full scan (BIGINT cast — DuckDB count is BIGINT
+            -- but sum paths elsewhere taught us to be explicit)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders
         """,
         "versioned_mv_distinct": """
             -- two-level IVM: the support MV (count per (status,

@@ -317,7 +317,16 @@ def write_snapshot(
         _gc_orphans(root)
         parent = current_version(root)
         version = (parent or 0) + 1
-        new_files, file_stats, n = _write_data_dir(df, root, stats_cols)
+        if stats_cols is None and mode == "append" and parent is not None:
+            # appends inherit the parent's stats columns by default —
+            # otherwise a forgetful append silently degrades file
+            # pruning and metadata-only aggregation for its files (the
+            # same inheritance row ops already apply); an explicit
+            # stats_cols still wins
+            stats_cols = _parent_stats_cols(
+                _read_manifest(root, parent), []) or None
+        new_files, file_stats, file_rows, n = _write_data_dir(
+            df, root, stats_cols)
         schema = df.schema
         files = new_files
         meta_out = dict(meta or {})
@@ -337,6 +346,7 @@ def write_snapshot(
                     StructType.fromJson(pm["schema"]), df.schema)
                 files = pm["files"] + new_files
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
+                file_rows = {**pm.get("file_rows", {}), **file_rows}
 
         _publish_manifest(root, version, {
             "version": version,
@@ -344,6 +354,7 @@ def write_snapshot(
             "mode": mode,
             "files": files,
             "file_stats": file_stats,
+            "file_rows": file_rows,
             "schema": schema.jsonValue(),
             "rows_written": n,
             "committed_at": time.time(),
@@ -356,12 +367,24 @@ def write_snapshot(
             os.unlink(lock_path)
 
 
+def _file_row_counts(data_dir: str) -> dict[str, int]:
+    """Per-file row counts from the parquet footers (metadata only)."""
+    import pyarrow.parquet as pq
+
+    return {
+        name: pq.ParquetFile(os.path.join(data_dir, name)).metadata.num_rows
+        for name in sorted(os.listdir(data_dir))
+        if name.endswith(".parquet")
+    }
+
+
 def _write_data_dir(
     df: DataFrame, root: str, stats_cols: list[str] | None
-) -> tuple[list[str], dict, int]:
+) -> tuple[list[str], dict, dict, int]:
     """Write ``df`` into a fresh uuid data dir under ``root``; returns
-    (relative file paths, per-file stats for ``stats_cols``, row count).
-    Shared by the committing writer and the WAP staging writer."""
+    (relative file paths, per-file stats for ``stats_cols``, per-file
+    row counts, row count). Shared by the committing writer and the WAP
+    staging writer."""
     data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(root, data_name)
     obs = Observation(f"snap_{uuid.uuid4().hex[:8]}")
@@ -379,7 +402,11 @@ def _write_data_dir(
             f"{data_name}/{name}": st
             for name, st in _collect_file_stats(data_dir, stats_cols).items()
         }
-    return new_files, file_stats, n
+    file_rows = {
+        f"{data_name}/{name}": r
+        for name, r in _file_row_counts(data_dir).items()
+    }
+    return new_files, file_stats, file_rows, n
 
 
 def _publish_manifest(root: str, version: int, manifest: dict) -> None:
@@ -1105,6 +1132,11 @@ def _row_op_commit(
                 for name, st in _collect_file_stats(data_dir, stats_cols).items()
             }
         parent_stats = pm.get("file_stats", {})
+        parent_rows = pm.get("file_rows", {})
+        new_rows = {
+            f"{data_name}/{name}": r
+            for name, r in _file_row_counts(data_dir).items()
+        }
         version = parent + 1
         meta_out = dict(meta or {})
         for k in _DURABLE_ROW_OP_META:
@@ -1118,6 +1150,10 @@ def _row_op_commit(
             "file_stats": {
                 **{f: parent_stats[f] for f in kept if f in parent_stats},
                 **new_stats,
+            },
+            "file_rows": {
+                **{f: parent_rows[f] for f in kept if f in parent_rows},
+                **new_rows,
             },
             "schema": pm["schema"],
             "rows_written": n,
@@ -1851,14 +1887,19 @@ def stage_snapshot(
         _gc_orphans(root)
         parent = current_version(root)
         if mode == "append" and parent is not None:
-            _refuse_transformed_parent(
-                _read_manifest(root, parent), "a staged append")
-        new_files, file_stats, n = _write_data_dir(df, root, stats_cols)
+            pm0 = _read_manifest(root, parent)
+            _refuse_transformed_parent(pm0, "a staged append")
+            if stats_cols is None:
+                # same stats-column inheritance as a direct append
+                stats_cols = _parent_stats_cols(pm0, []) or None
+        new_files, file_stats, file_rows, n = _write_data_dir(
+            df, root, stats_cols)
         entry = {
             "wap_id": wap_id,
             "mode": mode,
             "new_files": new_files,
             "file_stats": file_stats,
+            "file_rows": file_rows,
             "schema": df.schema.jsonValue(),
             "rows_written": n,
             "parent_at_stage": parent,
@@ -1955,6 +1996,8 @@ def publish_staged(root: str, wap_id: str) -> int:
         version = (parent or 0) + 1
         schema = StructType.fromJson(entry["schema"])
         files, file_stats = list(entry["new_files"]), dict(entry["file_stats"])
+        # pre-file_rows entries (older stagings) publish without counts
+        file_rows = dict(entry.get("file_rows", {}))
         meta_out = dict(entry["meta"])
         if entry["mode"] == "overwrite":
             if parent != entry["parent_at_stage"]:
@@ -1978,6 +2021,7 @@ def publish_staged(root: str, wap_id: str) -> int:
                     StructType.fromJson(pm["schema"]), schema)
                 files = pm["files"] + files
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
+                file_rows = {**pm.get("file_rows", {}), **file_rows}
         # durably record the intended version BEFORE the pointer swap
         # and stamp the manifest with this wap_id — together they make
         # replay detection exact (tier 1 above)
@@ -1993,6 +2037,7 @@ def publish_staged(root: str, wap_id: str) -> int:
             "mode": entry["mode"],
             "files": files,
             "file_stats": file_stats,
+            "file_rows": file_rows,
             "schema": schema.jsonValue(),
             "rows_written": entry["rows_written"],
             "committed_at": time.time(),
@@ -2139,3 +2184,52 @@ def delete_tag(root: str, name: str) -> None:
     finally:
         os.close(fd)
         os.unlink(os.path.join(root, LOCK))
+
+
+def snapshot_meta_agg(
+    root: str, cols: list[str] | None = None, version: int | None = None,
+) -> dict:
+    """Metadata-only aggregation (the Iceberg metadata-scan analog):
+    ``count(*)`` and per-column ``min``/``max`` answered from the
+    manifest alone — ZERO Spark jobs, no data-file I/O, O(files) driver
+    work. At 100 TB this is the difference between a catalog lookup and
+    a cluster-wide scan for the queries BI layers fire constantly.
+
+    Returns ``{"n_rows": N, "min_<c>": ..., "max_<c>": ...}``.
+    Soundness: ``n_rows`` sums the per-file row counts every writer
+    records from the parquet footers (exact, includes NULL rows like
+    SQL ``count(*)``); min/max come from the recorded file stats, which
+    exclude NULLs exactly as SQL min/max do. Refuses (ValueError) when
+    the manifest predates per-file row counts, or when any file lacks
+    stats for a requested column (unstatted writes and all-NULL files
+    record none) — never guesses. Date/timestamp stats are ISO strings
+    (the stored ordering-compatible form); numeric stats round-trip
+    exactly through the manifest JSON.
+    """
+    v = _resolve_version(root, version, None)
+    m = _read_manifest(root, v)
+    fr = m.get("file_rows", {})
+    missing = [f for f in m["files"] if f not in fr]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} file(s) of {root}@{v} have no recorded row "
+            "count (manifest predates per-file counts) — re-commit the "
+            "table or aggregate via Spark"
+        )
+    out: dict = {"n_rows": sum(fr[f] for f in m["files"])}
+    fs = m.get("file_stats", {})
+    for c in cols or []:
+        mins, maxs = [], []
+        for f in m["files"]:
+            st = fs.get(f, {}).get(c)
+            if st is None:
+                raise ValueError(
+                    f"column {c!r} lacks min/max stats on {f} — record it "
+                    "via stats_cols at write time (all-NULL files also "
+                    "carry no stats); metadata cannot answer this min/max"
+                )
+            mins.append(st["min"])
+            maxs.append(st["max"])
+        out[f"min_{c}"] = min(mins) if mins else None
+        out[f"max_{c}"] = max(maxs) if maxs else None
+    return out

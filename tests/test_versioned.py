@@ -1793,3 +1793,55 @@ def test_evolution_nonnullable_added_column(spark, tmp_path):
     assert got.count() == 8
     assert got.filter(F.col("tagcol").isNull()).count() == 5
     assert got.filter(F.col("tagcol") == "new").count() == 3
+
+
+def test_snapshot_meta_agg(spark, tmp_path):
+    """snapshot_meta_agg answers count/min/max from the manifest alone,
+    stays exact across append / merge / delete / staged-publish
+    commits, and refuses rather than guesses when counts or stats are
+    missing."""
+    import json as _json
+    import os
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        root, stats_cols=["id", "v"],
+    )
+    assert V.snapshot_meta_agg(root, ["id", "v"]) == {
+        "n_rows": 100, "min_id": 0, "max_id": 99, "min_v": 0, "max_v": 198}
+
+    # append, merge, delete, staged publish — counts stay exact
+    write_snapshot(_df(spark, 100, 120), root, mode="append")
+    V.merge_snapshot(
+        spark, root,
+        spark.createDataFrame([(5, 999), (200, 400)], "id long, v long"),
+        "id",
+    )
+    V.delete_where(spark, root, {"id": ("<", 10)})
+    wid = V.stage_snapshot(_df(spark, 300, 310), root, mode="append")
+    V.publish_staged(root, wid)
+
+    expect = read_snapshot(spark, root).count()
+    got = V.snapshot_meta_agg(root, ["id"])
+    assert got["n_rows"] == expect
+    assert got["min_id"] == 10 and got["max_id"] == 309
+    # time travel: the agg is per-version
+    assert V.snapshot_meta_agg(root, version=1)["n_rows"] == 100
+
+    # a column without recorded stats refuses
+    with pytest.raises(ValueError, match="lacks min/max stats"):
+        V.snapshot_meta_agg(root, ["nope"])
+
+    # a manifest stripped of row counts (pre-feature table) refuses
+    v = current_version(root)
+    mp = V._manifest_path(root, v)
+    with open(mp) as f:
+        m = _json.load(f)
+    del m["file_rows"]
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="no recorded row count"):
+        V.snapshot_meta_agg(root)
