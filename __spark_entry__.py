@@ -569,7 +569,7 @@ def _versioned_orders_root(sf: str) -> str:
 
     st = os.stat(os.path.join(sf, "orders.parquet"))
     tag = hashlib.sha256(
-        f"{sf}:{st.st_mtime_ns}:{st.st_size}:fmt2".encode()
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:fmt3".encode()
     ).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"kg_versioned_orders_{tag}")
 
@@ -711,7 +711,7 @@ def q_versioned_merge_read(spark, sf):
 def q_versioned_delete_read(spark, sf):
     """Copy-on-write row-level DELETE (round 5): orders committed
     range-partitioned on o_orderdate with date stats, then
-    ``delete_where(o_orderdate < 1993-07-01)`` rewrites only the files
+    ``delete_where(o_orderdate < 1996-02-01)`` rewrites only the files
     that can contain matching rows (stats-pruned minimal rewrite); the
     surviving table must equal the WHERE-NOT scan DuckDB runs."""
     from decisions_knowledge_graph_data_spark.sources.versioned import (
@@ -725,7 +725,7 @@ def q_versioned_delete_read(spark, sf):
             root, stats_cols=["o_orderdate"],
         )
     if len(table_history(root)) == 1:
-        delete_where(spark, root, {"o_orderdate": ("<", "1993-07-01")})
+        delete_where(spark, root, {"o_orderdate": ("<", "1996-02-01")})
     kept = read_snapshot(spark, root)
     return (
         kept.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
@@ -734,6 +734,54 @@ def q_versioned_delete_read(spark, sf):
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
         .orderBy("o_year")
+    )
+
+
+def q_versioned_mor_read(spark, sf):
+    """Merge-on-read row-level DELETE (Iceberg v2 position-delete
+    analog, round 5): instead of rewriting files, ``delete_where_mor``
+    commits a tiny (file, pos) parquet and every read path anti-joins
+    the positions out — at 100 TB, a kilobyte write instead of
+    rewriting a terabyte partition. The fixture layers the interactions
+    that make the semantics non-trivial: a date-slice MoR delete, then
+    an APPEND (which must inherit the delete attachments — the new file
+    is only filtered by LATER deletes), then a status MoR delete that
+    hits base and appended files alike. The read must equal DuckDB
+    replaying the same timeline over the source table."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, delete_where_mor, read_snapshot, table_history,
+        write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_mor"
+    if current_version(root) is None:
+        write_snapshot(
+            _t(spark, sf, "orders").repartitionByRange(8, "o_orderdate"),
+            root, stats_cols=["o_orderdate"],
+        )
+    if len(table_history(root)) == 1:
+        delete_where_mor(spark, root, {"o_orderdate": ("<", "1995-09-01")})
+    if len(table_history(root)) == 2:
+        app = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_custkey") % 251 == 0)
+            .withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(500_000_000))
+        )
+        write_snapshot(app, root, mode="append")
+    if len(table_history(root)) == 3:
+        delete_where_mor(spark, root, {"o_orderstatus": ("==", "P")})
+    vis = read_snapshot(spark, root)
+    return (
+        vis.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.bit_xor(F.col("o_orderkey")).alias("xor_keys"),
+        )
+        .orderBy("o_year", "o_orderstatus")
     )
 
 
@@ -784,7 +832,7 @@ def q_versioned_mv_read(spark, sf):
         )
         refresh_agg_mv(*mv_args, **mv_kw)  # append window: pure fold
     if len(table_history(src_root)) == 2:
-        delete_where(spark, src_root, {"o_orderdate": ("<", "1993-07-01")})
+        delete_where(spark, src_root, {"o_orderdate": ("<", "1996-02-01")})
     refresh_agg_mv(*mv_args, **mv_kw)
     mv = read_snapshot(spark, mv_root)
     return (
@@ -2461,6 +2509,42 @@ def q_graph_pagerank(spark, sf):
     )
 
 
+def q_khop_reachability(spark, sf):
+    """Bounded multi-source BFS (round 5): the k-hop-neighborhood
+    primitive a knowledge graph queries constantly — everything within
+    4 hops of nation N7 over the CYCLIC nation→customer→order→supplier
+    →nation graph. The engine explores level-synchronously (frontier
+    join + anti-join visited: cost ∝ reached NODES, first-visit dist is
+    the minimum by construction); the DuckDB oracle walks the same
+    graph as a bounded recursive CTE carrying (node, dist) pairs and
+    takes min(dist) at the end — two very different formulations that
+    must agree exactly (integer distances, no float noise)."""
+    from decisions_knowledge_graph_data_spark.operators.graph import (
+        bfs_levels,
+    )
+    cu = _t(spark, sf, "customer").select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("dst"),
+    )
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    su = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    edges = cu.unionByName(o).unionByName(li).unionByName(su)
+    srcs = spark.createDataFrame([("N7",)], "node string")
+    out = bfs_levels(edges, srcs, max_hops=4)
+    return out.select("node", F.col("dist").cast("int").alias("dist")).orderBy(
+        "dist", "node")
+
+
 def _asof_frames(spark, sf):
     """Shared probe/build frames for every query on the asof_join
     oracle (batch, time-bucketed twin, streaming enrichment): the
@@ -3507,10 +3591,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_ids": q_seq_ids,
         "nway_intersection": q_nway_intersection,
         "dimension_lookup": q_dimension_lookup,
-        "percentiles": q_percentiles,
+        # round-5 swap: percentiles → tail (the distribution-agg family
+        # stays visible via pricing_summary/teaching_pivot/
+        # score-histogram twins); merge-on-read deletes take the slot
+        "versioned_mor_read": q_versioned_mor_read,
         "stream_dedup_watermark": q_stream_dedup_watermark,
         "regex_scan": q_regex_scan,
-        "repetition_stats": q_repetition_stats,
+        # round-5 swap: repetition_stats → tail (textstats family stays
+        # visible via regex_scan + quality/token twins); bounded k-hop
+        # BFS — the KG neighborhood primitive — takes the slot
+        "khop_reachability": q_khop_reachability,
         # ---- training-data assembly family (round-5: trainprep)
         "train_split": q_train_split,
         "doc_chunks": q_doc_chunks,
@@ -3542,6 +3632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,                # set-ops family: nway_intersection
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
+        "percentiles": q_percentiles,  # displaced to the tail in the round-5 MoR swap
+        "repetition_stats": q_repetition_stats,  # displaced to the tail in the round-5 k-hop swap
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
         "stream_mv_maintain": q_stream_mv_maintain,  # streaming publish + per-batch incremental MV fold
         "versioned_tag_read": q_versioned_tag_read,  # tags pin versions through retention
@@ -4706,6 +4798,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    bit_xor(o_orderkey) AS xor_keys
             FROM merged GROUP BY 1 ORDER BY 1
         """,
+        "versioned_mor_read": """
+            -- merge-on-read delete timeline replayed relationally:
+            -- (1) MoR-delete dates < 1995-09-01 from the base,
+            -- (2) append the %251 slice with shifted keys (the append
+            --     postdates delete 1, so it is NOT subject to it),
+            -- (3) MoR-delete status 'P' from base AND appended rows
+            WITH base AS (
+              SELECT * FROM orders
+              WHERE NOT (o_orderdate < TIMESTAMP '1995-09-01 00:00:00')
+            ),
+            app AS (
+              SELECT * REPLACE (o_orderkey + 500000000 AS o_orderkey)
+              FROM orders WHERE o_custkey % 251 = 0
+            ),
+            vis AS (
+              SELECT * FROM base UNION ALL SELECT * FROM app
+            )
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM vis WHERE NOT (o_orderstatus = 'P')
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "versioned_mv_read": """
             -- the incrementally-maintained MV (append fold + file-local
             -- delete fold + adaptive extrema repair) must equal the
@@ -4718,7 +4835,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(o_totalprice) AS min_price,
                    max(o_totalprice) AS max_price
             FROM orders
-            WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
+            WHERE NOT (o_orderdate < TIMESTAMP '1996-02-01 00:00:00')
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "versioned_meta_agg": """
@@ -4791,7 +4908,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
-            WHERE NOT (o_orderdate < TIMESTAMP '1993-07-01')
+            WHERE NOT (o_orderdate < TIMESTAMP '1996-02-01 00:00:00')
             GROUP BY 1 ORDER BY 1
         """,
         "versioned_incremental_read": """
@@ -4992,6 +5109,36 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "graph_pagerank": _pagerank_oracle_sql(3),
+        "khop_reachability": """
+            -- bounded BFS as a recursive CTE: the recursion carries
+            -- (node, dist) pairs (UNION dedups pairs, keeping the
+            -- cyclic graph finite) and min(dist) collapses to the
+            -- first-visit distance the engine's frontier expansion
+            -- produces by construction
+            WITH RECURSIVE e AS (
+              SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS src,
+                     'C' || CAST(c_custkey AS VARCHAR) AS dst
+              FROM customer
+              UNION ALL
+              SELECT 'C' || CAST(o_custkey AS VARCHAR),
+                     'O' || CAST(o_orderkey AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'O' || CAST(l_orderkey AS VARCHAR),
+                     'S' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+                     'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
+            ),
+            bfs AS (
+              SELECT 'N7' AS node, 0 AS dist
+              UNION
+              SELECT e.dst, b.dist + 1
+              FROM bfs b JOIN e ON e.src = b.node
+              WHERE b.dist < 4
+            )
+            SELECT node, CAST(min(dist) AS INT) AS dist
+            FROM bfs GROUP BY node ORDER BY dist, node
+        """,
         "label_propagation": _label_prop_oracle_sql(3),
         "triangle_counts": _TRIANGLE_ORACLE,
         "asof_join": """

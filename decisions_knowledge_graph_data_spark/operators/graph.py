@@ -134,6 +134,64 @@ def pagerank(
     return pr
 
 
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded multi-source BFS over a directed edge DataFrame: returns
+    ``(node, dist)`` with ``dist`` = MINIMUM hop count from any source
+    node, for every node within ``max_hops`` (sources at dist 0). The
+    k-hop-neighborhood primitive a knowledge graph queries constantly
+    (everything within k citation hops of a decision; blast radius of
+    an entity edit).
+
+    ``sources`` is a single-column DataFrame of start nodes (NULLs and
+    duplicates ignored). Level-synchronous frontier expansion, the
+    scale-correct relational form:
+      - each hop is exactly one equi-join (frontier ⋈ edges on ``src``
+        — broadcast-able while the frontier is small, AQE decides) plus
+        one ``distinct`` and one anti-join against the visited set;
+        never a path enumeration, so hub fan-out costs |reached nodes|,
+        not |paths| (a cyclic hub graph has exponentially many bounded
+        paths but this never materializes them — the DuckDB oracle, by
+        contrast, must carry (node, dist) pairs and min() at the end);
+      - first-visit distance IS the minimum distance (the anti-join
+        guarantees a node joins the frontier at its earliest level), so
+        no re-aggregation pass;
+      - ``localCheckpoint`` per level truncates the growing plan, the
+        same discipline as ``pagerank``/the CC loop;
+      - FIXED hop count, no emptiness probe per level — no driver
+        action inside the loop (an empty frontier makes the remaining
+        levels no-op joins on an empty side, which AQE plans away).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED simple graph of
     ``edges`` (direction, parallel edges and self-loops are normalized

@@ -57,7 +57,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..sources.versioned import (
+    _delete_map,
     _read_manifest,
+    _scan_files,
     current_version,
     read_snapshot,
     write_snapshot,
@@ -139,7 +141,21 @@ def _net_file_diff(root: str, lo_v: int, hi_v: int):
         v = m["parent"]
         m = _read_manifest(root, v)
     lo_files, hi_files = set(m["files"]), set(m_hi["files"])
-    return sorted(hi_files - lo_files), sorted(lo_files - hi_files), m_hi
+    # merge-on-read deletes change a file's VISIBLE rows without
+    # changing the file list: common files whose delete-entry lists
+    # differ between the two manifests fold on BOTH sides (+hi view,
+    # −lo view) — the surviving rows appear with opposite signs and
+    # cancel in the distributive aggregate, exactly like CoW kept rows,
+    # and this also covers a rollback that resurrects deleted rows
+    lo_d, hi_d = _delete_map(m), _delete_map(m_hi)
+    dchanged = sorted(
+        f for f in lo_files & hi_files
+        if sorted(lo_d.get(f, [])) != sorted(hi_d.get(f, []))
+    )
+    return (
+        sorted(hi_files - lo_files), sorted(lo_files - hi_files),
+        dchanged, m, m_hi,
+    )
 
 
 def _needs_rescan(minmax_cols: list[str]) -> Column:
@@ -209,18 +225,19 @@ def refresh_agg_mv(
             "table) instead of maintaining across specs"
         )
     try:
-        added, removed, m_hi = _net_file_diff(src_root, applied, src_v)
+        added, removed, dchanged, m_lo, m_hi = _net_file_diff(
+            src_root, applied, src_v)
     except FileNotFoundError:
         # the applied version fell out of retention: the delta window is
         # gone, so rebuild from the current snapshot (correct, just not
         # incremental — and only ever pays when retention lapsed)
         return _rebuild()
-    if not added and not removed:
+    if not added and not removed and not dchanged:
         # data-identical window (e.g. meta-only commits): re-commit the
         # MV rows as-is so mv_src_version advances (aggregate-sized)
         write_snapshot(cur, mv_root, meta={MV_SRC_VERSION_KEY: src_v})
         return src_v
-    if len(added) + len(removed) >= len(m_hi["files"]):
+    if len(added) + len(removed) + 2 * len(dchanged) >= len(m_hi["files"]):
         # the delta scan would touch at least as many files as the
         # current snapshot (compaction / re-clustering in the window):
         # one full-agg scan is strictly cheaper than two delta scans
@@ -229,20 +246,25 @@ def refresh_agg_mv(
         keys + sum_cols + minmax_cols))  # pruned-scan column set
     src_schema = StructType.fromJson(m_hi["schema"])
 
-    def _side(files: list[str], sgn: int) -> DataFrame | None:
+    def _side(files: list[str], sgn: int, dmap_m: dict) -> DataFrame | None:
         if not files:
             return None
         # current schema on both sides: pre-evolution files surface the
-        # later-added columns as NULL, matching read_snapshot semantics
+        # later-added columns as NULL, matching read_snapshot semantics;
+        # the scan applies dmap_m's merge-on-read deletes (added /
+        # delete-changed files view through m_hi, removed / the old side
+        # of delete-changed files through m_lo) — Catalyst still prunes
+        # the parquet scan to the selected columns
         return (
-            spark.read.schema(src_schema)
-            .parquet(*[os.path.join(src_root, f) for f in files])
+            _scan_files(spark, src_root, dmap_m, files, schema=src_schema)
             .select(*need)
             .withColumn(_SIGN, F.lit(sgn))
         )
 
-    sides = [s for s in (_side(added, 1), _side(removed, -1))
-             if s is not None]
+    sides = [s for s in (
+        _side(added + dchanged, 1, m_hi),
+        _side(removed + dchanged, -1, m_lo),
+    ) if s is not None]
     ch = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
     is_ins = F.col(_SIGN) == 1
     sign = F.col(_SIGN)

@@ -39,7 +39,16 @@ format semantics the pipeline actually relies on, on plain parquet:
   - **snapshot expiration**: ``expire_versions(root, keep_last=N)``
     drops old manifests and deletes data dirs no retained manifest
     references (Iceberg ``expire_snapshots`` analog) — bounded storage
-    under frequent commits.
+    under frequent commits;
+  - **merge-on-read deletes**: ``delete_where_mor`` commits a tiny
+    positional delete file (``file, pos`` — the Iceberg v2 position-
+    delete form) instead of rewriting data files; every read path
+    anti-joins the positions back out. At 100 TB this is the difference
+    between a kilobyte write and rewriting a terabyte partition to
+    drop a handful of rows. ``compact_snapshot`` absorbs deletes back
+    into clean files; surfaces whose semantics a delete would silently
+    break (append-lineage incremental reads, metadata-only min/max)
+    refuse loudly instead.
 
 Single-writer discipline is enforced with a best-effort ``_commit.lock``
 (O_CREAT|O_EXCL); concurrent readers need no locks. At real scale the
@@ -74,6 +83,12 @@ DATA_PREFIX = "data_"
 # silently miss rows (row ops, which preserve layout, inherit the wider
 # _DURABLE_ROW_OP_META instead).
 _DURABLE_WRITER_META = ("batch_id_hwm", "mv_src_version")
+
+# merge-on-read position deletes: internal column names a delete-aware
+# scan temporarily attaches (reserved — tables must not contain them,
+# checked at delete time and on every delete-applying scan)
+MOR_FILE_COL = "_mor_file"
+MOR_POS_COL = "_mor_pos"
 
 _PRUNE_OPS = ("==", "<", "<=", ">", ">=", "between")
 
@@ -274,8 +289,12 @@ def _gc_orphans(root: str) -> None:
             os.unlink(_manifest_path(root, v))
     live_dirs = _staged_live_dirs(root)
     for v in _manifest_versions(root):
-        for f in _read_manifest(root, v)["files"]:
+        m = _read_manifest(root, v)
+        for f in m["files"]:
             live_dirs.add(f.split("/", 1)[0])
+        for dels in _delete_map(m).values():
+            for d in dels:
+                live_dirs.add(d.split("/", 1)[0])
     for name in os.listdir(root):
         if name.startswith(DATA_PREFIX) and name not in live_dirs:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
@@ -329,6 +348,8 @@ def write_snapshot(
             df, root, stats_cols)
         schema = df.schema
         files = new_files
+        delete_files: dict = {}
+        delete_counts: dict = {}
         meta_out = dict(meta or {})
         if parent is not None:
             pm = _read_manifest(root, parent)
@@ -347,6 +368,11 @@ def write_snapshot(
                 files = pm["files"] + new_files
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
                 file_rows = {**pm.get("file_rows", {}), **file_rows}
+                # the parent's merge-on-read delete positions still
+                # apply to its files — an append must carry them or
+                # deleted rows would resurrect
+                delete_files = _delete_map(pm)
+                delete_counts = pm.get("delete_counts", {})
 
         _publish_manifest(root, version, {
             "version": version,
@@ -355,6 +381,8 @@ def write_snapshot(
             "files": files,
             "file_stats": file_stats,
             "file_rows": file_rows,
+            "delete_files": delete_files,
+            "delete_counts": delete_counts,
             "schema": schema.jsonValue(),
             "rows_written": n,
             "committed_at": time.time(),
@@ -541,6 +569,110 @@ def plan_files(
     return abs_files, skipped, StructType.fromJson(m["schema"])
 
 
+def _delete_map(m: dict) -> dict[str, list[str]]:
+    """Manifest's live position-delete attachments: {data_rel_file:
+    [delete_rel_file, ...]} — empty dict when the snapshot has none."""
+    return {f: d for f, d in m.get("delete_files", {}).items() if d}
+
+
+def _check_mor_reserved(schema: StructType) -> None:
+    bad = [c for c in (MOR_FILE_COL, MOR_POS_COL) if c in schema.fieldNames()]
+    if bad:
+        raise ValueError(
+            f"merge-on-read deletes reserve column name(s) {bad}; the "
+            "table must not contain them"
+        )
+
+
+def _rel_file_cols() -> list[Column]:
+    """(relative data file, row position) of each scanned row, from the
+    parquet reader's metadata columns. Data files always live exactly
+    one uuid directory below the table root, so the relative path is
+    the last two URI segments — location-independent, unlike the full
+    ``file:///...`` path."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return [
+        F.concat_ws(
+            "/", F.element_at(parts, -2), F.element_at(parts, -1)
+        ).alias(MOR_FILE_COL),
+        F.col("_metadata.row_index").alias(MOR_POS_COL),
+    ]
+
+
+# above this many live delete positions across the scanned files, the
+# read-side anti-join is left to AQE instead of a forced broadcast
+MOR_BROADCAST_CAP = 2_000_000
+
+
+def _scan_files(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    rel_files: list[str],
+    with_pos: bool = False,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """THE data-file scan every read and rewrite path routes through:
+    read ``rel_files`` under ``schema`` (default: the manifest's),
+    anti-joining out any position-delete files the manifest attaches to
+    them, so merge-on-read deletes are invisible everywhere by
+    construction. Files without delete entries scan clean — no metadata
+    columns, no join (at 100 TB almost every file is clean; only the
+    deleted-against minority pays the anti-join). ``with_pos=True``
+    additionally returns each surviving row's (relative file, position)
+    as ``MOR_FILE_COL``/``MOR_POS_COL`` — the delete writer's input.
+    The delete side is broadcast while the manifest's recorded position
+    count stays under ``MOR_BROADCAST_CAP``; above it, AQE picks the
+    strategy (bulk deletes belong in copy-on-write ``delete_where``)."""
+    schema = schema or StructType.fromJson(m["schema"])
+    dmap = _delete_map(m)
+    dirty = [f for f in rel_files if f in dmap]
+    if dirty or with_pos:
+        _check_mor_reserved(schema)
+    if not rel_files:
+        df = spark.createDataFrame([], schema)
+        if with_pos:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias(MOR_FILE_COL),
+                F.lit(None).cast("bigint").alias(MOR_POS_COL),
+            )
+        return df
+
+    def scan(files: list[str], attach: bool) -> DataFrame:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+        return df.select("*", *_rel_file_cols()) if attach else df
+
+    dirty_set = set(dirty)
+    clean = [f for f in rel_files if f not in dirty_set]
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(scan(clean, with_pos))
+    if dirty:
+        del_rel = sorted({d for f in dirty for d in dmap[f]})
+        dels = spark.read.parquet(
+            *[os.path.join(root, d) for d in del_rel]
+        ).select(
+            F.col("file").alias(MOR_FILE_COL), F.col("pos").alias(MOR_POS_COL)
+        )
+        dcounts = m.get("delete_counts", {})
+        n_live = sum(dcounts.get(f, 0) for f in dirty)
+        if n_live <= MOR_BROADCAST_CAP:
+            dels = F.broadcast(dels)
+        cleaned = scan(dirty, True).join(
+            dels, [MOR_FILE_COL, MOR_POS_COL], "left_anti"
+        )
+        if not with_pos:
+            cleaned = cleaned.drop(MOR_FILE_COL, MOR_POS_COL)
+        parts.append(cleaned)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
@@ -575,17 +707,16 @@ def read_snapshot(
             raise ValueError("pass exactly one of version / as_of / tag")
         version = resolve_tag(root, tag)
     v = _resolve_version(root, version, as_of)
-    files, _, schema = plan_files(root, version=v, predicates=predicates)
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        # explicit manifest schema: evolved columns missing from old
-        # files read as NULL, with no mergeSchema footer-scan
-        df = spark.read.schema(schema).parquet(*files)
+    m = _read_manifest(root, v)
+    files, _, _ = plan_files(root, version=v, predicates=predicates)
+    # _scan_files reads the explicit manifest schema (evolved columns
+    # missing from old files read as NULL, no mergeSchema footer-scan)
+    # and anti-joins out any merge-on-read delete positions
+    df = _scan_files(spark, root, m, [os.path.relpath(f, root) for f in files])
     if predicates:
         df = df.filter(_residual_filter(predicates))
     if not keep_internal:
-        df = _drop_internal(df, _read_manifest(root, v))
+        df = _drop_internal(df, m)
     return df
 
 
@@ -990,12 +1121,7 @@ def read_snapshot_semijoin(
         if hit:
             kept.append(f)
 
-    if not kept:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in kept]
-        )
+    df = _scan_files(spark, root, m, kept)
     if exact:
         # the semi-join probes the EXACT collected set, so pruning and
         # filtering are decided by the same values by construction
@@ -1105,12 +1231,11 @@ def _row_op_commit(
             return None
         touched, kept, build_rewrite = planned
 
-        if touched:
-            src = spark.read.schema(schema).parquet(
-                *[os.path.join(root, f) for f in touched]
-            )
-        else:
-            src = spark.createDataFrame([], schema)
+        # delete-aware scan: touched files' merge-on-read positions are
+        # applied BEFORE the rewrite (a raw read would resurrect
+        # deleted rows into the new files) — the rewrite therefore
+        # ABSORBS those deletes; kept files keep their entries below
+        src = _scan_files(spark, root, pm, touched, schema=schema)
         rewritten = build_rewrite(src)
 
         data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
@@ -1142,6 +1267,9 @@ def _row_op_commit(
         for k in _DURABLE_ROW_OP_META:
             if k in pm.get("meta", {}) and k not in meta_out:
                 meta_out[k] = pm["meta"][k]
+        # kept files keep their merge-on-read delete entries; touched
+        # files' entries were absorbed by the delete-aware rewrite scan
+        pdel, pdelc = _delete_map(pm), pm.get("delete_counts", {})
         _publish_manifest(root, version, {
             "version": version,
             "parent": parent,
@@ -1155,6 +1283,8 @@ def _row_op_commit(
                 **{f: parent_rows[f] for f in kept if f in parent_rows},
                 **new_rows,
             },
+            "delete_files": {f: pdel[f] for f in kept if f in pdel},
+            "delete_counts": {f: pdelc[f] for f in kept if f in pdelc},
             "schema": pm["schema"],
             "rows_written": n,
             "committed_at": time.time(),
@@ -1335,6 +1465,135 @@ def delete_where(
     return v
 
 
+def delete_where_mor(
+    spark: SparkSession,
+    root: str,
+    predicates: dict,
+    meta: dict | None = None,
+    max_positions: int = 5_000_000,
+) -> int | None:
+    """Merge-on-read row-level DELETE (Iceberg v2 position-delete
+    analog): instead of rewriting every file that can match (what
+    ``delete_where`` does), commit a tiny parquet of ``(file, pos)``
+    positions; every read path anti-joins them back out via
+    ``_scan_files``. At 100 TB, dropping a few rows from a terabyte
+    partition becomes a kilobyte write — the data files, their stats
+    and their cached scans are untouched. Same predicate grammar and
+    SQL NULL semantics as ``delete_where``; files whose stats refute
+    the predicate are never scanned. Positions are computed AGAINST the
+    visible rows (existing deletes applied first), so a position is
+    recorded at most once and per-file delete counts stay exact.
+
+    Returns the new version, or None when no row matches (no commit).
+    Refuses (ValueError) when more than ``max_positions`` rows match:
+    the read-side anti-join is sized for sparse deletes — bulk deletes
+    belong in copy-on-write ``delete_where``, and ``compact_snapshot``
+    absorbs accumulated positions back into clean files."""
+    import pyarrow.parquet as pq
+
+    if not predicates:
+        raise ValueError(
+            "delete_where_mor with no predicates would delete every row; "
+            "commit an empty overwrite snapshot to truncate deliberately"
+        )
+    _check_predicates(predicates)
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    lock_path = os.path.join(root, LOCK)
+    fd = None
+    try:
+        fd = _acquire_lock(root)
+        _gc_orphans(root)
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(
+                f"{root} has no committed version to delete from")
+        pm = _read_manifest(root, parent)
+        stats = pm.get("file_stats", {})
+        candidates = [
+            f for f in pm["files"]
+            if _file_can_match(stats.get(f), predicates)
+        ]
+        if not candidates:
+            return None
+        src = _scan_files(spark, root, pm, candidates, with_pos=True)
+        # SQL DELETE semantics: a row whose predicate evaluates NULL is
+        # NOT deleted — only a definite TRUE records a position
+        matches = src.filter(
+            F.coalesce(_residual_filter(predicates), F.lit(False))
+        ).select(
+            F.col(MOR_FILE_COL).alias("file"),
+            F.col(MOR_POS_COL).alias("pos"),
+        )
+        data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+        data_dir = os.path.join(root, data_name)
+        matches.coalesce(1).write.mode("error").parquet(data_dir)
+        del_files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        # per-file position counts from the (tiny) delete parquet itself
+        # — driver-side pyarrow, no second job
+        counts: dict[str, int] = {}
+        total = 0
+        for name in del_files:
+            t = pq.read_table(os.path.join(data_dir, name), columns=["file"])
+            total += t.num_rows
+            for fval, n in zip(*_value_counts(t.column("file"))):
+                counts[fval] = counts.get(fval, 0) + n
+        if total == 0:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
+        if total > max_positions:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                f"{total} rows match — above max_positions="
+                f"{max_positions}; a delete this large should rewrite "
+                "files via copy-on-write delete_where instead of "
+                "accumulating merge-on-read positions"
+            )
+        new_rel = [f"{data_name}/{n}" for n in del_files]
+        dmap = {f: list(d) for f, d in _delete_map(pm).items()}
+        dcounts = dict(pm.get("delete_counts", {}))
+        for f in counts:
+            dmap[f] = dmap.get(f, []) + new_rel
+            dcounts[f] = dcounts.get(f, 0) + counts[f]
+        version = parent + 1
+        meta_out = dict(meta or {})
+        for k in _DURABLE_ROW_OP_META:
+            if k in pm.get("meta", {}) and k not in meta_out:
+                meta_out[k] = pm["meta"][k]
+        _publish_manifest(root, version, {
+            "version": version,
+            "parent": parent,
+            "mode": "mor_delete",
+            "files": pm["files"],
+            "file_stats": pm.get("file_stats", {}),
+            "file_rows": pm.get("file_rows", {}),
+            "delete_files": dmap,
+            "delete_counts": dcounts,
+            "schema": pm["schema"],
+            "rows_written": 0,
+            "rows_deleted": total,
+            "committed_at": time.time(),
+            "meta": meta_out,
+        })
+        return version
+    finally:
+        if fd is not None:
+            os.close(fd)
+            os.unlink(lock_path)
+
+
+def _value_counts(arr) -> tuple[list[str], list[int]]:
+    """(values, counts) of a pyarrow string column — tiny driver-side
+    tally for the delete writer's per-file bookkeeping."""
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(arr)
+    return (
+        [str(v) for v in vc.field("values").to_pylist()],
+        [int(n) for n in vc.field("counts").to_pylist()],
+    )
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,
@@ -1362,9 +1621,16 @@ def compact_snapshot(
 
     def plan(pm: dict):
         sizes = {f: os.path.getsize(os.path.join(root, f)) for f in pm["files"]}
-        touched = [f for f in pm["files"] if sizes[f] < small_file_bytes]
-        kept = [f for f in pm["files"] if sizes[f] >= small_file_bytes]
-        if len(touched) < 2:
+        dmap = _delete_map(pm)
+        # delete-bearing files are touched REGARDLESS of size (Iceberg
+        # rewrite_position_deletes analog): compaction is how
+        # accumulated merge-on-read positions get absorbed back into
+        # clean files, restoring join-free scans and exact stats
+        touched = [
+            f for f in pm["files"] if sizes[f] < small_file_bytes or f in dmap
+        ]
+        kept = [f for f in pm["files"] if f not in set(touched)]
+        if len(touched) < 2 and not any(f in dmap for f in touched):
             return None
         n_out = target_files or max(
             1, sum(sizes[f] for f in touched) // small_file_bytes)
@@ -1496,6 +1762,9 @@ def rollback_to(root: str, version: int) -> int:
             "mode": "rollback",
             "files": target["files"],
             "file_stats": target.get("file_stats", {}),
+            "file_rows": target.get("file_rows", {}),
+            "delete_files": target.get("delete_files", {}),
+            "delete_counts": target.get("delete_counts", {}),
             "schema": target["schema"],
             "rows_written": 0,
             "committed_at": time.time(),
@@ -1644,32 +1913,69 @@ def read_changes(
             spark.createDataFrame([], StructType.fromJson(m["schema"])), m
         )
 
-    def _rows(m: dict, rel_files: list[str]) -> DataFrame:
+    def _rows(m: dict, rel_files: list[str], dmap_m: dict) -> DataFrame:
+        """Rows of ``rel_files`` under commit ``m``'s schema, with
+        ``dmap_m``'s merge-on-read deletes applied: removed files read
+        as visible BEFORE the commit (the previous manifest's map),
+        added files as visible after (``m``'s own — relevant on a
+        rollback whose target carried delete entries)."""
         if not rel_files:
             return _visible_empty(m)
         return _drop_internal(
-            spark.read.schema(StructType.fromJson(m["schema"])).parquet(
-                *[os.path.join(root, f) for f in rel_files]
+            _scan_files(
+                spark, root, dmap_m, rel_files,
+                schema=StructType.fromJson(m["schema"]),
             ),
             m,
         )
 
     out: DataFrame | None = None
-    parent_files = set(_read_manifest(root, since_version)["files"])
+    prev = _read_manifest(root, since_version)
     for m in chain:
+        parent_files = set(prev["files"])
         cur = set(m["files"])
         added = [f for f in m["files"] if f not in parent_files]
         removed = sorted(parent_files - cur)
         delta: DataFrame | None = None
         if m["mode"] == "compact":
-            pass  # row-preserving by contract — silent in the feed
+            pass  # row-preserving by contract (absorbing merge-on-read
+            # positions preserves VISIBLE rows) — silent in the feed
         elif m["mode"] == "append":
             if added:
-                delta = _rows(m, added).withColumn(
+                delta = _rows(m, added, m).withColumn(
                     CHANGE_TYPE_COL, F.lit("insert")
                 )
+        elif m["mode"] == "mor_delete":
+            # files unchanged; the commit's row delta is exactly the
+            # NEW delete positions — read them back from the affected
+            # data files as they were visible before this commit
+            pdmap, ndmap = _delete_map(prev), _delete_map(m)
+            new_del = sorted({
+                d for f, dl in ndmap.items()
+                for d in dl if d not in set(pdmap.get(f, []))
+            })
+            affected = sorted(
+                f for f, dl in ndmap.items()
+                if set(dl) - set(pdmap.get(f, []))
+            )
+            if new_del:
+                dels = F.broadcast(
+                    spark.read.parquet(
+                        *[os.path.join(root, d) for d in new_del]
+                    ).select(
+                        F.col("file").alias(MOR_FILE_COL),
+                        F.col("pos").alias(MOR_POS_COL),
+                    )
+                )
+                rows = _scan_files(
+                    spark, root, prev, affected, with_pos=True,
+                    schema=StructType.fromJson(m["schema"]),
+                ).join(dels, [MOR_FILE_COL, MOR_POS_COL], "left_semi")
+                delta = _drop_internal(
+                    rows.drop(MOR_FILE_COL, MOR_POS_COL), m
+                ).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
         else:
-            ins, dels = _rows(m, added), _rows(m, removed)
+            ins, dels = _rows(m, added, m), _rows(m, removed, prev)
             delta = (
                 ins.exceptAll(dels)
                 .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
@@ -1686,7 +1992,7 @@ def read_changes(
                 if out is None
                 else out.unionByName(delta, allowMissingColumns=True)
             )
-        parent_files = cur
+        prev = m
     if out is None:
         end = _read_manifest(root, hi)
         return (
@@ -1783,8 +2089,12 @@ def expire_versions(root: str, keep_last: int) -> dict:
         keep = [v for v in committed if v not in drop]
         live_dirs = _staged_live_dirs(root)
         for v in keep:
-            for f in _read_manifest(root, v)["files"]:
+            m = _read_manifest(root, v)
+            for f in m["files"]:
                 live_dirs.add(f.split("/", 1)[0])
+            for dels in _delete_map(m).values():
+                for d in dels:
+                    live_dirs.add(d.split("/", 1)[0])
         for v in drop:
             os.unlink(_manifest_path(root, v))
         removed = []
@@ -1925,6 +2235,7 @@ def read_snapshot_staged(spark: SparkSession, root: str, wap_id: str) -> DataFra
     entry = _load_staged(root, wap_id)
     schema = StructType.fromJson(entry["schema"])
     files = list(entry["new_files"])
+    pm: dict = {}
     if entry["mode"] == "append":
         parent = current_version(root)
         if parent is not None:
@@ -1937,11 +2248,9 @@ def read_snapshot_staged(spark: SparkSession, root: str, wap_id: str) -> DataFra
             _refuse_transformed_parent(pm, "auditing a staged append")
             schema = _merge_schemas(StructType.fromJson(pm["schema"]), schema)
             files = pm["files"] + files
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in files]
-    )
+    # the parent's merge-on-read deletes apply to the audit view exactly
+    # as they will after publish (staged files carry no delete entries)
+    return _scan_files(spark, root, pm, files, schema=schema)
 
 
 def publish_staged(root: str, wap_id: str) -> int:
@@ -1998,6 +2307,8 @@ def publish_staged(root: str, wap_id: str) -> int:
         files, file_stats = list(entry["new_files"]), dict(entry["file_stats"])
         # pre-file_rows entries (older stagings) publish without counts
         file_rows = dict(entry.get("file_rows", {}))
+        delete_files: dict = {}
+        delete_counts: dict = {}
         meta_out = dict(entry["meta"])
         if entry["mode"] == "overwrite":
             if parent != entry["parent_at_stage"]:
@@ -2022,6 +2333,8 @@ def publish_staged(root: str, wap_id: str) -> int:
                 files = pm["files"] + files
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
                 file_rows = {**pm.get("file_rows", {}), **file_rows}
+                delete_files = _delete_map(pm)
+                delete_counts = pm.get("delete_counts", {})
         # durably record the intended version BEFORE the pointer swap
         # and stamp the manifest with this wap_id — together they make
         # replay detection exact (tier 1 above)
@@ -2038,6 +2351,8 @@ def publish_staged(root: str, wap_id: str) -> int:
             "files": files,
             "file_stats": file_stats,
             "file_rows": file_rows,
+            "delete_files": delete_files,
+            "delete_counts": delete_counts,
             "schema": schema.jsonValue(),
             "rows_written": entry["rows_written"],
             "committed_at": time.time(),
@@ -2216,11 +2531,26 @@ def snapshot_meta_agg(
             "count (manifest predates per-file counts) — re-commit the "
             "table or aggregate via Spark"
         )
-    out: dict = {"n_rows": sum(fr[f] for f in m["files"])}
+    # merge-on-read deletes: per-file position counts are exact (each
+    # position recorded at most once), so count(*) stays metadata-only;
+    # min/max on a deleted-against file is NOT answerable — the deleted
+    # row may be the extremum — so those refuse below
+    dmap, dcounts = _delete_map(m), m.get("delete_counts", {})
+    out: dict = {
+        "n_rows": sum(fr[f] for f in m["files"])
+        - sum(dcounts.get(f, 0) for f in m["files"] if f in dmap)
+    }
     fs = m.get("file_stats", {})
     for c in cols or []:
         mins, maxs = [], []
         for f in m["files"]:
+            if f in dmap:
+                raise ValueError(
+                    f"file {f} carries merge-on-read delete positions — "
+                    f"its recorded min/max for {c!r} may be a deleted "
+                    "row; compact_snapshot absorbs the deletes and "
+                    "restores metadata-only min/max"
+                )
             st = fs.get(f, {}).get(c)
             if st is None:
                 raise ValueError(

@@ -50,10 +50,16 @@ def test_driver_window_composition():
         # iterative-graph + temporal-join families (round-3 ops)
         "graph_pagerank", "asof_join", "range_join",
         # text-analysis / curation family (language_id moved to the tail
-        # in round 3, quality_score + token_counts in the round-5 swap —
-        # textstats twins with green prior driver rows; regex_scan and
-        # the Gopher-repetition representative stay visible)
-        "regex_scan", "repetition_stats",
+        # in round 3, quality_score + token_counts in the round-5 swap,
+        # repetition_stats in the round-5 k-hop swap — textstats twins
+        # with green prior driver rows; regex_scan stays visible)
+        "regex_scan",
+        # bounded k-hop BFS — the KG neighborhood primitive (round-5
+        # ninth pass; recursive-CTE oracle) — and merge-on-read deletes
+        # (Iceberg v2 position-delete analog, displacing percentiles
+        # whose distribution-agg family stays visible via
+        # pricing_summary/teaching_pivot)
+        "khop_reachability", "versioned_mor_read",
         # streaming family (stream_events_versioned new in round 5)
         "events_windowed", "stream_events_versioned",
         # versioned-table (Iceberg-semantics) read + row-op paths (r4-5;

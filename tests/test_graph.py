@@ -121,3 +121,53 @@ def test_triangle_counts_known_graph_and_normalization(spark):
             for n in t:
                 exp[n] = exp.get(n, 0) + 1
     assert got2 == exp
+
+
+def _bfs_reference(edges, sources, max_hops):
+    """Plain-Python level BFS: min hop distance from any source."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())} - dist.keys()
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_levels_matches_reference(spark):
+    from decisions_knowledge_graph_data_spark.operators.graph import bfs_levels
+
+    # cyclic graph with a node reachable at two path lengths (E: via
+    # A->E dist 1 and via A->B->C->E dist 3 — min must win), a cycle
+    # back to the source, and an unreachable island
+    edges = [
+        ("A", "B"), ("B", "C"), ("C", "E"), ("A", "E"),
+        ("C", "A"),            # cycle
+        ("E", "F"), ("F", "G"),
+        ("X", "Y"),            # island
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    srcs = spark.createDataFrame([("A",), (None,), ("A",)], "n string")
+    for k in (0, 1, 3, 5):
+        got = {r["node"]: r["dist"]
+               for r in bfs_levels(e, srcs, max_hops=k).collect()}
+        assert got == _bfs_reference(edges, ["A"], k), k
+
+
+def test_bfs_levels_multi_source_and_validation(spark):
+    import pytest
+    from decisions_knowledge_graph_data_spark.operators.graph import bfs_levels
+
+    edges = [("A", "B"), ("B", "C"), ("D", "C"), ("D", "E")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    srcs = spark.createDataFrame([("A",), ("D",)], "n string")
+    got = {r["node"]: r["dist"]
+           for r in bfs_levels(e, srcs, max_hops=2).collect()}
+    # C is 1 hop from D (not 2 from A); both sources at dist 0
+    assert got == {"A": 0, "D": 0, "B": 1, "C": 1, "E": 1}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_levels(e, srcs, max_hops=-1)
