@@ -603,6 +603,45 @@ def _rel_file_cols() -> list[Column]:
 # read-side anti-join is left to AQE instead of a forced broadcast
 MOR_BROADCAST_CAP = 2_000_000
 
+# up to this many per-file scan branches, a delete-aware read scans each
+# needed file as its OWN parquet source with the file identity as a
+# LITERAL column — zero per-row string work, and the anti-join runs on
+# row_index alone (bigint vs a tiny broadcast). Above the cap the plan
+# would bloat, so it falls back to one scan with the relative path
+# computed per row from the reader's file_path metadata (measured 8.6x
+# slower on a 20M-row read in tools/bench_mor.py, but plan-size-safe
+# for a mass delete touching thousands of files).
+MOR_PLAN_CAP = 64
+
+# a dirty file with at most this many live positions filters them as an
+# inlined InSet predicate (pure whole-stage codegen, no join); heavier
+# files fall back to a broadcast anti-join on row_index
+MOR_INLINE_CAP = 10_000
+
+
+def _load_delete_positions(
+    root: str, dmap: dict, dcounts: dict, files: list[str],
+) -> dict[str, list[int]] | None:
+    """Driver-side load of the position sets attached to ``files`` —
+    delete parquets are tiny by contract (``max_positions``-bounded
+    writes), so pyarrow reads them without a Spark job. Returns None
+    (callers fall back to the join path) when the recorded counts say
+    the load would not be driver-safe."""
+    if sum(dcounts.get(f, 0) for f in files) > MOR_BROADCAST_CAP:
+        return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[int]] = {}
+    want = set(files)
+    for d in sorted({d for f in files for d in dmap[f]}):
+        t = pq.read_table(os.path.join(root, d), columns=["file", "pos"])
+        for fval, pos in zip(
+            t.column("file").to_pylist(), t.column("pos").to_pylist()
+        ):
+            if fval in want:
+                out.setdefault(fval, []).append(int(pos))
+    return out
+
 
 def _scan_files(
     spark: SparkSession,
@@ -621,7 +660,7 @@ def _scan_files(
     deleted-against minority pays the anti-join). ``with_pos=True``
     additionally returns each surviving row's (relative file, position)
     as ``MOR_FILE_COL``/``MOR_POS_COL`` — the delete writer's input.
-    The delete side is broadcast while the manifest's recorded position
+    Per-file delete sides are broadcast while the recorded position
     count stays under ``MOR_BROADCAST_CAP``; above it, AQE picks the
     strategy (bulk deletes belong in copy-on-write ``delete_where``)."""
     schema = schema or StructType.fromJson(m["schema"])
@@ -645,28 +684,94 @@ def _scan_files(
         )
         return df.select("*", *_rel_file_cols()) if attach else df
 
+    dcounts = m.get("delete_counts", {})
+
+    def _del_side(files: list[str]) -> DataFrame:
+        del_rel = sorted({d for f in files for d in dmap[f]})
+        dels = spark.read.parquet(
+            *[os.path.join(root, d) for d in del_rel]
+        )
+        n_live = sum(dcounts.get(f, 0) for f in files)
+        return dels, n_live
+
     dirty_set = set(dirty)
     clean = [f for f in rel_files if f not in dirty_set]
     parts: list[DataFrame] = []
-    if clean:
-        parts.append(scan(clean, with_pos))
-    if dirty:
-        del_rel = sorted({d for f in dirty for d in dmap[f]})
-        dels = spark.read.parquet(
-            *[os.path.join(root, d) for d in del_rel]
-        ).select(
-            F.col("file").alias(MOR_FILE_COL), F.col("pos").alias(MOR_POS_COL)
-        )
-        dcounts = m.get("delete_counts", {})
-        n_live = sum(dcounts.get(f, 0) for f in dirty)
-        if n_live <= MOR_BROADCAST_CAP:
-            dels = F.broadcast(dels)
-        cleaned = scan(dirty, True).join(
-            dels, [MOR_FILE_COL, MOR_POS_COL], "left_anti"
-        )
-        if not with_pos:
-            cleaned = cleaned.drop(MOR_FILE_COL, MOR_POS_COL)
-        parts.append(cleaned)
+    n_branches = len(dirty) + (len(clean) if with_pos else 0)
+    if n_branches <= MOR_PLAN_CAP:
+        # fast path: one scan branch per file that needs an identity or
+        # an anti-join — the file is a literal, the join key is just
+        # row_index
+        if clean and not with_pos:
+            parts.append(scan(clean, False))
+        else:
+            for f in clean:
+                parts.append(
+                    spark.read.schema(schema)
+                    .parquet(os.path.join(root, f))
+                    .select(
+                        "*",
+                        F.lit(f).alias(MOR_FILE_COL),
+                        F.col("_metadata.row_index").alias(MOR_POS_COL),
+                    )
+                )
+        if dirty:
+            pos_map = _load_delete_positions(root, dmap, dcounts, dirty)
+            dels = None
+            for f in dirty:
+                one = (
+                    spark.read.schema(schema)
+                    .parquet(os.path.join(root, f))
+                    .select(
+                        "*",
+                        F.lit(f).alias(MOR_FILE_COL),
+                        F.col("_metadata.row_index").alias(MOR_POS_COL),
+                    )
+                )
+                plist = None if pos_map is None else pos_map.get(f)
+                if plist is not None and len(plist) <= MOR_INLINE_CAP:
+                    # sparse deletes: positions inline as an InSet
+                    # filter — no join, no broadcast exchange, the scan
+                    # stays one whole-stage-codegen pipeline (measured:
+                    # the per-branch broadcast-join overhead dominated
+                    # the sparse case, tools/bench_mor.py)
+                    one = one.filter(~F.col(MOR_POS_COL).isin(plist))
+                else:
+                    if dels is None:
+                        dels, _ = _del_side(dirty)
+                    pos = dels.filter(F.col("file") == f).select(
+                        F.col("pos").alias(MOR_POS_COL))
+                    if dcounts.get(f, 0) <= MOR_BROADCAST_CAP:
+                        pos = F.broadcast(pos)
+                    one = one.join(pos, [MOR_POS_COL], "left_anti")
+                    # anti-join keeps only left columns; order the
+                    # metadata pair last so unionByName lines up
+                    one = one.select(
+                        *[c for c in one.columns
+                          if c not in (MOR_FILE_COL, MOR_POS_COL)],
+                        MOR_FILE_COL, MOR_POS_COL,
+                    )
+                if not with_pos:
+                    one = one.drop(MOR_FILE_COL, MOR_POS_COL)
+                parts.append(one)
+    else:
+        # plan-size fallback: one scan, per-row relative path
+        if clean:
+            parts.append(scan(clean, with_pos))
+        if dirty:
+            dels, n_live = _del_side(dirty)
+            dels = dels.select(
+                F.col("file").alias(MOR_FILE_COL),
+                F.col("pos").alias(MOR_POS_COL),
+            )
+            if n_live <= MOR_BROADCAST_CAP:
+                dels = F.broadcast(dels)
+            cleaned = scan(dirty, True).join(
+                dels, [MOR_FILE_COL, MOR_POS_COL], "left_anti"
+            )
+            if not with_pos:
+                cleaned = cleaned.drop(MOR_FILE_COL, MOR_POS_COL)
+            parts.append(cleaned)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -490,3 +490,43 @@ def test_mv_delta_scan_pruned_and_diffless(spark, tmp_path_factory):
     assert all("payload" not in s for s in read_schemas)
     # no row-level set-difference anywhere in the fold
     assert "Except" not in plan
+
+
+def test_mor_read_plan_shapes(spark, tmp_path):
+    """Merge-on-read reads must keep the plans they were priced on
+    (tools/bench_mor.py): sparse deletes read as per-file
+    Scan→Filter(InSet)→Project whole-stage-codegen branches with NO
+    join and NO exchange; clean files in the same snapshot scan with no
+    filter at all; a file above MOR_INLINE_CAP falls back to a
+    broadcast anti-join on row_index (never a shuffle)."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.range(20_000).select(
+            F.col("id"), (F.col("id") * 1.0).alias("val"))
+        .repartitionByRange(4, "id"),
+        root, stats_cols=["id"],
+    )
+    # sparse delete: hits only the first file's range
+    V.delete_where_mor(spark, root, {"id": ("between", (10, 19))})
+    plan = V.read_snapshot(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    # ONE multi-file scan for the three clean files + ONE branch for
+    # the dirty file carrying the inlined position filter
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "row_index" in plan and "10,11,12" in plan, plan
+    # heavy delete on one file (above the inline cap): broadcast
+    # anti-join, never a shuffle
+    old_cap = V.MOR_INLINE_CAP
+    V.MOR_INLINE_CAP = 3
+    try:
+        plan2 = V.read_snapshot(spark, root)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        V.MOR_INLINE_CAP = old_cap
+    assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2, plan2
+    assert "ShuffleExchange" not in plan2.replace(
+        "BroadcastExchange", ""), plan2
+    # results identical on both plan shapes
+    assert V.read_snapshot(spark, root).count() == 19_990
