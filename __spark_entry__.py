@@ -921,28 +921,36 @@ def q_versioned_meta_agg(spark, sf):
     from decisions_knowledge_graph_data_spark.sources.versioned import (
         current_version, snapshot_meta_agg, table_history, write_snapshot,
     )
-    root = _versioned_orders_root(sf) + "_meta"
-    orders = _t(spark, sf, "orders")
+    root = _versioned_orders_root(sf) + "_meta2"
+    orders = _t(spark, sf, "orders").withColumn(
+        # a genuinely nullable column so metadata-only count(col) has
+        # NULLs to subtract (round-5: per-file null counts ride the
+        # same footer read as min/max)
+        "maybe_price",
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_totalprice")),
+    )
     if current_version(root) is None:
         write_snapshot(
             orders.filter(F.col("o_orderkey") % 5 != 0)
             .repartitionByRange(6, "o_orderkey"),
-            root, stats_cols=["o_orderkey", "o_totalprice"],
+            root, stats_cols=["o_orderkey", "o_totalprice", "maybe_price"],
         )
     if len(table_history(root)) == 1:
         write_snapshot(
             orders.filter(F.col("o_orderkey") % 5 == 0),
             root, mode="append",  # stats columns inherited
         )
-    agg = snapshot_meta_agg(root, ["o_orderkey", "o_totalprice"])
+    agg = snapshot_meta_agg(
+        root, ["o_orderkey", "o_totalprice"], count_cols=["maybe_price"])
     return spark.createDataFrame(
         [(
             agg["n_rows"],
             agg["min_o_orderkey"], agg["max_o_orderkey"],
             float(agg["min_o_totalprice"]), float(agg["max_o_totalprice"]),
+            agg["count_maybe_price"],
         )],
         "n_orders long, min_key long, max_key long, "
-        "min_price double, max_price double",
+        "min_price double, max_price double, n_price long",
     )
 
 
@@ -4846,7 +4854,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_orders,
                    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
                    min(o_totalprice) AS min_price,
-                   max(o_totalprice) AS max_price
+                   max(o_totalprice) AS max_price,
+                   CAST(count(CASE WHEN o_orderkey % 3 != 0
+                              THEN o_totalprice END) AS BIGINT) AS n_price
             FROM orders
         """,
         "versioned_mv_distinct": """

@@ -90,7 +90,7 @@ _DURABLE_WRITER_META = ("batch_id_hwm", "mv_src_version")
 MOR_FILE_COL = "_mor_file"
 MOR_POS_COL = "_mor_pos"
 
-_PRUNE_OPS = ("==", "<", "<=", ">", ">=", "between")
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=", "between", "isnull", "notnull")
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -151,9 +151,13 @@ def _json_safe(v):
 
 
 def _collect_file_stats(data_dir: str, stats_cols: list[str]) -> dict:
-    """Per-file min/max for ``stats_cols`` from the parquet footers
-    (pyarrow metadata read — no data scan). Files or columns without
-    usable statistics simply get no entry (→ never pruned)."""
+    """Per-file min/max + null count for ``stats_cols`` from the parquet
+    footers (pyarrow metadata read — no data scan). Files or columns
+    without usable statistics simply get no entry (→ never pruned).
+    An all-NULL column chunk carries no min/max but a valid null count,
+    so its entry is ``{"nulls": n}`` alone — which is what lets value
+    predicates prune the file entirely and ``isnull``/``notnull``
+    predicates and metadata-only ``count(col)`` stay answerable."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -169,19 +173,33 @@ def _collect_file_stats(data_dir: str, stats_cols: list[str]) -> dict:
                 continue
             mn = mx = None
             ok = True
+            nulls = 0
+            nulls_ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[col]).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
+                if st is None:
+                    ok = nulls_ok = False
                     break
+                if st.null_count is None:
+                    nulls_ok = False
+                else:
+                    nulls += st.null_count
+                if not st.has_min_max:
+                    ok = False
+                    continue
                 lo, hi = _json_safe(st.min), _json_safe(st.max)
                 if lo is None or hi is None:
                     ok = False
-                    break
+                    continue
                 mn = lo if mn is None or lo < mn else mn
                 mx = hi if mx is None or hi > mx else mx
+            entry: dict = {}
             if ok and mn is not None:
-                col_stats[col] = {"min": mn, "max": mx}
+                entry["min"], entry["max"] = mn, mx
+            if nulls_ok:
+                entry["nulls"] = nulls
+            if entry:
+                col_stats[col] = entry
         if col_stats:
             out[name] = col_stats
     return out
@@ -450,15 +468,21 @@ def _publish_manifest(root: str, version: int, manifest: dict) -> None:
     os.replace(ptr_tmp, os.path.join(root, VERSION_PTR))
 
 
-def _file_can_match(stats: dict | None, predicates: dict) -> bool:
-    """Driver-side pruning decision: False only when the recorded min/max
+def _file_can_match(
+    stats: dict | None, predicates: dict, n_rows=None,
+) -> bool:
+    """Driver-side pruning decision: False only when the recorded stats
     PROVE no row in the file satisfies every predicate. Missing stats →
     must keep. NULL rows never satisfy a comparison predicate (SQL), so
-    min/max (which exclude nulls) stay a sound bound."""
+    min/max (which exclude nulls) stay a sound bound; a recorded null
+    count prunes ``isnull``/``notnull`` predicates and lets an all-NULL
+    file (which has a null count but no min/max) refute any value
+    predicate when ``n_rows`` (the file's recorded row count) is
+    known."""
     if stats is None:
         return True
     try:
-        return _stats_can_match(stats, predicates)
+        return _stats_can_match(stats, predicates, n_rows)
     except TypeError:
         # predicate value not comparable with the stored stat type
         # (e.g. int vs string-typed stats): pruning silently keeps the
@@ -466,11 +490,26 @@ def _file_can_match(stats: dict | None, predicates: dict) -> bool:
         return True
 
 
-def _stats_can_match(stats: dict, predicates: dict) -> bool:
+def _stats_can_match(stats: dict, predicates: dict, n_rows=None) -> bool:
     for col, (op, val) in predicates.items():
         st = stats.get(col)
         if st is None:
             continue
+        nulls = st.get("nulls")
+        if op == "isnull":
+            if nulls == 0:
+                return False
+            continue
+        if op == "notnull":
+            if n_rows is not None and nulls == n_rows:
+                return False
+            continue
+        # every value op is NULL-rejecting: an all-NULL file can never
+        # match (such files carry no min/max, only a null count)
+        if n_rows is not None and nulls == n_rows:
+            return False
+        if "min" not in st:
+            continue  # nulls-only stats: no range to refute with
         mn, mx = st["min"], st["max"]
         if op == "==":
             if val < mn or val > mx:
@@ -498,7 +537,11 @@ def _residual_filter(predicates: dict) -> Column:
     cond = F.lit(True)
     for col, (op, val) in predicates.items():
         c = F.col(col)
-        if op == "==":
+        if op == "isnull":
+            cond = cond & c.isNull()
+        elif op == "notnull":
+            cond = cond & c.isNotNull()
+        elif op == "==":
             cond = cond & (c == F.lit(val))
         elif op == ">=":
             cond = cond & (c >= F.lit(val))
@@ -562,7 +605,11 @@ def plan_files(
     if predicates:
         _check_predicates(predicates)
         stats = m.get("file_stats", {})
-        kept = [f for f in files if _file_can_match(stats.get(f), predicates)]
+        fr = m.get("file_rows", {})
+        kept = [
+            f for f in files
+            if _file_can_match(stats.get(f), predicates, fr.get(f))
+        ]
         skipped = len(files) - len(kept)
         files = kept
     abs_files = [os.path.join(root, f) for f in files]
@@ -1211,7 +1258,7 @@ def read_snapshot_semijoin(
     kept = []
     for f in m["files"]:
         st = stats.get(f, {}).get(col)
-        if st is None:
+        if st is None or "min" not in st:
             kept.append(f)
             continue
         mn, mx = st["min"], st["max"]
@@ -1261,7 +1308,7 @@ def plan_files_semijoin(
     kept, skipped = [], 0
     for f in m["files"]:
         st = stats.get(f, {}).get(col)
-        if st is None:
+        if st is None or "min" not in st:
             kept.append(os.path.join(root, f))
             continue
         try:
@@ -1488,7 +1535,7 @@ def merge_snapshot(
             touched, kept = [], []
             for f in pm["files"]:
                 st = stats.get(f, {}).get(key)
-                if st is None or kmin is None:
+                if st is None or "min" not in st or kmin is None:
                     touched.append(f)
                     continue
                 mn, mx = st["min"], st["max"]
@@ -2607,7 +2654,10 @@ def delete_tag(root: str, name: str) -> None:
 
 
 def snapshot_meta_agg(
-    root: str, cols: list[str] | None = None, version: int | None = None,
+    root: str,
+    cols: list[str] | None = None,
+    version: int | None = None,
+    count_cols: list[str] | None = None,
 ) -> dict:
     """Metadata-only aggregation (the Iceberg metadata-scan analog):
     ``count(*)`` and per-column ``min``/``max`` answered from the
@@ -2615,7 +2665,9 @@ def snapshot_meta_agg(
     work. At 100 TB this is the difference between a catalog lookup and
     a cluster-wide scan for the queries BI layers fire constantly.
 
-    Returns ``{"n_rows": N, "min_<c>": ..., "max_<c>": ...}``.
+    Returns ``{"n_rows": N, "min_<c>": ..., "max_<c>": ...}`` plus
+    ``count_<c>`` (SQL ``count(col)`` — non-NULL rows, from the
+    recorded per-file null counts) for each of ``count_cols``.
     Soundness: ``n_rows`` sums the per-file row counts every writer
     records from the parquet footers (exact, includes NULL rows like
     SQL ``count(*)``); min/max come from the recorded file stats, which
@@ -2657,14 +2709,38 @@ def snapshot_meta_agg(
                     "restores metadata-only min/max"
                 )
             st = fs.get(f, {}).get(c)
-            if st is None:
+            if st is None or "min" not in st:
                 raise ValueError(
                     f"column {c!r} lacks min/max stats on {f} — record it "
-                    "via stats_cols at write time (all-NULL files also "
-                    "carry no stats); metadata cannot answer this min/max"
+                    "via stats_cols at write time (all-NULL files carry "
+                    "only a null count); metadata cannot answer this "
+                    "min/max"
                 )
             mins.append(st["min"])
             maxs.append(st["max"])
         out[f"min_{c}"] = min(mins) if mins else None
         out[f"max_{c}"] = max(maxs) if maxs else None
+    for c in count_cols or []:
+        # SQL count(col) = rows minus NULLs — answerable from metadata
+        # exactly when every file recorded a null count for the column
+        # (all writers do, via the parquet footers) and none of the
+        # files carries merge-on-read deletes (a deleted row's NULLness
+        # is unknown to the manifest)
+        n = 0
+        for f in m["files"]:
+            if f in dmap:
+                raise ValueError(
+                    f"file {f} carries merge-on-read delete positions — "
+                    f"metadata cannot answer count({c!r}); "
+                    "compact_snapshot absorbs the deletes"
+                )
+            st = fs.get(f, {}).get(c)
+            if st is None or "nulls" not in st:
+                raise ValueError(
+                    f"column {c!r} lacks a recorded null count on {f} — "
+                    "record it via stats_cols at write time; metadata "
+                    f"cannot answer count({c!r})"
+                )
+            n += fr[f] - st["nulls"]
+        out[f"count_{c}"] = n
     return out

@@ -1165,18 +1165,22 @@ def test_metadata_tables(spark, tmp_path):
     # time travel: the v1 file listing is intact
     assert len(files_df(spark, root, version=1).collect()) == snaps[1]["n_files"]
 
-    # an all-NULL stats column gets NO manifest entry (never pruned),
-    # so the metadata maps lack the key entirely — and any absent/null
-    # bound must surface as SQL NULL, never the string 'None'
+    # an all-NULL stats column gets NO min/max (round-5: it DOES get a
+    # null count, which is what lets value predicates prune the file
+    # and metadata count(col) stay exact) — the absent bound must
+    # surface as SQL NULL, never the string 'None'
     root2 = str(tmp_path / "meta_null")
     write_snapshot(
         _df(spark, 0, 5).coalesce(1).withColumn("w", F.lit(None).cast("long")),
         root2, stats_cols=["w", "id"],
     )
     for r in files_df(spark, root2).collect():
-        assert "w" not in r["col_min"] and "w" not in r["col_max"]
-        assert r["col_min"].get("w") is None  # absent key -> SQL-NULL-ish
+        assert r["col_min"].get("w") is None and r["col_max"].get("w") is None
         assert r["col_min"]["id"] != "None"
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        snapshot_meta_agg,
+    )
+    assert snapshot_meta_agg(root2, count_cols=["w"])["count_w"] == 0
 
 
 def test_model_based_random_op_walk(spark, tmp_path):
@@ -1845,3 +1849,61 @@ def test_snapshot_meta_agg(spark, tmp_path):
         _json.dump(m, f)
     with pytest.raises(ValueError, match="no recorded row count"):
         V.snapshot_meta_agg(root)
+
+
+def test_null_count_stats_prune_and_meta_count(spark, tmp_path):
+    """Round-5: per-file null counts ride the footer read — isnull /
+    notnull predicates prune files, an all-NULL file refutes any value
+    predicate, and SQL count(col) is answerable from metadata alone."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "t")
+    # 4 range files: ids 0-249 never NULL, 250-499 all NULL, rest mixed
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(
+            (F.col("id") < 250)
+            | ((F.col("id") >= 500) & (F.col("id") % 3 == 0)),
+            F.col("id") * 2.0,
+        ).alias("v"),
+    ).repartitionByRange(4, "id")
+    V.write_snapshot(df, root, stats_cols=["id", "v"])
+
+    full = V.read_snapshot(spark, root)
+    # isnull: the no-NULL file (ids 0-249) is pruned
+    _, skipped, _ = V.plan_files(root, predicates={"v": ("isnull", None)})
+    assert skipped >= 1
+    got = V.read_snapshot(spark, root, predicates={"v": ("isnull", None)})
+    assert got.count() == full.filter(F.col("v").isNull()).count()
+    # notnull: the all-NULL file (ids 250-499) is pruned
+    _, skipped, _ = V.plan_files(root, predicates={"v": ("notnull", None)})
+    assert skipped >= 1
+    got = V.read_snapshot(spark, root, predicates={"v": ("notnull", None)})
+    assert got.count() == full.filter(F.col("v").isNotNull()).count()
+    # a value predicate also refutes the all-NULL file (its only stats
+    # entry is the null count — NULL never satisfies a comparison)
+    _, skipped_val, _ = V.plan_files(root, predicates={"v": (">=", 0.0)})
+    assert skipped_val >= 1
+    got = V.read_snapshot(spark, root, predicates={"v": (">=", 0.0)})
+    assert got.count() == full.filter(F.col("v") >= 0.0).count()
+
+    # metadata-only count(col) == SQL count (NULLs excluded), count(*)
+    agg = V.snapshot_meta_agg(root, count_cols=["v"])
+    assert agg["n_rows"] == 1000
+    assert agg["count_v"] == full.filter(F.col("v").isNotNull()).count()
+    # appends inherit the stats columns, counts stay exact
+    V.write_snapshot(
+        spark.range(2000, 2010).select(
+            F.col("id"), F.lit(None).cast("double").alias("v")),
+        root, mode="append",
+    )
+    assert V.snapshot_meta_agg(root, count_cols=["v"])["count_v"] == agg["count_v"]
+    # refusals: un-statted column; merge-on-read deletes in place
+    with pytest.raises(ValueError, match="null count"):
+        V.snapshot_meta_agg(root, count_cols=["id2_missing"])
+    V.delete_where_mor(spark, root, {"id": ("==", 0)})
+    with pytest.raises(ValueError, match="merge-on-read"):
+        V.snapshot_meta_agg(root, count_cols=["v"])
