@@ -737,6 +737,44 @@ def q_versioned_delete_read(spark, sf):
     )
 
 
+def q_versioned_update_read(spark, sf):
+    """Copy-on-write row-level UPDATE (round 5, completing the row-op
+    triad merge/delete/update): orders committed range-partitioned on
+    o_orderdate, then a date-sliced correction — every 1999-H2+ order
+    gets o_totalprice + 50 and priority re-flagged — rewrites ONLY the
+    files whose date stats admit the slice (minimal rewrite asserted in
+    test_versioned.py). The read must equal DuckDB applying the same
+    CASE-WHEN transformation over the source table."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot, table_history, update_where,
+        write_snapshot,
+    )
+    root = _versioned_orders_root(sf) + "_update"
+    if current_version(root) is None:
+        write_snapshot(
+            _t(spark, sf, "orders").repartitionByRange(8, "o_orderdate"),
+            root, stats_cols=["o_orderdate"],
+        )
+    if len(table_history(root)) == 1:
+        update_where(
+            spark, root, {"o_orderdate": (">=", "1999-07-01")},
+            {
+                "o_totalprice": F.col("o_totalprice") + 50.0,
+                "o_orderpriority": "9-REPRICED",
+            },
+        )
+    upd = read_snapshot(spark, root)
+    return (
+        upd.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.bit_xor(F.col("o_orderkey")).alias("xor_keys"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_versioned_mor_read(spark, sf):
     """Merge-on-read row-level DELETE (Iceberg v2 position-delete
     analog, round 5): instead of rewriting files, ``delete_where_mor``
@@ -3640,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,                # set-ops family: nway_intersection
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
+        "versioned_update_read": q_versioned_update_read,  # row-op family: predicate UPDATE (merge/delete/update triad)
         "percentiles": q_percentiles,  # displaced to the tail in the round-5 MoR swap
         "repetition_stats": q_repetition_stats,  # displaced to the tail in the round-5 k-hop swap
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
@@ -4805,6 +4844,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price,
                    bit_xor(o_orderkey) AS xor_keys
             FROM merged GROUP BY 1 ORDER BY 1
+        """,
+        "versioned_update_read": """
+            -- predicate UPDATE == the CASE-WHEN scan, bit_xor key
+            -- invariant proves no row was dropped or duplicated
+            WITH upd AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderdate >= TIMESTAMP '1999-07-01 00:00:00'
+                          THEN o_totalprice + 50.0 ELSE o_totalprice
+                     END AS o_totalprice,
+                     CASE WHEN o_orderdate >= TIMESTAMP '1999-07-01 00:00:00'
+                          THEN '9-REPRICED' ELSE o_orderpriority
+                     END AS o_orderpriority
+              FROM orders
+            )
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM upd GROUP BY 1 ORDER BY 1
         """,
         "versioned_mor_read": """
             -- merge-on-read delete timeline replayed relationally:

@@ -1617,6 +1617,99 @@ def delete_where(
     return v
 
 
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicates: dict,
+    assignments: dict,
+    meta: dict | None = None,
+) -> int | None:
+    """Copy-on-write row-level UPDATE — completes the row-op triad
+    (merge = keyed upsert, delete = predicate removal, update =
+    predicate mutation): rows satisfying every predicate (same
+    ``{col: (op, value)}`` grammar as ``read_snapshot``) get
+    ``assignments`` applied ({col: Column expression or literal};
+    expressions may reference the row's own columns, e.g.
+    ``F.col("price") * 1.1``); all other rows pass through unchanged.
+    SQL UPDATE semantics: a row whose predicate evaluates NULL is NOT
+    updated. Only files whose stats admit a match are rewritten — the
+    rest are listed unchanged (at 100 TB, a targeted correction touches
+    a handful of files, never the table). Assigned values are cast to
+    the column's manifest type, so the schema cannot drift. On a
+    bucketed/transformed table, assigning the layout SOURCE column
+    recomputes the internal layout column for the rewritten rows, so
+    point-lookup pruning stays sound; assigning internal columns
+    directly is refused. Merge-on-read delete positions on touched
+    files are applied before the rewrite (absorbed), like every row op.
+
+    Returns the new version, or None when no file can match (no
+    commit). An empty predicate dict is refused — an intentional
+    full-table mutation should be an explicit overwrite commit."""
+    if not predicates:
+        raise ValueError(
+            "update_where with no predicates would rewrite every row; "
+            "commit an overwrite snapshot to transform the whole table"
+        )
+    if not assignments:
+        raise ValueError("update_where needs at least one assignment")
+    _check_predicates(predicates)
+
+    def plan(pm: dict):
+        schema = StructType.fromJson(pm["schema"])
+        names = set(schema.fieldNames())
+        for c in assignments:
+            if c in (BUCKET_COL, PT_COL, MOR_FILE_COL, MOR_POS_COL):
+                raise ValueError(
+                    f"column {c!r} is internal — assign the layout "
+                    "SOURCE column and the layout recomputes"
+                )
+            if c not in names:
+                raise ValueError(
+                    f"assignment target {c!r} is not a table column "
+                    f"({sorted(names)})"
+                )
+        stats = pm.get("file_stats", {})
+        fr = pm.get("file_rows", {})
+        touched = [
+            f for f in pm["files"]
+            if _file_can_match(stats.get(f), predicates, fr.get(f))
+        ]
+        if not touched:
+            return None
+        kept = [f for f in pm["files"] if f not in set(touched)]
+        bspec = pm.get("meta", {}).get("bucket_transform")
+        tspec = pm.get("meta", {}).get("partition_transform")
+
+        def build_rewrite(src: DataFrame):
+            cond = F.coalesce(_residual_filter(predicates), F.lit(False))
+            cols = []
+            for fdef in schema.fields:
+                cur = F.col(f"`{fdef.name}`")
+                if fdef.name in assignments:
+                    v = assignments[fdef.name]
+                    newc = v if isinstance(v, Column) else F.lit(v)
+                    cols.append(
+                        F.when(cond, newc.cast(fdef.dataType))
+                        .otherwise(cur).alias(fdef.name)
+                    )
+                else:
+                    cols.append(cur.alias(fdef.name))
+            out = src.select(*cols)
+            if bspec and bspec["col"] in assignments:
+                out = out.withColumn(
+                    BUCKET_COL, _bucket_expr(bspec["col"], bspec["n"]))
+            if tspec and tspec["col"] in assignments:
+                out = out.withColumn(
+                    PT_COL,
+                    _transform_expr(tspec["kind"], tspec["col"], tspec.get("w")),
+                )
+            return out
+
+        return touched, kept, build_rewrite
+
+    return _row_op_commit(spark, root, plan, meta, "update")
+
+
 def delete_where_mor(
     spark: SparkSession,
     root: str,

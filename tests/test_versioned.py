@@ -1907,3 +1907,73 @@ def test_null_count_stats_prune_and_meta_count(spark, tmp_path):
     V.delete_where_mor(spark, root, {"id": ("==", 0)})
     with pytest.raises(ValueError, match="merge-on-read"):
         V.snapshot_meta_agg(root, count_cols=["v"])
+
+
+def test_update_where_semantics_pruning_and_layout(spark, tmp_path):
+    """Round-5 UPDATE: predicate-gated assignments with SQL NULL
+    semantics, stats-pruned minimal rewrite, type-stable schema,
+    layout recompute when the bucket source column is assigned, and
+    merge-on-read absorption on touched files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            F.when(F.col("id") % 11 != 0, F.col("id") * 2.0).alias("v"),
+        ).repartitionByRange(4, "id"),
+        root, stats_cols=["id"],
+    )
+    v2 = V.update_where(
+        spark, root, {"id": ("between", (100, 199))},
+        {"v": F.col("v") + 1000.0, "g": -1},
+    )
+    assert v2 == 2
+    m = V._read_manifest(root, 2)
+    m1 = V._read_manifest(root, 1)
+    # minimal rewrite: only the file covering [100,199] was touched
+    assert len(set(m["files"]) & set(m1["files"])) == 3
+    out = V.read_snapshot(spark, root)
+    hit = out.filter(F.col("id").between(100, 199))
+    # NULL-predicate rows are a non-issue here, but NULL v rows in the
+    # hit range must still update g while v stays NULL + 1000 = NULL
+    assert hit.filter(F.col("g") != -1).count() == 0
+    assert hit.filter(F.col("id") % 11 == 0).filter(
+        F.col("v").isNotNull()).count() == 0
+    assert out.filter(
+        ~F.col("id").between(100, 199)).filter(F.col("g") == -1).count() == 0
+    # assigned ints were cast to the column's manifest types
+    assert dict(out.dtypes)["g"] == "bigint" and dict(out.dtypes)["v"] == "double"
+    # no-op update commits nothing
+    assert V.update_where(
+        spark, root, {"id": ("==", -5)}, {"g": 0}) is None
+    # refusals
+    with pytest.raises(ValueError, match="no predicates"):
+        V.update_where(spark, root, {}, {"g": 0})
+    with pytest.raises(ValueError, match="assignment"):
+        V.update_where(spark, root, {"id": ("==", 1)}, {})
+    with pytest.raises(ValueError, match="not a table column"):
+        V.update_where(spark, root, {"id": ("==", 1)}, {"nope": 0})
+
+    # MoR absorption: a delete-bearing touched file must not resurrect
+    V.delete_where_mor(spark, root, {"id": ("==", 150)})
+    V.update_where(spark, root, {"id": ("between", (100, 199))}, {"g": -2})
+    out = V.read_snapshot(spark, root)
+    assert out.filter(F.col("id") == 150).count() == 0
+    assert out.count() == 999
+
+    # bucketed table: assigning the bucket source column recomputes the
+    # layout so the point lookup finds the moved row
+    broot = str(tmp_path / "b")
+    V.write_snapshot_bucketed(
+        spark.range(500).select(F.col("id"), (F.col("id") * 3).alias("k")),
+        broot, "k", n_buckets=8)
+    V.update_where(spark, broot, {"id": ("==", 7)}, {"k": 999_999})
+    hit = V.read_snapshot_bucket_eq(spark, broot, 999_999)
+    assert [r["id"] for r in hit.collect()] == [7]
+    assert V.read_snapshot_bucket_eq(spark, broot, 21).count() == 0
+    with pytest.raises(ValueError, match="internal"):
+        V.update_where(spark, broot, {"id": ("==", 1)}, {V.BUCKET_COL: 0})
