@@ -737,6 +737,51 @@ def q_versioned_delete_read(spark, sf):
     )
 
 
+def q_versioned_branch_read(spark, sf):
+    """Branch refs (round 5 — the Iceberg branch/fast-forward workflow,
+    generalizing WAP from one staged commit to a whole line): the
+    held-out ``%3`` orders slice lands on branch 'backfill' in TWO
+    branch commits (invisible to main readers throughout), is audited
+    via the branch read surface, then fast-forwards into main as one
+    metadata commit. The final main read must equal DuckDB's aggregate
+    over the FULL orders table — a leaked branch commit, a lost one, or
+    a fast-forward that dropped/duplicated rows all break the hash."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        create_branch, current_version, fast_forward, list_branches,
+        read_snapshot, read_snapshot_branch, table_history,
+        write_snapshot, write_snapshot_branch,
+    )
+    root = _versioned_orders_root(sf) + "_branch"
+    orders = _t(spark, sf, "orders")
+    if current_version(root) is None:
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 3 != 0)
+            .repartitionByRange(4, "o_orderkey"),
+            root, stats_cols=["o_orderkey"],
+        )
+    if len(table_history(root)) == 1:
+        if "backfill" not in list_branches(root):
+            create_branch(root, "backfill")
+        write_snapshot_branch(
+            orders.filter(F.col("o_orderkey") % 6 == 0), root, "backfill")
+        write_snapshot_branch(
+            orders.filter(F.col("o_orderkey") % 6 == 3), root, "backfill")
+        # audit on the branch surface; main must still be the base slice
+        audited = read_snapshot_branch(spark, root, "backfill")
+        assert audited.filter(F.col("o_totalprice") < 0).count() == 0
+        fast_forward(root, "backfill")
+    merged = read_snapshot(spark, root)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.bit_xor(F.col("o_orderkey")).alias("xor_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_versioned_update_read(spark, sf):
     """Copy-on-write row-level UPDATE (round 5, completing the row-op
     triad merge/delete/update): orders committed range-partitioned on
@@ -3679,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions to the tail (oracle-green on the local board)
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "versioned_update_read": q_versioned_update_read,  # row-op family: predicate UPDATE (merge/delete/update triad)
+        "versioned_branch_read": q_versioned_branch_read,  # branch refs + fast-forward (WAP generalized)
         "percentiles": q_percentiles,  # displaced to the tail in the round-5 MoR swap
         "repetition_stats": q_repetition_stats,  # displaced to the tail in the round-5 k-hop swap
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
@@ -4844,6 +4890,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price,
                    bit_xor(o_orderkey) AS xor_keys
             FROM merged GROUP BY 1 ORDER BY 1
+        """,
+        "versioned_branch_read": """
+            -- two branch commits + a fast-forward must reassemble the
+            -- FULL table exactly (base %3!=0 slice + the %6==0 and
+            -- %6==3 branch commits == everything)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   bit_xor(o_orderkey) AS xor_keys
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "versioned_update_read": """
             -- predicate UPDATE == the CASE-WHEN scan, bit_xor key

@@ -296,23 +296,34 @@ def _staged_live_dirs(root: str) -> set[str]:
     return live
 
 
-def _gc_orphans(root: str) -> None:
-    """Crash recovery, run under the commit lock: drop manifests above the
-    pointer (commit never completed) and data dirs no surviving manifest
-    references (parquet written, manifest never landed). Staged WAP
-    entries' dirs are live (see _staged_live_dirs)."""
-    ptr = current_version(root) or 0
-    for v in _manifest_versions(root):
-        if v > ptr:
-            os.unlink(_manifest_path(root, v))
-    live_dirs = _staged_live_dirs(root)
-    for v in _manifest_versions(root):
-        m = _read_manifest(root, v)
+def _manifest_live_dirs(meta_root: str, live: set) -> None:
+    """Add every data/delete dir the meta root's manifests reference."""
+    for v in _manifest_versions(meta_root):
+        m = _read_manifest(meta_root, v)
         for f in m["files"]:
-            live_dirs.add(f.split("/", 1)[0])
+            live.add(f.split("/", 1)[0])
         for dels in _delete_map(m).values():
             for d in dels:
-                live_dirs.add(d.split("/", 1)[0])
+                live.add(d.split("/", 1)[0])
+
+
+def _gc_orphans(root: str) -> None:
+    """Crash recovery, run under the commit lock: drop manifests above the
+    pointer (commit never completed — per ref: main AND every branch
+    keep their own pointer) and data dirs no surviving manifest of ANY
+    ref references (parquet written, manifest never landed). Staged WAP
+    entries' dirs are live (see _staged_live_dirs)."""
+    # _branch_meta_root/_branch_names are defined later in this module —
+    # resolved at call time, like every module-level name
+    meta_roots = [root] + [_branch_meta_root(root, n) for n in _branch_names(root)]
+    for mr in meta_roots:
+        ptr = current_version(mr) or 0
+        for v in _manifest_versions(mr):
+            if v > ptr:
+                os.unlink(_manifest_path(mr, v))
+    live_dirs = _staged_live_dirs(root)
+    for mr in meta_roots:
+        _manifest_live_dirs(mr, live_dirs)
     for name in os.listdir(root):
         if name.startswith(DATA_PREFIX) and name not in live_dirs:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
@@ -590,17 +601,9 @@ def _resolve_version(
     return max(committed)
 
 
-def plan_files(
-    root: str,
-    version: int | None = None,
-    as_of: float | None = None,
-    predicates: dict | None = None,
-) -> tuple[list[str], int, StructType]:
-    """Resolve a read: (absolute files to scan, files skipped by stats,
-    manifest schema). ``read_snapshot`` is this plus ``spark.read``;
-    exposed so tests and tools can assert pruning without running a job."""
-    v = _resolve_version(root, version, as_of)
-    m = _read_manifest(root, v)
+def _plan_from_manifest(m: dict, predicates: dict | None) -> tuple[list[str], int]:
+    """(relative files to scan, files skipped by stats) for one resolved
+    manifest — shared by main-table and branch reads."""
     files, skipped = m["files"], 0
     if predicates:
         _check_predicates(predicates)
@@ -612,6 +615,21 @@ def plan_files(
         ]
         skipped = len(files) - len(kept)
         files = kept
+    return files, skipped
+
+
+def plan_files(
+    root: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    predicates: dict | None = None,
+) -> tuple[list[str], int, StructType]:
+    """Resolve a read: (absolute files to scan, files skipped by stats,
+    manifest schema). ``read_snapshot`` is this plus ``spark.read``;
+    exposed so tests and tools can assert pruning without running a job."""
+    v = _resolve_version(root, version, as_of)
+    m = _read_manifest(root, v)
+    files, skipped = _plan_from_manifest(m, predicates)
     abs_files = [os.path.join(root, f) for f in files]
     return abs_files, skipped, StructType.fromJson(m["schema"])
 
@@ -2340,6 +2358,10 @@ def expire_versions(root: str, keep_last: int) -> dict:
             for dels in _delete_map(m).values():
                 for d in dels:
                     live_dirs.add(d.split("/", 1)[0])
+        # every live branch pins its referenced dirs regardless of
+        # keep_last (delete_branch first to reclaim a stale experiment)
+        for n in _branch_names(root):
+            _manifest_live_dirs(_branch_meta_root(root, n), live_dirs)
         for v in drop:
             os.unlink(_manifest_path(root, v))
         removed = []
@@ -2741,6 +2763,247 @@ def delete_tag(root: str, name: str) -> None:
             os.unlink(_tag_path(root, name))
         except FileNotFoundError:
             raise FileNotFoundError(f"no tag {name!r} at {root}") from None
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+# ---------------------------------------------------------------------------
+# Branches (Iceberg branch refs): a NAMED MUTABLE line of commits that
+# forks from a main version and can later fast-forward back. Where a
+# tag pins one immutable version and WAP stages one invisible commit, a
+# branch accumulates MANY commits invisible to main readers — the
+# standard shape for a multi-step backfill or an experiment validated
+# against real table data before release. Layout: the branch keeps its
+# own manifest namespace (`_branches/<name>/_versions/NNNNN.json` + its
+# own VERSION pointer — structurally a table root minus data), while
+# its DATA dirs live in the main root alongside everyone else's, so
+# snapshot isolation, atomic pointer swaps and crash-orphan GC all
+# apply per-ref with the existing machinery. All refs share the main
+# table's single commit lock (one writer across main + every branch).
+# Both garbage collectors treat branch-referenced files as live; a
+# deleted branch's unshared data dirs become orphans the next writer
+# GCs.
+
+BRANCHES_DIR = "_branches"
+_FORKED_FROM = "branch_forked_from"
+
+
+def _branch_meta_root(root: str, name: str) -> str:
+    _check_tag_name(name)  # same naming rules as tags
+    return os.path.join(root, BRANCHES_DIR, name)
+
+
+def _branch_names(root: str) -> list[str]:
+    bdir = os.path.join(root, BRANCHES_DIR)
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        n for n in os.listdir(bdir)
+        if os.path.isdir(os.path.join(bdir, n))
+    )
+
+
+def list_branches(root: str) -> dict[str, int]:
+    """{branch name: head version on the branch} for live branches."""
+    out = {}
+    for n in _branch_names(root):
+        v = current_version(_branch_meta_root(root, n))
+        if v is not None:
+            out[n] = v
+    return out
+
+
+def create_branch(root: str, name: str, version: int | None = None) -> int:
+    """Fork a branch from main@``version`` (default: current): branch
+    version 1 is a content-copy of that manifest (no data copy), and
+    the fork point is recorded so ``fast_forward`` can later check that
+    main has not diverged. Returns the forked-from main version."""
+    broot = _branch_meta_root(root, name)
+    fd = _acquire_lock(root)
+    try:
+        _gc_orphans(root)
+        if current_version(broot) is not None:
+            raise ValueError(f"branch {name!r} already exists at {root}")
+        v = _resolve_version(root, version, None)
+        m = _read_manifest(root, v)
+        os.makedirs(os.path.join(broot, MANIFEST_DIR), exist_ok=True)
+        _publish_manifest(broot, 1, {
+            "version": 1,
+            "parent": None,
+            "mode": "branch",
+            "files": m["files"],
+            "file_stats": m.get("file_stats", {}),
+            "file_rows": m.get("file_rows", {}),
+            "delete_files": m.get("delete_files", {}),
+            "delete_counts": m.get("delete_counts", {}),
+            "schema": m["schema"],
+            "rows_written": 0,
+            "committed_at": time.time(),
+            "meta": {**m.get("meta", {}), _FORKED_FROM: v},
+        })
+        return v
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+def write_snapshot_branch(
+    df: DataFrame,
+    root: str,
+    name: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Commit ``df`` to branch ``name`` — same contract as
+    ``write_snapshot`` (append inherits stats columns, merges schema
+    and carries merge-on-read delete attachments; overwrite replaces
+    the file set), except the manifest lands in the branch's namespace:
+    committed main readers never see it. Data files are written into
+    the MAIN root, so a later fast-forward is pure metadata."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    broot = _branch_meta_root(root, name)
+    fd = _acquire_lock(root)
+    try:
+        _gc_orphans(root)
+        parent = current_version(broot)
+        if parent is None:
+            raise FileNotFoundError(
+                f"no branch {name!r} at {root} — create_branch first")
+        pm = _read_manifest(broot, parent)
+        if stats_cols is None and mode == "append":
+            stats_cols = _parent_stats_cols(pm, []) or None
+        if mode == "append":
+            _refuse_transformed_parent(pm, "a branch append")
+        new_files, file_stats, file_rows, n = _write_data_dir(
+            df, root, stats_cols)
+        schema = df.schema
+        files = new_files
+        delete_files: dict = {}
+        delete_counts: dict = {}
+        meta_out = dict(meta or {})
+        for k in (*_DURABLE_WRITER_META, _FORKED_FROM):
+            if k in pm.get("meta", {}) and k not in meta_out:
+                meta_out[k] = pm["meta"][k]
+        if mode == "append":
+            schema = _merge_schemas(StructType.fromJson(pm["schema"]), df.schema)
+            files = pm["files"] + new_files
+            file_stats = {**pm.get("file_stats", {}), **file_stats}
+            file_rows = {**pm.get("file_rows", {}), **file_rows}
+            delete_files = _delete_map(pm)
+            delete_counts = pm.get("delete_counts", {})
+        version = parent + 1
+        _publish_manifest(broot, version, {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "files": files,
+            "file_stats": file_stats,
+            "file_rows": file_rows,
+            "delete_files": delete_files,
+            "delete_counts": delete_counts,
+            "schema": schema.jsonValue(),
+            "rows_written": n,
+            "committed_at": time.time(),
+            "meta": meta_out,
+        })
+        return version
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+def read_snapshot_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+    predicates: dict | None = None,
+) -> DataFrame:
+    """Read branch ``name`` at its head (or a branch ``version``), with
+    the same stats pruning, residual filtering and merge-on-read
+    delete application as ``read_snapshot`` — the audit surface for
+    whatever the branch accumulated."""
+    broot = _branch_meta_root(root, name)
+    if current_version(broot) is None:
+        raise FileNotFoundError(f"no branch {name!r} at {root}")
+    v = _resolve_version(broot, version, None)
+    m = _read_manifest(broot, v)
+    files, _ = _plan_from_manifest(m, predicates)
+    df = _scan_files(spark, root, m, files)
+    if predicates:
+        df = df.filter(_residual_filter(predicates))
+    return _drop_internal(df, m)
+
+
+def fast_forward(root: str, name: str) -> int:
+    """Publish the branch head as the next MAIN version (pure metadata
+    — the data dirs are already in the main root). Refuses when main
+    moved past the branch's fork point (divergent histories: the
+    branch's view no longer contains the interleaved main commits —
+    re-create the branch from current main and re-apply, the same
+    discipline as a stale staged overwrite). Returns the new main
+    version; the branch stays (delete_branch when done)."""
+    broot = _branch_meta_root(root, name)
+    fd = _acquire_lock(root)
+    try:
+        _gc_orphans(root)
+        bv = current_version(broot)
+        if bv is None:
+            raise FileNotFoundError(f"no branch {name!r} at {root}")
+        bm = _read_manifest(broot, bv)
+        base = bm.get("meta", {}).get(_FORKED_FROM)
+        ptr = current_version(root)
+        if ptr != base:
+            raise ValueError(
+                f"branch {name!r} forked from main version {base} but "
+                f"main is now at {ptr} — fast-forward would drop the "
+                "interleaved commits; re-branch from current main"
+            )
+        head = _read_manifest(root, ptr)
+        meta_out = {
+            k: v for k, v in bm.get("meta", {}).items() if k != _FORKED_FROM
+        }
+        hwms = [
+            mm.get("batch_id_hwm")
+            for mm in (bm.get("meta", {}), head.get("meta", {}))
+            if mm.get("batch_id_hwm") is not None
+        ]
+        if hwms:
+            meta_out["batch_id_hwm"] = max(hwms)
+        version = ptr + 1
+        _publish_manifest(root, version, {
+            "version": version,
+            "parent": ptr,
+            "mode": "fast_forward",
+            "files": bm["files"],
+            "file_stats": bm.get("file_stats", {}),
+            "file_rows": bm.get("file_rows", {}),
+            "delete_files": bm.get("delete_files", {}),
+            "delete_counts": bm.get("delete_counts", {}),
+            "schema": bm["schema"],
+            "rows_written": 0,
+            "committed_at": time.time(),
+            "meta": {**meta_out, "fast_forwarded_branch": name,
+                     "fast_forwarded_version": bv},
+        })
+        return version
+    finally:
+        os.close(fd)
+        os.unlink(os.path.join(root, LOCK))
+
+
+def delete_branch(root: str, name: str) -> None:
+    """Drop the branch ref and its manifests; data dirs only the branch
+    referenced become orphans for the next writer's GC."""
+    broot = _branch_meta_root(root, name)
+    fd = _acquire_lock(root)
+    try:
+        if current_version(broot) is None:
+            raise FileNotFoundError(f"no branch {name!r} at {root}")
+        shutil.rmtree(broot)
     finally:
         os.close(fd)
         os.unlink(os.path.join(root, LOCK))
