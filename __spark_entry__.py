@@ -2636,6 +2636,83 @@ def q_khop_reachability(spark, sf):
         "dist", "node")
 
 
+def q_sssp_costs(spark, sf):
+    """Bounded weighted shortest path (round 5 — the weighted sibling
+    of khop_reachability): min total weight within 4 relaxation rounds
+    from nation N7 over the cyclic N→C→O→S→N graph, with the O→S edges
+    weighted by line quantity (integer weights — engine-exact, no float
+    noise). The engine relaxes with join + groupBy-min per round (cost
+    ∝ edges, never paths); the DuckDB oracle runs the IDENTICAL
+    recurrence as chained per-round min CTEs — the same fixed-iteration
+    idiom the pagerank oracle established."""
+    from decisions_knowledge_graph_data_spark.operators.graph import (
+        sssp_bounded,
+    )
+    cu = _t(spark, sf, "customer").select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    su = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+        F.lit(2).cast("long").alias("w"),
+    )
+    edges = cu.unionByName(o).unionByName(li).unionByName(su)
+    srcs = spark.createDataFrame([("N7",)], "node string")
+    out = sssp_bounded(edges, srcs, rounds=4)
+    return out.orderBy("node")
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    """The identical bounded Bellman-Ford recurrence as chained
+    per-round min CTEs (aggregation is not allowed in a recursive CTE
+    term, so fixed rounds unroll — the pagerank-oracle idiom)."""
+    ctes = [
+        """e AS (
+              SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS src,
+                     'C' || CAST(c_custkey AS VARCHAR) AS dst,
+                     CAST(1 AS BIGINT) AS w FROM customer
+              UNION ALL
+              SELECT 'C' || CAST(o_custkey AS VARCHAR),
+                     'O' || CAST(o_orderkey AS VARCHAR),
+                     CAST(1 AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'O' || CAST(l_orderkey AS VARCHAR),
+                     'S' || CAST(l_suppkey AS VARCHAR),
+                     CAST(l_quantity AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+                     'N' || CAST(s_nationkey AS VARCHAR),
+                     CAST(2 AS BIGINT) FROM supplier
+            )""",
+        "d0 AS (SELECT 'N7' AS node, CAST(0 AS BIGINT) AS cost)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS (
+              SELECT node, min(cost) AS cost FROM (
+                SELECT node, cost FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst, d{i - 1}.cost + e.w
+                FROM d{i - 1} JOIN e ON e.src = d{i - 1}.node
+              ) GROUP BY node
+            )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, cost FROM d{rounds} ORDER BY node"
+    )
+
+
 def _asof_frames(spark, sf):
     """Shared probe/build frames for every query on the asof_join
     oracle (batch, time-bucketed twin, streaming enrichment): the
@@ -3725,6 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete_read": q_versioned_delete_read,  # row-op family: versioned_merge_read
         "versioned_update_read": q_versioned_update_read,  # row-op family: predicate UPDATE (merge/delete/update triad)
         "versioned_branch_read": q_versioned_branch_read,  # branch refs + fast-forward (WAP generalized)
+        "sssp_costs": q_sssp_costs,  # graph family: bounded weighted shortest path (khop twin, weighted)
         "percentiles": q_percentiles,  # displaced to the tail in the round-5 MoR swap
         "repetition_stats": q_repetition_stats,  # displaced to the tail in the round-5 k-hop swap
         "stream_asof_enrich": q_stream_asof_enrich,  # streaming family: stream_events_versioned; shares asof_join's oracle
@@ -5231,6 +5309,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "graph_pagerank": _pagerank_oracle_sql(3),
+        "sssp_costs": _sssp_oracle_sql(4),
         "khop_reachability": """
             -- bounded BFS as a recursive CTE: the recursion carries
             -- (node, dist) pairs (UNION dedups pairs, keeping the

@@ -192,6 +192,62 @@ def bfs_levels(
     return visited
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded single-source(s) shortest path — Bellman-Ford with a
+    FIXED number of relaxation rounds: returns ``(node, cost)`` with
+    ``cost`` = minimum total edge weight over any path of at most
+    ``rounds`` hops from any source (sources at cost 0). The weighted
+    sibling of :func:`bfs_levels` — "cheapest within k hops" (citation
+    chains weighted by confidence, dependency edges by resolution
+    cost).
+
+    Scale shape mirrors :func:`pagerank`, not a path enumeration: each
+    round is ONE equi-join (current distances ⋈ edges on ``src``) and
+    ONE ``groupBy(node).min`` with map-side partial aggregation — cost
+    ∝ |edges| + |reached nodes| per round, while the bounded-path SET a
+    naive formulation carries is exponential on hub graphs (the DuckDB
+    oracle enumerates (node, cost) pairs and is only viable because
+    the oracle runs at toy scale). ``localCheckpoint`` per round
+    truncates the plan; FIXED rounds keep the loop free of driver
+    actions. Negative weights are fine (it is Bellman-Ford with a hop
+    bound, not Dijkstra); integer weights make results engine-exact."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+        F.col(weight).alias("_w"),
+    ).localCheckpoint(eager=False)
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        relax = (
+            dist.join(e, dist["node"] == e["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("cost") + F.col("_w")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED simple graph of
     ``edges`` (direction, parallel edges and self-loops are normalized

@@ -171,3 +171,47 @@ def test_bfs_levels_multi_source_and_validation(spark):
     assert got == {"A": 0, "D": 0, "B": 1, "C": 1, "E": 1}
     with pytest.raises(ValueError, match="max_hops"):
         bfs_levels(e, srcs, max_hops=-1)
+
+
+def _sssp_reference(edges, sources, rounds):
+    """Plain-Python bounded Bellman-Ford: min cost within k hops."""
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if u in dist and (v not in nxt or dist[u] + w < nxt[v]):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_bounded_matches_reference(spark):
+    from decisions_knowledge_graph_data_spark.operators.graph import sssp_bounded
+
+    # cheaper-but-longer path (A->B->C->D cost 3 vs A->D cost 10, needs
+    # 3 rounds to surface), a negative edge, a cycle, a tie
+    edges = [
+        ("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("A", "D", 10),
+        ("D", "E", -2), ("E", "A", 5),
+        ("A", "F", 4), ("B", "F", 3),   # tie: both reach F at cost 4
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    srcs = spark.createDataFrame([("A",)], "n string")
+    for k in (0, 1, 2, 3, 6):
+        got = {r["node"]: r["cost"]
+               for r in sssp_bounded(e, srcs, rounds=k).collect()}
+        assert got == _sssp_reference(edges, ["A"], k), k
+
+
+def test_sssp_bounded_multi_source(spark):
+    import pytest
+    from decisions_knowledge_graph_data_spark.operators.graph import sssp_bounded
+
+    edges = [("A", "C", 5), ("B", "C", 2), ("C", "D", 1)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    srcs = spark.createDataFrame([("A",), ("B",), (None,)], "n string")
+    got = {r["node"]: r["cost"]
+           for r in sssp_bounded(e, srcs, rounds=3).collect()}
+    assert got == {"A": 0, "B": 0, "C": 2, "D": 3}
+    with pytest.raises(ValueError, match="rounds"):
+        sssp_bounded(e, srcs, rounds=-1)
