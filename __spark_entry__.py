@@ -760,12 +760,18 @@ def q_versioned_branch_read(spark, sf):
             root, stats_cols=["o_orderkey"],
         )
     if len(table_history(root)) == 1:
+        # every step is guarded on the ref state it advances, so a rerun
+        # after a mid-fixture crash resumes instead of duplicating
+        # (round-5 review: unconditional branch appends under the
+        # history==1 guard would re-append on re-entry)
         if "backfill" not in list_branches(root):
             create_branch(root, "backfill")
-        write_snapshot_branch(
-            orders.filter(F.col("o_orderkey") % 6 == 0), root, "backfill")
-        write_snapshot_branch(
-            orders.filter(F.col("o_orderkey") % 6 == 3), root, "backfill")
+        if list_branches(root)["backfill"] == 1:
+            write_snapshot_branch(
+                orders.filter(F.col("o_orderkey") % 6 == 0), root, "backfill")
+        if list_branches(root)["backfill"] == 2:
+            write_snapshot_branch(
+                orders.filter(F.col("o_orderkey") % 6 == 3), root, "backfill")
         # audit on the branch surface; main must still be the base slice
         audited = read_snapshot_branch(spark, root, "backfill")
         assert audited.filter(F.col("o_totalprice") < 0).count() == 0

@@ -329,6 +329,23 @@ def _gc_orphans(root: str) -> None:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
+def _merge_append_manifest(pm, schema, new_files, file_stats, file_rows):
+    """Parent-merge for an append commit — THE single definition of what
+    an append inherits: schema union by name, parent files first, stats
+    and row-count union, and the parent's merge-on-read delete
+    attachments (an append that dropped them would resurrect deleted
+    rows). Shared by write_snapshot, publish_staged and
+    write_snapshot_branch (round-5 review: three hand-kept copies)."""
+    return (
+        _merge_schemas(StructType.fromJson(pm["schema"]), schema),
+        pm["files"] + new_files,
+        {**pm.get("file_stats", {}), **file_stats},
+        {**pm.get("file_rows", {}), **file_rows},
+        _delete_map(pm),
+        pm.get("delete_counts", {}),
+    )
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
@@ -392,16 +409,9 @@ def write_snapshot(
                 if k in pm.get("meta", {}) and k not in meta_out:
                     meta_out[k] = pm["meta"][k]
             if mode == "append":
-                schema = _merge_schemas(
-                    StructType.fromJson(pm["schema"]), df.schema)
-                files = pm["files"] + new_files
-                file_stats = {**pm.get("file_stats", {}), **file_stats}
-                file_rows = {**pm.get("file_rows", {}), **file_rows}
-                # the parent's merge-on-read delete positions still
-                # apply to its files — an append must carry them or
-                # deleted rows would resurrect
-                delete_files = _delete_map(pm)
-                delete_counts = pm.get("delete_counts", {})
+                (schema, files, file_stats, file_rows,
+                 delete_files, delete_counts) = _merge_append_manifest(
+                    pm, df.schema, new_files, file_stats, file_rows)
 
         _publish_manifest(root, version, {
             "version": version,
@@ -694,17 +704,31 @@ def _load_delete_positions(
     the load would not be driver-safe."""
     if sum(dcounts.get(f, 0) for f in files) > MOR_BROADCAST_CAP:
         return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    del_rel = sorted({d for f in files for d in dmap[f]})
+    # the cap above bounds the positions we WANT; a shared delete
+    # parquet can carry far more rows for OTHER files — bound the
+    # actual load by the footers before reading anything (round-5
+    # review: the want-side cap alone let a 5M-row delete file
+    # materialize driver-side for a 5k-position scan)
+    total = sum(
+        pq.ParquetFile(os.path.join(root, d)).metadata.num_rows
+        for d in del_rel
+    )
+    if total > MOR_BROADCAST_CAP:
+        return None
     out: dict[str, list[int]] = {}
-    want = set(files)
-    for d in sorted({d for f in files for d in dmap[f]}):
+    want = pa.array(sorted(set(files)))
+    for d in del_rel:
         t = pq.read_table(os.path.join(root, d), columns=["file", "pos"])
+        t = t.filter(pc.is_in(t.column("file"), value_set=want))
         for fval, pos in zip(
             t.column("file").to_pylist(), t.column("pos").to_pylist()
         ):
-            if fval in want:
-                out.setdefault(fval, []).append(int(pos))
+            out.setdefault(fval, []).append(int(pos))
     return out
 
 
@@ -878,11 +902,11 @@ def read_snapshot(
         version = resolve_tag(root, tag)
     v = _resolve_version(root, version, as_of)
     m = _read_manifest(root, v)
-    files, _, _ = plan_files(root, version=v, predicates=predicates)
+    files, _ = _plan_from_manifest(m, predicates)
     # _scan_files reads the explicit manifest schema (evolved columns
     # missing from old files read as NULL, no mergeSchema footer-scan)
     # and anti-joins out any merge-on-read delete positions
-    df = _scan_files(spark, root, m, [os.path.relpath(f, root) for f in files])
+    df = _scan_files(spark, root, m, files)
     if predicates:
         df = df.filter(_residual_filter(predicates))
     if not keep_internal:
@@ -1620,9 +1644,11 @@ def delete_where(
 
     def plan(pm: dict):
         stats = pm.get("file_stats", {})
+        fr = pm.get("file_rows", {})
         touched, kept = [], []
         for f in pm["files"]:
-            (touched if _file_can_match(stats.get(f), predicates) else kept).append(f)
+            (touched if _file_can_match(
+                stats.get(f), predicates, fr.get(f)) else kept).append(f)
 
         def build_rewrite(src: DataFrame):
             return src.filter(
@@ -1772,9 +1798,10 @@ def delete_where_mor(
                 f"{root} has no committed version to delete from")
         pm = _read_manifest(root, parent)
         stats = pm.get("file_stats", {})
+        fr = pm.get("file_rows", {})
         candidates = [
             f for f in pm["files"]
-            if _file_can_match(stats.get(f), predicates)
+            if _file_can_match(stats.get(f), predicates, fr.get(f))
         ]
         if not candidates:
             return None
@@ -2222,14 +2249,24 @@ def read_changes(
                 if set(dl) - set(pdmap.get(f, []))
             )
             if new_del:
-                dels = F.broadcast(
-                    spark.read.parquet(
-                        *[os.path.join(root, d) for d in new_del]
-                    ).select(
-                        F.col("file").alias(MOR_FILE_COL),
-                        F.col("pos").alias(MOR_POS_COL),
-                    )
+                dels = spark.read.parquet(
+                    *[os.path.join(root, d) for d in new_del]
+                ).select(
+                    F.col("file").alias(MOR_FILE_COL),
+                    F.col("pos").alias(MOR_POS_COL),
                 )
+                n_new = sum(
+                    m.get("delete_counts", {}).get(f, 0)
+                    - prev.get("delete_counts", {}).get(f, 0)
+                    for f in affected
+                )
+                # same broadcast gate as every delete-applying scan —
+                # rows_deleted may legally exceed MOR_BROADCAST_CAP
+                # (max_positions default is larger), and a forced
+                # broadcast of that set is the exact hazard the cap
+                # exists for (round-5 review)
+                if n_new <= MOR_BROADCAST_CAP:
+                    dels = F.broadcast(dels)
                 rows = _scan_files(
                     spark, root, prev, affected, with_pos=True,
                     schema=StructType.fromJson(m["schema"]),
@@ -2238,14 +2275,29 @@ def read_changes(
                     rows.drop(MOR_FILE_COL, MOR_POS_COL), m
                 ).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
         else:
-            ins, dels = _rows(m, added, m), _rows(m, removed, prev)
-            delta = (
-                ins.exceptAll(dels)
-                .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
-                .unionByName(
-                    dels.exceptAll(ins).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
-                )
+            # files present in BOTH manifests whose merge-on-read delete
+            # entries differ changed row VISIBILITY without changing the
+            # file list (a rollback across a mor_delete) — fold them on
+            # both sides; the surviving rows cancel in the multiset diff
+            # exactly like CoW-carried rows (round-5 review: the else
+            # branch previously diffed file lists only, so such a
+            # rollback was silent in the feed)
+            pdmap, ndmap = _delete_map(prev), _delete_map(m)
+            dchanged = sorted(
+                f for f in set(m["files"]) & parent_files
+                if sorted(pdmap.get(f, [])) != sorted(ndmap.get(f, []))
             )
+            if added or removed or dchanged:
+                ins = _rows(m, added + dchanged, m)
+                dels = _rows(m, removed + dchanged, prev)
+                delta = (
+                    ins.exceptAll(dels)
+                    .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                    .unionByName(
+                        dels.exceptAll(ins).withColumn(
+                            CHANGE_TYPE_COL, F.lit("delete"))
+                    )
+                )
         if delta is not None:
             delta = delta.withColumn(
                 CHANGE_VERSION_COL, F.lit(int(m["version"])).cast("int")
@@ -2595,13 +2647,9 @@ def publish_staged(root: str, wap_id: str) -> int:
                     meta_out[k] = pm["meta"][k]
             if entry["mode"] == "append":
                 _refuse_transformed_parent(pm, "publishing a staged append")
-                schema = _merge_schemas(
-                    StructType.fromJson(pm["schema"]), schema)
-                files = pm["files"] + files
-                file_stats = {**pm.get("file_stats", {}), **file_stats}
-                file_rows = {**pm.get("file_rows", {}), **file_rows}
-                delete_files = _delete_map(pm)
-                delete_counts = pm.get("delete_counts", {})
+                (schema, files, file_stats, file_rows,
+                 delete_files, delete_counts) = _merge_append_manifest(
+                    pm, schema, files, file_stats, file_rows)
         # durably record the intended version BEFORE the pointer swap
         # and stamp the manifest with this wap_id — together they make
         # replay detection exact (tier 1 above)
@@ -2888,12 +2936,9 @@ def write_snapshot_branch(
             if k in pm.get("meta", {}) and k not in meta_out:
                 meta_out[k] = pm["meta"][k]
         if mode == "append":
-            schema = _merge_schemas(StructType.fromJson(pm["schema"]), df.schema)
-            files = pm["files"] + new_files
-            file_stats = {**pm.get("file_stats", {}), **file_stats}
-            file_rows = {**pm.get("file_rows", {}), **file_rows}
-            delete_files = _delete_map(pm)
-            delete_counts = pm.get("delete_counts", {})
+            (schema, files, file_stats, file_rows,
+             delete_files, delete_counts) = _merge_append_manifest(
+                pm, df.schema, new_files, file_stats, file_rows)
         version = parent + 1
         _publish_manifest(broot, version, {
             "version": version,

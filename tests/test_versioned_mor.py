@@ -246,3 +246,44 @@ def test_wap_audit_and_publish_atop_deletes(spark, tmp_path):
     assert aud.count() == 999 + 3
     V.publish_staged(root, "w1")
     assert V.read_snapshot(spark, root).count() == 999 + 3
+
+
+def test_changes_feed_sees_rollback_across_mor_delete(spark, tmp_path):
+    """Round-5 review: a rollback across a mor_delete changes row
+    VISIBILITY with an identical file list — the feed must emit the
+    resurrected rows as inserts (and the mirror direction as deletes),
+    via the delete-map-changed common-file fold."""
+    root = _mk(spark, str(tmp_path / "t"))
+    V.delete_where_mor(spark, root, {"id": ("between", (100, 149))})
+    V.rollback_to(root, 1)  # v3: 50 rows become visible again
+    ch = V.read_changes(spark, root, 2)
+    ins = ch.filter(F.col(V.CHANGE_TYPE_COL) == "insert")
+    assert ch.count() == 50 and ins.count() == 50
+    assert sorted(r["id"] for r in ins.collect()) == list(range(100, 150))
+    # mirror: roll forward INTO the deleted state -> 50 deletes
+    V.rollback_to(root, 2)
+    ch2 = V.read_changes(spark, root, 3)
+    dels = ch2.filter(F.col(V.CHANGE_TYPE_COL) == "delete")
+    assert ch2.count() == 50 and dels.count() == 50
+    # end-to-end invariant: replaying the full feed from v1 lands on
+    # the current visible multiset
+    assert V.read_snapshot(spark, root).count() == 950
+
+
+def test_position_load_bounded_by_delete_file_rows(spark, tmp_path, monkeypatch):
+    """Round-5 review: the driver-side position load must be bounded by
+    the delete parquets' ACTUAL footer rows, not just the wanted files'
+    counts — a shared delete file can carry far more rows for other
+    files. Above the cap the scan falls back to the join path and stays
+    correct."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as VV
+
+    root = _mk(spark, str(tmp_path / "t"))
+    V.delete_where_mor(spark, root, {"g": ("==", 3)})
+    m = V._read_manifest(root, 2)
+    dmap, dcounts = V._delete_map(m), m.get("delete_counts", {})
+    one = sorted(dmap)[:1]
+    monkeypatch.setattr(VV, "MOR_BROADCAST_CAP", 1)
+    assert VV._load_delete_positions(root, dmap, dcounts, one) is None
+    # the join fallback still reads correctly
+    assert V.read_snapshot(spark, root).filter(F.col("g") == 3).count() == 0
