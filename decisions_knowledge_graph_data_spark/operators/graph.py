@@ -220,10 +220,14 @@ def sssp_bounded(
     bound, not Dijkstra); integer weights make results engine-exact."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
+    # NOT checkpointed: the edge frame is re-derived per round (for a
+    # parquet-backed table that is a fresh columnar scan, cheaper and
+    # more parallel than a block-manager round trip of the full edge
+    # set — measured in tools/bench_graph.py; bfs_levels does the same)
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"),
         F.col(weight).alias("_w"),
-    ).localCheckpoint(eager=False)
+    )
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .filter(F.col("node").isNotNull())
