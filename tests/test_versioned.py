@@ -1190,18 +1190,18 @@ def test_metadata_tables(spark, tmp_path):
 
 def test_model_based_random_op_walk(spark, tmp_path):
     """Model-based check of the whole row-op surface: a seeded random
-    walk of overwrite/append/merge/delete/compact/rollback commits,
-    mirrored on an independent Python dict model. After the walk, the
+    walk of append/merge/delete/mor-delete/update/compact/rollback
+    commits, mirrored on an independent Python dict model. After the walk, the
     current read, EVERY retained version's time-travel read, and the
     full + a mid-range CDC feed must all equal the model exactly."""
     import random
 
     from decisions_knowledge_graph_data_spark.sources.versioned import (
-        compact_snapshot, delete_where, merge_snapshot, read_changes,
-        rollback_to, write_snapshot,
+        compact_snapshot, delete_where, delete_where_mor, merge_snapshot,
+        read_changes, rollback_to, update_where, write_snapshot,
     )
 
-    for seed in (11, 23):
+    for seed in (11, 23, 47):
         rng = random.Random(seed)
         root = str(tmp_path / f"model_{seed}")
 
@@ -1217,8 +1217,10 @@ def test_model_based_random_op_walk(spark, tmp_path):
         cur = 1
 
         for _ in range(12):
-            op = rng.choice(
-                ["append", "merge", "delete", "compact", "rollback"])
+            op = rng.choice([
+                "append", "merge", "delete", "mor_delete", "update",
+                "compact", "rollback",
+            ])
             ver = None
             if op == "append":
                 n = rng.randint(1, 5)
@@ -1236,7 +1238,7 @@ def test_model_based_random_op_walk(spark, tmp_path):
                 if src:
                     ver = merge_snapshot(spark, root, mk(src), "id")
                     state.update(src)
-            elif op == "delete":
+            elif op in ("delete", "mor_delete"):
                 if rng.random() < 0.5:
                     cut = rng.randint(0, next_id)
                     pred = {"id": ("<", cut)}
@@ -1247,13 +1249,28 @@ def test_model_based_random_op_walk(spark, tmp_path):
                     pred = {"id": ("between", (lo, hi))}
                     survivors = {i: v for i, v in state.items()
                                  if not (lo <= i <= hi)}
-                ver = delete_where(spark, root, pred)
+                if op == "delete":
+                    ver = delete_where(spark, root, pred)
+                else:
+                    ver = delete_where_mor(spark, root, pred)
                 if ver is not None:
                     # stats may overmatch: a commit can change no rows
                     state = survivors
                 else:
                     # ...but never undermatch: no commit => no row matched
-                    assert survivors == state, "matching delete must commit"
+                    assert survivors == state, f"matching {op} must commit"
+            elif op == "update":
+                lo = rng.randint(0, next_id)
+                hi = lo + rng.randint(0, 8)
+                pred = {"id": ("between", (lo, hi))}
+                ver = update_where(
+                    spark, root, pred, {"v": F.col("v") + 7})
+                after = {i: (v + 7 if lo <= i <= hi else v)
+                         for i, v in state.items()}
+                if ver is not None:
+                    state = after
+                else:
+                    assert after == state, "matching update must commit"
             elif op == "compact":
                 ver = compact_snapshot(spark, root, small_file_bytes=10**9)
                 # row-preserving: state unchanged either way
