@@ -2356,12 +2356,17 @@ def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
 
 def files_df(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Iceberg ``table.files`` metadata-table analog: one row per data
-    file of the resolved version, with its size and per-column min/max
-    stats as a map — the inspection surface for layout debugging
-    ("which files would this predicate prune?"). Driver-side only."""
+    file of the resolved version, with its size, recorded row count,
+    live merge-on-read delete-position count and per-column min/max
+    stats as maps — the inspection surface for layout debugging
+    ("which files would this predicate prune?", "which files still
+    carry deletes to absorb?"). Driver-side only."""
     v = _resolve_version(root, version, None)
     m = _read_manifest(root, v)
     stats = m.get("file_stats", {})
+    fr = m.get("file_rows", {})
+    dcounts = m.get("delete_counts", {})
+    dmap = _delete_map(m)
     rows = []
     for f in m["files"]:
         path = os.path.join(root, f)
@@ -2370,6 +2375,8 @@ def files_df(spark: SparkSession, root: str, version: int | None = None) -> Data
         rows.append((
             f,
             size,
+            fr.get(f),
+            dcounts.get(f, 0) if f in dmap else 0,
             {c: None if b.get("min") is None else str(b["min"])
              for c, b in st.items()},
             {c: None if b.get("max") is None else str(b["max"])
@@ -2377,8 +2384,8 @@ def files_df(spark: SparkSession, root: str, version: int | None = None) -> Data
         ))
     return spark.createDataFrame(
         rows,
-        "file: string, size_bytes: long, col_min: map<string,string>, "
-        "col_max: map<string,string>",
+        "file: string, size_bytes: long, n_rows: long, n_deletes: long, "
+        "col_min: map<string,string>, col_max: map<string,string>",
     )
 
 

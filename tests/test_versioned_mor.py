@@ -287,3 +287,17 @@ def test_position_load_bounded_by_delete_file_rows(spark, tmp_path, monkeypatch)
     assert VV._load_delete_positions(root, dmap, dcounts, one) is None
     # the join fallback still reads correctly
     assert V.read_snapshot(spark, root).filter(F.col("g") == 3).count() == 0
+
+
+def test_files_df_reports_rows_and_live_deletes(spark, tmp_path):
+    root = _mk(spark, str(tmp_path / "t"))
+    V.delete_where_mor(spark, root, {"id": ("between", (0, 9))})
+    rows = {r["file"]: r for r in V.files_df(spark, root).collect()}
+    assert sum(r["n_rows"] for r in rows.values()) == 1000
+    assert sum(r["n_deletes"] for r in rows.values()) == 10
+    assert sum(1 for r in rows.values() if r["n_deletes"] > 0) == 1
+    # absorbed deletes disappear from the metadata table
+    V.compact_snapshot(spark, root, small_file_bytes=1)
+    rows2 = V.files_df(spark, root).collect()
+    assert all(r["n_deletes"] == 0 for r in rows2)
+    assert sum(r["n_rows"] for r in rows2) == 990
