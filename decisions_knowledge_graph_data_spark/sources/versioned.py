@@ -713,17 +713,15 @@ def _load_delete_positions(
     # parquet can carry far more rows for OTHER files — bound the
     # actual load by the footers before reading anything (round-5
     # review: the want-side cap alone let a 5M-row delete file
-    # materialize driver-side for a 5k-position scan)
-    total = sum(
-        pq.ParquetFile(os.path.join(root, d)).metadata.num_rows
-        for d in del_rel
-    )
-    if total > MOR_BROADCAST_CAP:
+    # materialize driver-side for a 5k-position scan); one open per
+    # file: the footer check and the read share the handle
+    handles = [pq.ParquetFile(os.path.join(root, d)) for d in del_rel]
+    if sum(h.metadata.num_rows for h in handles) > MOR_BROADCAST_CAP:
         return None
     out: dict[str, list[int]] = {}
     want = pa.array(sorted(set(files)))
-    for d in del_rel:
-        t = pq.read_table(os.path.join(root, d), columns=["file", "pos"])
+    for h in handles:
+        t = h.read(columns=["file", "pos"])
         t = t.filter(pc.is_in(t.column("file"), value_set=want))
         for fval, pos in zip(
             t.column("file").to_pylist(), t.column("pos").to_pylist()
@@ -776,12 +774,21 @@ def _scan_files(
     dcounts = m.get("delete_counts", {})
 
     def _del_side(files: list[str]) -> DataFrame:
+        import pyarrow.parquet as pq
+
         del_rel = sorted({d for f in files for d in dmap[f]})
         dels = spark.read.parquet(
             *[os.path.join(root, d) for d in del_rel]
         )
-        n_live = sum(dcounts.get(f, 0) for f in files)
-        return dels, n_live
+        # broadcast gate on the parquets' ACTUAL footer rows, not the
+        # scanned files' wanted counts — a shared delete file carries
+        # rows for other files too (round-5 review, same hazard as
+        # _load_delete_positions)
+        n_actual = sum(
+            pq.ParquetFile(os.path.join(root, d)).metadata.num_rows
+            for d in del_rel
+        )
+        return dels, n_actual
 
     dirty_set = set(dirty)
     clean = [f for f in rel_files if f not in dirty_set]
@@ -848,12 +855,12 @@ def _scan_files(
         if clean:
             parts.append(scan(clean, with_pos))
         if dirty:
-            dels, n_live = _del_side(dirty)
+            dels, n_actual = _del_side(dirty)
             dels = dels.select(
                 F.col("file").alias(MOR_FILE_COL),
                 F.col("pos").alias(MOR_POS_COL),
             )
-            if n_live <= MOR_BROADCAST_CAP:
+            if n_actual <= MOR_BROADCAST_CAP:
                 dels = F.broadcast(dels)
             cleaned = scan(dirty, True).join(
                 dels, [MOR_FILE_COL, MOR_POS_COL], "left_anti"
@@ -2235,62 +2242,80 @@ def read_changes(
                 delta = _rows(m, added, m).withColumn(
                     CHANGE_TYPE_COL, F.lit("insert")
                 )
-        elif m["mode"] == "mor_delete":
-            # files unchanged; the commit's row delta is exactly the
-            # NEW delete positions — read them back from the affected
-            # data files as they were visible before this commit
+        else:
+            # Files present in BOTH manifests whose merge-on-read
+            # delete-entry lists differ changed row VISIBILITY without
+            # changing the file list (a mor_delete commit, or a
+            # rollback across one). Their delta is exactly a POSITION
+            # SET difference, so it is read as a semi-join on the
+            # (tiny) position diff — never a double full scan of the
+            # touched file (round-5 review: the two-sided exceptAll
+            # fold violated the cost-∝-churn contract on large files):
+            #   entries grew  → those positions became invisible
+            #                   (emit as deletes, rows read in the
+            #                   BEFORE view — prev's map);
+            #   entries shrank → positions became visible again
+            #                   (emit as inserts, rows read in the
+            #                   AFTER view — m's map).
+            # A file whose lists changed in BOTH directions (never
+            # produced by the shipped ops, but legal on exotic
+            # rollback lineages) falls back to the two-sided fold,
+            # where its surviving rows cancel in the multiset diff.
             pdmap, ndmap = _delete_map(prev), _delete_map(m)
-            new_del = sorted({
-                d for f, dl in ndmap.items()
-                for d in dl if d not in set(pdmap.get(f, []))
-            })
-            affected = sorted(
-                f for f, dl in ndmap.items()
-                if set(dl) - set(pdmap.get(f, []))
-            )
-            if new_del:
-                dels = spark.read.parquet(
-                    *[os.path.join(root, d) for d in new_del]
-                ).select(
+            grown: dict[str, set] = {}
+            shrunk: dict[str, set] = {}
+            two_sided: list[str] = []
+            for f in sorted(set(m["files"]) & parent_files):
+                lo_e, hi_e = set(pdmap.get(f, [])), set(ndmap.get(f, []))
+                if lo_e == hi_e:
+                    continue
+                if lo_e <= hi_e:
+                    grown[f] = hi_e - lo_e
+                elif hi_e <= lo_e:
+                    shrunk[f] = lo_e - hi_e
+                else:
+                    two_sided.append(f)
+
+            def _pos_delta(deltas: dict, view_m: dict, change: str):
+                # rows at the delta positions, as visible in view_m; a
+                # delta delete parquet may also hold entries for files
+                # with a DIFFERENT delta list, so each parquet's rows
+                # are restricted to the files it is a delta FOR
+                by_del: dict[str, list[str]] = {}
+                for f, ds in deltas.items():
+                    for d in ds:
+                        by_del.setdefault(d, []).append(f)
+                side = None
+                for d, fs in sorted(by_del.items()):
+                    one = spark.read.parquet(os.path.join(root, d)).filter(
+                        F.col("file").isin(fs))
+                    side = one if side is None else side.unionByName(one)
+                side = side.select(
                     F.col("file").alias(MOR_FILE_COL),
                     F.col("pos").alias(MOR_POS_COL),
                 )
-                n_new = sum(
-                    m.get("delete_counts", {}).get(f, 0)
-                    - prev.get("delete_counts", {}).get(f, 0)
-                    for f in affected
+                import pyarrow.parquet as pq
+
+                n_actual = sum(
+                    pq.ParquetFile(os.path.join(root, d)).metadata.num_rows
+                    for d in by_del
                 )
-                # same broadcast gate as every delete-applying scan —
-                # rows_deleted may legally exceed MOR_BROADCAST_CAP
-                # (max_positions default is larger), and a forced
-                # broadcast of that set is the exact hazard the cap
-                # exists for (round-5 review)
-                if n_new <= MOR_BROADCAST_CAP:
-                    dels = F.broadcast(dels)
+                # same broadcast gate as every delete-applying scan
+                if n_actual <= MOR_BROADCAST_CAP:
+                    side = F.broadcast(side)
                 rows = _scan_files(
-                    spark, root, prev, affected, with_pos=True,
+                    spark, root, view_m, sorted(deltas), with_pos=True,
                     schema=StructType.fromJson(m["schema"]),
-                ).join(dels, [MOR_FILE_COL, MOR_POS_COL], "left_semi")
-                delta = _drop_internal(
+                ).join(side, [MOR_FILE_COL, MOR_POS_COL], "left_semi")
+                return _drop_internal(
                     rows.drop(MOR_FILE_COL, MOR_POS_COL), m
-                ).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
-        else:
-            # files present in BOTH manifests whose merge-on-read delete
-            # entries differ changed row VISIBILITY without changing the
-            # file list (a rollback across a mor_delete) — fold them on
-            # both sides; the surviving rows cancel in the multiset diff
-            # exactly like CoW-carried rows (round-5 review: the else
-            # branch previously diffed file lists only, so such a
-            # rollback was silent in the feed)
-            pdmap, ndmap = _delete_map(prev), _delete_map(m)
-            dchanged = sorted(
-                f for f in set(m["files"]) & parent_files
-                if sorted(pdmap.get(f, [])) != sorted(ndmap.get(f, []))
-            )
-            if added or removed or dchanged:
-                ins = _rows(m, added + dchanged, m)
-                dels = _rows(m, removed + dchanged, prev)
-                delta = (
+                ).withColumn(CHANGE_TYPE_COL, F.lit(change))
+
+            parts: list[DataFrame] = []
+            if added or removed or two_sided:
+                ins = _rows(m, added + two_sided, m)
+                dels = _rows(m, removed + two_sided, prev)
+                parts.append(
                     ins.exceptAll(dels)
                     .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                     .unionByName(
@@ -2298,6 +2323,14 @@ def read_changes(
                             CHANGE_TYPE_COL, F.lit("delete"))
                     )
                 )
+            if grown:
+                parts.append(_pos_delta(grown, prev, "delete"))
+            if shrunk:
+                parts.append(_pos_delta(shrunk, m, "insert"))
+            if parts:
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
         if delta is not None:
             delta = delta.withColumn(
                 CHANGE_VERSION_COL, F.lit(int(m["version"])).cast("int")

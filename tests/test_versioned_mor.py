@@ -283,9 +283,22 @@ def test_position_load_bounded_by_delete_file_rows(spark, tmp_path, monkeypatch)
     m = V._read_manifest(root, 2)
     dmap, dcounts = V._delete_map(m), m.get("delete_counts", {})
     one = sorted(dmap)[:1]
-    monkeypatch.setattr(VV, "MOR_BROADCAST_CAP", 1)
+    wanted = dcounts[one[0]]
+    total = sum(dcounts.values())
+    assert wanted < total  # the shared parquet holds other files' rows
+    # cap below the wanted count: the want-side gate refuses
+    monkeypatch.setattr(VV, "MOR_BROADCAST_CAP", wanted - 1)
     assert VV._load_delete_positions(root, dmap, dcounts, one) is None
+    # cap between wanted and the parquet's ACTUAL rows: the footer
+    # gate (the round-5 fix) must refuse — the want-side gate passes
+    monkeypatch.setattr(VV, "MOR_BROADCAST_CAP", wanted)
+    assert VV._load_delete_positions(root, dmap, dcounts, one) is None
+    # cap at/above the actual rows: loads, restricted to wanted files
+    monkeypatch.setattr(VV, "MOR_BROADCAST_CAP", total)
+    got = VV._load_delete_positions(root, dmap, dcounts, one)
+    assert set(got) == set(one) and len(got[one[0]]) == wanted
     # the join fallback still reads correctly
+    monkeypatch.setattr(VV, "MOR_BROADCAST_CAP", 1)
     assert V.read_snapshot(spark, root).filter(F.col("g") == 3).count() == 0
 
 
@@ -301,3 +314,24 @@ def test_files_df_reports_rows_and_live_deletes(spark, tmp_path):
     rows2 = V.files_df(spark, root).collect()
     assert all(r["n_deletes"] == 0 for r in rows2)
     assert sum(r["n_rows"] for r in rows2) == 990
+
+
+def test_changes_feed_scan_set_is_churn_only(spark, tmp_path):
+    """Scale contract (round-5 review): a mor_delete / rollback window's
+    feed scans ONLY the delta-affected data files plus the delta
+    position parquets — never the untouched files, and never a touched
+    file twice per side."""
+    root = _mk(spark, str(tmp_path / "t"))
+    V.delete_where_mor(spark, root, {"id": ("between", (100, 149))})
+    m2 = V._read_manifest(root, 2)
+    affected = sorted(V._delete_map(m2))
+    assert len(affected) == 1  # range-partitioned: one file holds 100-149
+    del_files = {d for dl in V._delete_map(m2).values() for d in dl}
+    scanned = {os.path.relpath(f.replace("file://", ""), root)
+               for f in V.read_changes(spark, root, 1).inputFiles()}
+    assert scanned == set(affected) | del_files, scanned
+    # rollback window: same shape in the resurrect direction
+    V.rollback_to(root, 1)
+    scanned = {os.path.relpath(f.replace("file://", ""), root)
+               for f in V.read_changes(spark, root, 2).inputFiles()}
+    assert scanned == set(affected) | del_files, scanned
