@@ -91,9 +91,20 @@ def oph_minhash_bands(df: DataFrame | None, key_col: str = "", text_col: str = "
     base = shingled if shingled is not None else shingled_docs(
         df, key_col, text_col, shingle_words
     )
-    exploded = base.select("_k", F.explode("_sh").alias("_s")).withColumn(
-        "_h", F.xxhash64("_s")
-    ).withColumn("_b", F.pmod("_h", F.lit(n_hashes)))
+    exploded = base.select("_k", F.explode("_sh").alias("_s")).select(
+        "_k", F.xxhash64("_s").alias("_h")
+    )
+    return _bands_from_hash_stream(exploded, n_hashes, n_bands)
+
+
+def _bands_from_hash_stream(exploded: DataFrame, n_hashes: int,
+                            n_bands: int) -> DataFrame:
+    """OPH band core over a (_k, _h) hashed-shingle stream — shared by
+    the text path (``oph_minhash_bands``) and the signature-store path
+    (``build_signature_store`` / ``incremental_dedup``), which bands
+    from already-hashed shingle sets so both sides of an incremental
+    join produce bit-identical band hashes."""
+    exploded = exploded.withColumn("_b", F.pmod("_h", F.lit(n_hashes)))
     sig = exploded.groupBy("_k").agg(
         *[
             F.min(F.when(F.col("_b") == i, F.col("_h"))).alias(f"_m{i}")
@@ -851,4 +862,169 @@ def decontaminate(
             "n_matched",
             (F.col("n_matched") > 0).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup against a persisted signature store
+# ---------------------------------------------------------------------------
+#
+# The 100-TB dedup loop is not "all-pairs the corpus once"; it is "a new
+# crawl batch arrives and must be deduped against everything already
+# kept, WITHOUT reprocessing the kept corpus". The reference's dedupe
+# passes (dedupe-provision-mapping-jsons.ts:118-151) re-read the whole
+# output directory per run — fine at 64k docs, not at 10^10. Here the
+# kept corpus is represented once by a persisted signature store (two
+# versioned tables) and each batch costs: one batch-side shingle pass, a
+# narrow index join, and a candidate-pruned verify read.
+
+SIG_STORE_BANDS = "bands"
+SIG_STORE_SHINGLES = "shingles"
+_SIG_PARAM_KEYS = ("n_hashes", "n_bands", "shingle_words")
+
+
+def hashed_shingle_sets(df: DataFrame, key_col: str, text_col: str,
+                        shingle_words: int = 3) -> DataFrame:
+    """(_k, _hs): sorted xxhash64'd distinct word-shingle sets — the
+    signature-store representation of a document. Jaccard over these
+    hash sets equals jaccard over the string shingle sets whenever
+    xxhash64 is injective on each compared pair's union (collision odds
+    ~|union|^2 / 2^64 per pair — negligible, and locked against the
+    string-shingle oracle by the driver board). Storing 8-byte hashes
+    instead of shingle strings keeps the verify payload compact and
+    constant-width at any document length."""
+    base = shingled_docs(df, key_col, text_col, shingle_words)
+    return base.select(
+        "_k",
+        F.array_sort(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_hs"),
+    )
+
+
+def _sig_store_roots(root: str) -> tuple[str, str]:
+    import os
+
+    return (os.path.join(root, SIG_STORE_BANDS),
+            os.path.join(root, SIG_STORE_SHINGLES))
+
+
+def _sig_store_params(bands_root: str) -> dict:
+    """LSH parameters recorded at store creation — the store manifest is
+    the source of truth; readers and appenders must band identically or
+    recall silently collapses."""
+    from ..sources.versioned import _read_manifest, current_version
+
+    v = current_version(bands_root)
+    if v is None:
+        raise ValueError(f"no signature store at {bands_root!r}")
+    meta = _read_manifest(bands_root, v).get("meta", {})
+    missing = [k for k in _SIG_PARAM_KEYS if k not in meta]
+    if missing:
+        raise ValueError(f"signature store missing LSH params {missing}")
+    return {k: int(meta[k]) for k in _SIG_PARAM_KEYS}
+
+
+def build_signature_store(df: DataFrame, key_col: str, text_col: str,
+                          root: str, *, n_hashes: int = 32, n_bands: int = 8,
+                          shingle_words: int = 3,
+                          mode: str = "overwrite") -> dict:
+    """Persist the LSH signature store for a kept corpus under ``root``
+    as two versioned tables:
+
+    * ``bands/``    (key, band_pos, band_hash) — the blocking index;
+      ~n_bands narrow rows per doc, the only part of the store a batch
+      scans in full.
+    * ``shingles/`` (key, sh_hashes) — hashed shingle sets for exact
+      verify, range-partitioned + sorted on key with per-file key stats
+      so candidate-driven semijoin reads prune to the files that hold
+      matched docs (write once, prune every batch).
+
+    ``mode="append"`` adds a kept batch's signatures (the incremental
+    loop); appends must use the SAME LSH parameters — the store manifest
+    records them and a mismatch raises instead of silently losing
+    recall. Corpus text is read exactly once per build/append (the
+    hashed-shingle pass is localCheckpointed and feeds both tables).
+    """
+    from ..sources.versioned import current_version, write_snapshot
+
+    bands_root, shingles_root = _sig_store_roots(root)
+    params = {"n_hashes": n_hashes, "n_bands": n_bands,
+              "shingle_words": shingle_words}
+    if mode == "append" and current_version(bands_root) is not None:
+        stored = _sig_store_params(bands_root)
+        if stored != params:
+            raise ValueError(
+                f"signature-store LSH params mismatch: store has {stored}, "
+                f"append requested {params}"
+            )
+    hs = hashed_shingle_sets(df, key_col, text_col, shingle_words)
+    hs = hs.localCheckpoint(eager=False)
+    bands = _bands_from_hash_stream(
+        hs.select("_k", F.explode("_hs").alias("_h")), n_hashes, n_bands
+    ).select(F.col("_k").alias("key"), "band_pos", "band_hash")
+    bv = write_snapshot(bands, bands_root, mode=mode, meta=params)
+    shingles = (
+        hs.select(F.col("_k").alias("key"), F.col("_hs").alias("sh_hashes"))
+        .repartitionByRange(8, "key")
+        .sortWithinPartitions("key")
+    )
+    sv = write_snapshot(shingles, shingles_root, mode=mode,
+                        stats_cols=["key"], meta=params)
+    return {"bands_version": bv, "shingles_version": sv}
+
+
+def incremental_dedup(spark, batch_df: DataFrame, key_col: str,
+                      text_col: str, root: str,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-dup a NEW batch against the persisted corpus without
+    reprocessing the corpus. Returns (key_new, key_stored, jaccard)
+    for batch docs whose exact hashed-shingle jaccard against a stored
+    doc clears the threshold (band-blocked candidates, exact verify —
+    identical semantics to ``minhash_dup_pairs`` restricted to
+    batch x store pairs; a batch key that also exists in the store is
+    never paired with itself).
+
+    100-TB shape: corpus TEXT is never read. The full-store work is one
+    scan of the 3-column bands index; candidate generation is an
+    equi-join on (band_pos, band_hash) — never all-pairs; the heavy
+    shingle payload is read through manifest semijoin pruning on the
+    candidate keys, so a small batch touches only the shingle files
+    whose key ranges contain matched docs. The candidate frame is
+    localCheckpointed because the semijoin planner consumes it once
+    driver-side (file pruning) and the verify join consumes it again.
+    """
+    from ..sources.versioned import read_snapshot, read_snapshot_semijoin
+
+    bands_root, shingles_root = _sig_store_roots(root)
+    p = _sig_store_params(bands_root)
+    hs_new = hashed_shingle_sets(
+        batch_df, key_col, text_col, p["shingle_words"]
+    ).localCheckpoint(eager=False)
+    bands_new = _bands_from_hash_stream(
+        hs_new.select("_k", F.explode("_hs").alias("_h")),
+        p["n_hashes"], p["n_bands"],
+    )
+    store_bands = read_snapshot(spark, bands_root).select(
+        F.col("key").alias("key_stored"), "band_pos", "band_hash"
+    )
+    cand = (
+        bands_new.select(F.col("_k").alias("key_new"), "band_pos", "band_hash")
+        .join(store_bands, ["band_pos", "band_hash"])
+        .filter(F.col("key_new") != F.col("key_stored"))
+        .select("key_new", "key_stored")
+        .dropDuplicates(["key_new", "key_stored"])
+        .localCheckpoint(eager=False)
+    )
+    sh_store = read_snapshot_semijoin(
+        spark, shingles_root, cand.select("key_stored"), "key"
+    ).select(F.col("key").alias("key_stored"), F.col("sh_hashes").alias("_shb"))
+    sha = hs_new.select(F.col("_k").alias("key_new"), F.col("_hs").alias("_sha"))
+    jac = F.size(F.array_intersect("_sha", "_shb")) / F.greatest(
+        F.size(F.array_union("_sha", "_shb")), F.lit(1)
+    )
+    return (
+        cand.join(sha, "key_new")
+        .join(sh_store, "key_stored")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("key_new", "key_stored", "jaccard")
     )

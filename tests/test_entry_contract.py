@@ -47,6 +47,10 @@ def test_driver_window_composition():
         "ngram_jaccard", "embedding_dup_lsh", "ivf_topk",
         "ivf_topk_full_probe", "embedding_topk", "exact_dedup",
         "span_dedup",
+        # round-5 tenth pass: the incremental signature-store dedup loop
+        # (displacing block_numbering; window/sequencing family stays
+        # visible via seq_ids + range_window)
+        "incremental_dedup",
         # iterative-graph + temporal-join families (round-3 ops)
         "graph_pagerank", "asof_join", "range_join",
         # text-analysis / curation family (language_id moved to the tail
