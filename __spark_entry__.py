@@ -2424,6 +2424,10 @@ def q_incremental_dedup(spark, sf):
 
     d = _t(spark, sf, "documents")
     root = _signature_store_root(sf)
+    # bands commits LAST in build_signature_store (the store's commit
+    # point), so a present bands manifest implies shingles exists too; a
+    # build that crashed between the two commits leaves bands absent and
+    # rebuilds here in overwrite mode
     if current_version(os.path.join(root, "bands")) is None:
         build_signature_store(
             d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", root
@@ -4087,12 +4091,16 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM toks
             ), ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
             pairs AS (
+              -- threshold on the RAW ratio, round only for display:
+              -- the Spark side filters unrounded, so rounding first
+              -- would diverge on values in [thr - 5e-7, thr)
               SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-                round(len(list_intersect(a.s,b.s))
-                      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+                len(list_intersect(a.s,b.s))
+                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS jac
               FROM ne a, ne b WHERE a.doc_id < b.doc_id
             )
-            SELECT * FROM pairs WHERE jaccard >= 0.4
+            SELECT key_a, key_b, round(jac, 6) AS jaccard
+            FROM pairs WHERE jac >= 0.4
         """,
         "incremental_dedup": r"""
             -- exhaustive CROSS-HALF jaccard >= 0.4 (store = even doc_ids,
@@ -4112,13 +4120,16 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM toks
             ), ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
             pairs AS (
+              -- threshold on the RAW ratio, round only for display
+              -- (boundary-identical to the Spark side's unrounded filter)
               SELECT b.doc_id AS key_new, a.doc_id AS key_stored,
-                round(len(list_intersect(a.s,b.s))
-                      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+                len(list_intersect(a.s,b.s))
+                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS jac
               FROM ne a, ne b
               WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
             )
-            SELECT * FROM pairs WHERE jaccard >= 0.4
+            SELECT key_new, key_stored, round(jac, 6) AS jaccard
+            FROM pairs WHERE jac >= 0.4
         """,
         "dedup_clusters": r"""
             -- minhash pairs (same exhaustive-jaccard oracle) -> recursive
@@ -4481,12 +4492,15 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM toks
             ), ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
             pairs AS (
+              -- threshold on the RAW ratio, round only for display
+              -- (boundary-identical to the Spark side's unrounded filter)
               SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-                round(len(list_intersect(a.s,b.s))
-                      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+                len(list_intersect(a.s,b.s))
+                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS jac
               FROM ne a, ne b WHERE a.doc_id < b.doc_id
             )
-            SELECT * FROM pairs WHERE jaccard >= 0.3
+            SELECT key_a, key_b, round(jac, 6) AS jaccard
+            FROM pairs WHERE jac >= 0.3
         """,
         "ivf_topk_full_probe": """
             -- n_probe == n_centroids probes every bucket: IVF must equal

@@ -943,6 +943,14 @@ def build_signature_store(df: DataFrame, key_col: str, text_col: str,
     records them and a mismatch raises instead of silently losing
     recall. Corpus text is read exactly once per build/append (the
     hashed-shingle pass is localCheckpointed and feeds both tables).
+
+    Crash ordering: shingles commit FIRST, bands LAST — the bands
+    commit is the store's commit point. Candidates only ever come from
+    the bands index, so a key present in bands is guaranteed a shingle
+    row (the verify join can never silently drop a candidate), while an
+    orphan shingle key from a crash between the two commits is inert
+    (the candidate-driven semijoin never reads it) and is healed by the
+    retried append/overwrite.
     """
     from ..sources.versioned import current_version, write_snapshot
 
@@ -958,10 +966,6 @@ def build_signature_store(df: DataFrame, key_col: str, text_col: str,
             )
     hs = hashed_shingle_sets(df, key_col, text_col, shingle_words)
     hs = hs.localCheckpoint(eager=False)
-    bands = _bands_from_hash_stream(
-        hs.select("_k", F.explode("_hs").alias("_h")), n_hashes, n_bands
-    ).select(F.col("_k").alias("key"), "band_pos", "band_hash")
-    bv = write_snapshot(bands, bands_root, mode=mode, meta=params)
     shingles = (
         hs.select(F.col("_k").alias("key"), F.col("_hs").alias("sh_hashes"))
         .repartitionByRange(8, "key")
@@ -969,6 +973,10 @@ def build_signature_store(df: DataFrame, key_col: str, text_col: str,
     )
     sv = write_snapshot(shingles, shingles_root, mode=mode,
                         stats_cols=["key"], meta=params)
+    bands = _bands_from_hash_stream(
+        hs.select("_k", F.explode("_hs").alias("_h")), n_hashes, n_bands
+    ).select(F.col("_k").alias("key"), "band_pos", "band_hash")
+    bv = write_snapshot(bands, bands_root, mode=mode, meta=params)
     return {"bands_version": bv, "shingles_version": sv}
 
 
@@ -1017,6 +1025,11 @@ def incremental_dedup(spark, batch_df: DataFrame, key_col: str,
     sh_store = read_snapshot_semijoin(
         spark, shingles_root, cand.select("key_stored"), "key"
     ).select(F.col("key").alias("key_stored"), F.col("sh_hashes").alias("_shb"))
+    # A crashed-then-retried append can leave a key's (identical) shingle
+    # row twice in the store (shingles commit before bands — see
+    # build_signature_store); dedup the candidate-sized verify payload so
+    # duplicated store rows can never double-emit a pair.
+    sh_store = sh_store.dropDuplicates(["key_stored"])
     sha = hs_new.select(F.col("_k").alias("key_new"), F.col("_hs").alias("_sha"))
     jac = F.size(F.array_intersect("_sha", "_shb")) / F.greatest(
         F.size(F.array_union("_sha", "_shb")), F.lit(1)

@@ -167,8 +167,12 @@ def test_shingle_read_prunes_files(spark, tmp_path):
     build_signature_store(corpus, "doc_id", "text", root)
     _, shingles_root = _sig_store_roots(root)
     kept, skipped = plan_files_semijoin(shingles_root, "key", [2])
-    assert skipped > 0
-    assert len(kept) < len(kept) + skipped
+    # a single-key probe against the range-partitioned multi-file table
+    # must keep exactly the one file whose key range holds it and skip
+    # the rest (not merely "skip something" — that would pass even if
+    # pruning regressed to keeping 7 of 8 files)
+    assert len(kept) == 1
+    assert skipped >= 4
 
 
 def test_hashed_jaccard_equals_string_jaccard(spark):

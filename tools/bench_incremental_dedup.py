@@ -98,20 +98,35 @@ spark.stop()
 """
 
 
-def _run(snippet: str, **kw) -> dict | None:
+def _run(snippet: str, **kw) -> dict:
+    # start_new_session + killpg: on timeout the WHOLE process group dies,
+    # including the local[N] JVM grandchild — a surviving JVM would burn
+    # CPU into the next leg and poison its timing (CLAUDE.md measurement
+    # hygiene).
+    import signal
+
     code = snippet.format(repo=REPO, **kw)
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=7200)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, start_new_session=True)
+    try:
+        out, err = proc.communicate(timeout=7200)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        raise SystemExit("leg timed out; process group killed")
     line = None
-    for ln in r.stdout.splitlines():
+    for ln in out.splitlines():
         if ln.startswith("{"):
             line = json.loads(ln)
-    if r.returncode != 0:
-        print(r.stdout[-2000:], file=sys.stderr)
-        print(r.stderr[-4000:], file=sys.stderr)
-        raise SystemExit(f"leg failed rc={r.returncode}")
-    if line:
-        print(json.dumps(line))
+    if proc.returncode != 0:
+        print(out[-2000:], file=sys.stderr)
+        print(err[-4000:], file=sys.stderr)
+        raise SystemExit(f"leg failed rc={proc.returncode}")
+    if line is None:
+        print(out[-2000:], file=sys.stderr)
+        raise SystemExit("leg exited 0 without printing its JSON line")
+    print(json.dumps(line))
     return line
 
 
@@ -122,7 +137,10 @@ def main() -> None:
     work = os.path.join(tempfile.gettempdir(), f"incdedup_{n_docs}")
     docs_path = os.path.join(work, "docs.parquet")
     store_root = os.path.join(work, "store")
-    if not os.path.exists(docs_path):
+    # gate on the _SUCCESS marker, not the directory: a killed setup
+    # leaves a partial parquet dir that would silently benchmark a
+    # smaller corpus
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         code = SETUP_SNIPPET.format(repo=REPO, n_docs=n_docs,
                                     docs_path=docs_path)
         r = subprocess.run([sys.executable, "-c", code], timeout=7200)
