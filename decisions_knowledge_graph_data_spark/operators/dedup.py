@@ -926,7 +926,8 @@ def _sig_store_params(bands_root: str) -> dict:
 def build_signature_store(df: DataFrame, key_col: str, text_col: str,
                           root: str, *, n_hashes: int = 32, n_bands: int = 8,
                           shingle_words: int = 3,
-                          mode: str = "overwrite") -> dict:
+                          mode: str = "overwrite",
+                          n_shingle_files: int | None = None) -> dict:
     """Persist the LSH signature store for a kept corpus under ``root``
     as two versioned tables:
 
@@ -966,9 +967,19 @@ def build_signature_store(df: DataFrame, key_col: str, text_col: str,
             )
     hs = hashed_shingle_sets(df, key_col, text_col, shingle_words)
     hs = hs.localCheckpoint(eager=False)
+    # File count drives the semijoin prune granularity: each range file
+    # carries per-file key stats, so a candidate set touching k key
+    # ranges reads ~k/N of the store. Default scales with cluster width
+    # (floor 8 keeps the prune census meaningful on tiny test sessions);
+    # at 100 TB pass an explicit count sized to ~file-size targets —
+    # appends may use a different count, every commit prices its own
+    # files in the manifest.
+    nf = n_shingle_files or max(
+        df.sparkSession.sparkContext.defaultParallelism, 8
+    )
     shingles = (
         hs.select(F.col("_k").alias("key"), F.col("_hs").alias("sh_hashes"))
-        .repartitionByRange(8, "key")
+        .repartitionByRange(nf, "key")
         .sortWithinPartitions("key")
     )
     sv = write_snapshot(shingles, shingles_root, mode=mode,
