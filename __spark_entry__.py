@@ -632,6 +632,51 @@ def q_bucket_lookup(spark, sf):
     ).orderBy("o_orderkey")
 
 
+def q_concurrent_append(spark, sf):
+    """Optimistic-concurrency appends (round 5): the table is built from
+    one pessimistic base commit plus TWO ``write_snapshot_concurrent``
+    appends — the lock-free-data-write path whose commit rebases onto
+    whatever parent it finds (interleaving + GC-survival + dead-pin
+    collection are locked by test_versioned.py). The pruned read then
+    proves the commit-time stats inheritance: appended files carry
+    o_orderdate footer stats although the appends never asked for them,
+    so the date predicate skips files across ALL three commits and the
+    result is exactly the WHERE-scan DuckDB runs."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot, write_snapshot,
+        write_snapshot_concurrent,
+    )
+
+    root = _versioned_orders_root(sf) + "_occ"
+    if current_version(root) is None:
+        o = _t(spark, sf, "orders")
+        write_snapshot(
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .repartitionByRange(4, "o_orderdate"),
+            root, stats_cols=["o_orderdate"],
+        )
+        write_snapshot_concurrent(
+            o.filter(F.col("o_orderkey") % 3 == 1)
+            .repartitionByRange(4, "o_orderdate"), root)
+        write_snapshot_concurrent(
+            o.filter(F.col("o_orderkey") % 3 == 2)
+            .repartitionByRange(4, "o_orderdate"), root)
+    pruned = read_snapshot(
+        spark, root, predicates={"o_orderdate": (">=", "1997-01-01")}
+    )
+    return (
+        pruned.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_year", "o_orderstatus")
+    )
+
+
 def q_versioned_month_read(spark, sf):
     """Iceberg ``month(ts)`` partition-transform pruned read (round-4
     VERDICT item 3): orders is committed once per sf-dir through
@@ -2521,6 +2566,28 @@ def q_ivf_topk(spark, sf):
                     k=5, n_centroids=8, n_probe=4)
 
 
+def q_pq_topk_lossless(spark, sf):
+    """Product-quantization ADC plumbing with an ORACLE: lossless
+    codebooks (one code per corpus subvector, m=4 subspaces over the
+    64-dim embeddings) make reconstruction exact, so
+    train→encode→LUT→ADC-scan→rank must reproduce brute-force cosine
+    top-k EXACTLY (ties: cosine DESC, vec_id ASC on both engines) —
+    the same oracle as embedding_topk / ivf_topk_full_probe. The lossy
+    production config (n_codes=16/subspace: 8-32× compression, the
+    10^9-vector memory-bandwidth path) stays recall-gated by pytest
+    (test_dedup_similarity.py::test_pq_topk_lossy_recall)."""
+    from decisions_knowledge_graph_data_spark.operators.similarity import pq_topk
+    em = _t(spark, sf, "embeddings")
+    probes = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 3)
+    return pq_topk(
+        corpus, probes, "vec_id", "embedding", "probe_id", "probe_vec",
+        k=5, m=4, lossless=True,
+    ).withColumn("cosine", F.round("cosine", 4))
+
+
 def q_kg_triples(spark, sf):
     """Full KG pipeline — extraction, three-path linking (DICT /
     EXACT_ID / SIMILARITY), family fanout with the strict temporal
@@ -3938,6 +4005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequencing family stays first-50-visible via seq_ids +
         # range_window)
         "block_numbering": q_block_numbering,
+        # round-5 additions past the first 50 (local board coverage)
+        "pq_topk_lossless": q_pq_topk_lossless,  # ANN family: PQ/ADC, exact mode
+        "concurrent_append": q_concurrent_append,  # versioned: optimistic commits
     }
 
 
@@ -4514,6 +4584,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM probes, corpus
             QUALIFY rank <= 5
         """,
+        "pq_topk_lossless": """
+            -- lossless PQ: one code per corpus subvector, reconstruction
+            -- exact, so ADC == brute force (same oracle as embedding_topk)
+            WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
+                 corpus AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 3)
+            SELECT probe_id, vec_id,
+                   round(list_cosine_similarity(pv::DOUBLE[], cv::DOUBLE[]), 4) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY list_cosine_similarity(pv::DOUBLE[], cv::DOUBLE[]) DESC, vec_id) AS INT) AS rank
+            FROM probes, corpus
+            QUALIFY rank <= 5
+        """,
         "citation_snippets": r"""
             WITH t AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
@@ -5027,6 +5109,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(o_totalprice, 2) AS price
             FROM orders WHERE o_custkey = 371
             ORDER BY o_orderkey
+        """,
+        "concurrent_append": """
+            -- base commit + two optimistic (lock-free-data-write)
+            -- appends must land every row exactly once, and the pruned
+            -- read over all three commits equals the plain WHERE-scan
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+            ORDER BY o_year, o_orderstatus
         """,
         "versioned_pruned_read": """
             -- the versioned read with predicate file-skipping must equal

@@ -250,6 +250,254 @@ def ivf_topk(
     )
 
 
+def train_pq(corpus: DataFrame, vec_col: str, m: int = 4,
+             n_codes: int = 16, n_iter: int = 5, seed: str = "pq",
+             lossless: bool = False):
+    """Product-quantization codebooks: per-subspace k-means over
+    L2-normalized vectors (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — public method).
+
+    The d-dim unit vector is split into ``m`` contiguous ``d/m``-dim
+    subvectors; each subspace gets its own ``n_codes``-entry codebook so
+    a vector stores as ``m`` small codes instead of ``d`` floats (64-dim
+    float32 → m=8 uint8 codes is a 32× compression — at 10^9 vectors the
+    difference between an in-memory scan and not). Training is the same
+    distributed shape as ``train_centroids``: deterministic init
+    (``n_codes`` actual subvectors ranked by ``xxhash64(vec, seed:s)``),
+    then per-iteration ONE Arrow pass emitting per-partition
+    (subspace, code, count, sum) partials — map-side-combine sized
+    m × n_codes × n_partitions, never data-sized. Centroids are
+    quantized to 1e-6 per iteration so partition/collect order cannot
+    flip assignments.
+
+    ``lossless=True`` sets ``n_codes`` = corpus row count and skips
+    Lloyd iterations + quantization: every subvector becomes its own
+    code, reconstruction is exact, and ADC scoring equals brute-force
+    cosine — the oracle-checkable mode (the PQ analog of
+    ``ivf_topk`` with ``n_probe == n_centroids``).
+
+    Returns a list of ``m`` (n_codes × d/m) float64 numpy matrices.
+    """
+    import numpy as np
+
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if lossless:
+        n_codes = vecs.count()
+        n_iter = 0
+    init_rows = (
+        vecs.orderBy(F.xxhash64(F.col("_v"), F.lit(seed)))
+        .limit(n_codes)
+        .collect()
+    )
+    init = np.asarray([r["_v"] for r in init_rows], dtype=np.float64)
+    init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+    d = init.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    w = d // m
+    books = [np.ascontiguousarray(init[:, s * w:(s + 1) * w]) for s in range(m)]
+
+    for _ in range(n_iter):
+        b = [bk.copy() for bk in books]
+
+        def kernel(batches, _b=b):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(list(pdf["_v"]), dtype=np.float64)
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                out = {"s": [], "cid": [], "n": [], "sm": []}
+                for s in range(m):
+                    sub = mat[:, s * w:(s + 1) * w]
+                    # argmin L2 == argmax (x·c − |c|²/2)
+                    scores = sub @ _b[s].T - 0.5 * (_b[s] ** 2).sum(axis=1)
+                    cid = np.argmax(scores, axis=1)
+                    for c in np.unique(cid):
+                        sel = sub[cid == c]
+                        out["s"].append(s)
+                        out["cid"].append(int(c))
+                        out["n"].append(int(sel.shape[0]))
+                        out["sm"].append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        partials = vecs.mapInPandas(
+            kernel, "s int, cid int, n long, sm array<double>"
+        ).collect()
+        partials.sort(key=lambda r: (r["s"], r["cid"]))
+        for s in range(m):
+            sums = np.zeros_like(books[s])
+            counts = np.zeros(n_codes)
+            for r in partials:
+                if r["s"] == s:
+                    sums[r["cid"]] += np.asarray(r["sm"])
+                    counts[r["cid"]] += r["n"]
+            nz = counts > 0
+            new = books[s].copy()
+            new[nz] = sums[nz] / counts[nz, None]
+            books[s] = np.round(new, 6)
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
+    """Add ``pq_codes: array<int>`` (m entries, nearest code per
+    subspace of the L2-normalized vector). Pure per-row kernel — one
+    BLAS matmul per (batch, subspace), deterministic (first-minimum
+    tie-break against a deterministic codebook), partition-invariant.
+    All input columns pass through unchanged."""
+    import numpy as np
+
+    b = [np.asarray(bk, dtype=np.float64) for bk in codebooks]
+    m = len(b)
+    w = b[0].shape[1]
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((mat.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                sub = mat[:, s * w:(s + 1) * w]
+                scores = sub @ b[s].T - 0.5 * (b[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1)
+            out = pdf.copy()
+            out["pq_codes"] = [c.tolist() for c in codes.astype("int32")]
+            yield out
+
+    return df.mapInPandas(kernel, in_schema + ", pq_codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame, probes: DataFrame, key_col: str, vec_col: str,
+    probe_key: str, probe_vec: str, k: int = 10, codebooks=None,
+    m: int = 4, n_codes: int = 16, train_iter: int = 5,
+    lossless: bool = False, refine: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC):
+    the probe stays full-precision; each corpus vector is scored from its
+    PQ codes via per-probe lookup tables ``LUT[s][c] = probe_s ·
+    codebook_s[c]`` (score = Σ_s LUT[s][code_s] = probe ·
+    reconstruction). The corpus-side scan touches m ints per vector —
+    memory-bandwidth-proportional to the COMPRESSED size, which is the
+    whole point at 10^9+ vectors — and emits only per-partition top-k
+    partials (the ``brute_force_topk_np`` merge shape). Composable with
+    IVF: assign-then-encode and probe only the nProbe buckets.
+
+    ``refine > 1`` adds the standard rerank stage (Faiss refine /
+    DiskANN rerank shape): ADC keeps the top ``k*refine`` candidates
+    per probe, which are then rescored against their FULL-precision
+    vectors (a corpus scan pruned by a broadcast hash join on the tiny
+    candidate set — a keyed/bucketed corpus table turns this into point
+    reads) and the final top-k ranks by exact cosine. Quantization
+    error then only costs recall when a true top-k vector falls outside
+    ADC's top ``k*refine`` — a much weaker requirement than ADC ranking
+    the top-k itself, which is what makes small codebooks usable.
+
+    ``lossless=True`` (or passing lossless codebooks) makes
+    reconstruction exact, so the result EQUALS brute-force top-k — the
+    oracle-checked mode; the lossy production config is recall-gated by
+    pytest (``test_dedup_similarity.py``).
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus.select(vec_col), vec_col, m=m, n_codes=n_codes,
+            n_iter=train_iter, lossless=lossless,
+        )
+    b = [np.asarray(bk, dtype=np.float64) for bk in codebooks]
+    m = len(b)
+    w = b[0].shape[1]
+
+    p_rows = probes.select(probe_key, probe_vec).collect()
+    p_keys = [r[probe_key] for r in p_rows]
+    p_mat = np.asarray(
+        [r[probe_vec] for r in p_rows], dtype=np.float64
+    )
+    p_mat /= np.maximum(np.linalg.norm(p_mat, axis=1, keepdims=True), 1e-12)
+    # LUTs: (probes, m, n_codes)
+    luts = np.stack(
+        [p_mat[:, s * w:(s + 1) * w] @ b[s].T for s in range(m)], axis=1
+    )
+
+    enc = pq_encode(
+        corpus.select(
+            F.col(key_col).alias("_ck"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ),
+        "_cv", b,
+    ).select("_ck", "pq_codes")
+
+    out_schema = f"{probe_key} long, {key_col} long, cosine double"
+
+    keep = k * max(1, refine)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
+            # gather per subspace, sum: (batch, probes)
+            sims = np.zeros((codes.shape[0], len(p_keys)))
+            for s in range(m):
+                sims += luts[:, s, :][:, codes[:, s]].T
+            rows = {probe_key: [], key_col: [], "cosine": []}
+            top = min(keep, sims.shape[0])
+            for j, pk in enumerate(p_keys):
+                idx = np.argpartition(-sims[:, j], top - 1)[:top]
+                for i in idx:
+                    rows[probe_key].append(pk)
+                    rows[key_col].append(pdf["_ck"].iloc[int(i)])
+                    rows["cosine"].append(round(float(sims[i, j]), 6))
+            yield pd.DataFrame(rows)
+
+    partials = enc.mapInPandas(kernel, out_schema)
+    wnd = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
+    ranked = (
+        partials.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= keep)
+    )
+    if refine <= 1:
+        return ranked
+    from .dedup import cosine as _cosine
+
+    cand = ranked.select(probe_key, key_col)
+    pv = probes.select(
+        F.col(probe_key).alias("_rpk"),
+        F.col(probe_vec).cast("array<double>").alias("_rpv"),
+    )
+    rescored = (
+        corpus.select(
+            F.col(key_col).alias("_rck"),
+            F.col(vec_col).cast("array<double>").alias("_rcv"),
+        )
+        .join(
+            F.broadcast(cand), F.col("_rck") == F.col(key_col), "inner"
+        )
+        .join(F.broadcast(pv), F.col(probe_key) == F.col("_rpk"))
+        .withColumn("cosine", F.round(_cosine(F.col("_rpv"), F.col("_rcv")), 6))
+    )
+    wnd2 = Window.partitionBy(probe_key).orderBy(
+        F.desc("cosine"), F.col(key_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wnd2))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "cosine", "rank")
+    )
+
+
 def write_ivf_corpus(corpus: DataFrame, table: str, key_col: str,
                      vec_col: str, centroids, n_buckets: int = 32) -> None:
     """Persist a centroid-assigned corpus bucketed on ``centroid_id`` —

@@ -229,6 +229,20 @@ def _merge_schemas(parent: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+def _pid_alive(pid: int) -> bool:
+    """Liveness probe shared by lock stealing and pin GC. Unknown or
+    unprobeable pids count as alive — be conservative, don't destroy."""
+    if pid <= 0:
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def _acquire_lock(root: str) -> int:
     """Single-writer lock with staleness recovery: the lock file records
     the holder's pid; if that process is gone (SIGKILL/OOM mid-commit —
@@ -247,16 +261,7 @@ def _acquire_lock(root: str) -> int:
                     holder = int(f.read().strip() or "-1")
             except (OSError, ValueError):
                 holder = -1
-            if holder <= 0:
-                alive = True  # no/unreadable pid: be conservative, don't steal
-            else:
-                try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True
+            alive = _pid_alive(holder)
             if alive or attempt == 1:
                 raise RuntimeError(
                     f"another writer (pid {holder}) holds {lock_path}; "
@@ -268,6 +273,25 @@ def _acquire_lock(root: str) -> int:
             except FileNotFoundError:
                 pass
     raise AssertionError("unreachable")
+
+
+def _acquire_lock_wait(root: str, timeout: float) -> int:
+    """Poll :func:`_acquire_lock` until it succeeds or ``timeout``
+    elapses. With lock-free data writes (write_snapshot_concurrent) the
+    critical section shrinks to the manifest merge, so waiting briefly
+    is the right contention behavior — writers queue for milliseconds,
+    not for each other's Spark jobs."""
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            return _acquire_lock(root)
+        except RuntimeError:
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"timed out after {timeout}s waiting for the commit "
+                    f"lock at {root}"
+                ) from None
+            time.sleep(0.05)
 
 
 def _staged_live_dirs(root: str) -> set[str]:
@@ -293,6 +317,11 @@ def _staged_live_dirs(root: str) -> set[str]:
         # destroy exactly the mid-audit data this function protects
         for fpath in entry.get("new_files", []):
             live.add(fpath.split("/", 1)[0])
+        pin = entry.get("pin_dir")
+        if pin:
+            # optimistic-append pin: the dir is mid-write, no manifest or
+            # WAP file list references it yet
+            live.add(pin)
     return live
 
 
@@ -321,6 +350,24 @@ def _gc_orphans(root: str) -> None:
         for v in _manifest_versions(mr):
             if v > ptr:
                 os.unlink(_manifest_path(mr, v))
+    # drop optimistic-append pins whose writer died mid-write (same
+    # single-host liveness rule as lock stealing): the append never
+    # committed, so its half-written dir is garbage below
+    sdir = os.path.join(root, STAGED_DIR)
+    if os.path.isdir(sdir):
+        for name in os.listdir(sdir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(sdir, name)) as f:
+                    entry = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if entry.get("pin_dir") and not _pid_alive(entry.get("pid", -1)):
+                try:
+                    os.unlink(os.path.join(sdir, name))
+                except FileNotFoundError:
+                    pass
     live_dirs = _staged_live_dirs(root)
     for mr in meta_roots:
         _manifest_live_dirs(mr, live_dirs)
@@ -434,6 +481,138 @@ def write_snapshot(
             os.unlink(lock_path)
 
 
+def _pin_data_dir(root: str) -> tuple[str, str]:
+    """Reserve a data dir name for a LOCK-FREE write and pin it against
+    both garbage collectors via a `_staged/` pin entry (see
+    _staged_live_dirs / _gc_orphans). Returns (data_name, pin_path);
+    the caller unpins in a finally."""
+    os.makedirs(os.path.join(root, STAGED_DIR), exist_ok=True)
+    data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+    pin_path = os.path.join(
+        root, STAGED_DIR, f"pin-{uuid.uuid4().hex[:12]}.json")
+    tmp = pin_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({
+            "pin_dir": data_name,
+            "pid": os.getpid(),
+            "created_at": time.time(),
+        }, f)
+    os.replace(tmp, pin_path)
+    return data_name, pin_path
+
+
+def _unpin(pin_path: str) -> None:
+    try:
+        os.unlink(pin_path)
+    except FileNotFoundError:
+        pass
+
+
+def _footer_stats(root: str, data_name: str, stats_cols) -> dict:
+    """Per-file min/max/null stats for an already-written data dir —
+    footer-only, so lock-free writers can defer stats collection to
+    COMMIT time (against the commit-time parent's stats columns)."""
+    if not stats_cols:
+        return {}
+    return {
+        f"{data_name}/{name}": st
+        for name, st in _collect_file_stats(
+            os.path.join(root, data_name), stats_cols
+        ).items()
+    }
+
+
+def write_snapshot_concurrent(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+    lock_timeout: float = 30.0,
+) -> int:
+    """Optimistic-concurrency APPEND (the Iceberg fast-append model):
+    the data write runs with NO commit lock held — only the manifest
+    merge + pointer swap serialize, shrinking the critical section from
+    O(Spark job) to O(manifest). ``write_snapshot`` holds the lock for
+    the whole write, so N concurrent appenders (streaming publishers,
+    per-partition ingest jobs, maintenance) execute their cluster jobs
+    one at a time; with this path they run simultaneously and queue
+    only for the milliseconds of commit.
+
+    Appends never conflict (pure file addition — each commit rebases
+    onto whatever the parent is at commit time), so no validation or
+    retry-of-the-write is ever needed; this is why the optimistic path
+    is append-only. Overwrites and row-level ops keep the pessimistic
+    lock (their read-modify-write must see a frozen parent).
+
+    Crash/GC safety: the target data dir is pinned via a `_staged/`
+    pin entry BEFORE the write starts, so a concurrent committer's
+    orphan GC cannot vaporize the half-written dir; a pin whose writer
+    pid died is dropped by the next GC (the append never committed, the
+    dir is garbage) — the same single-host liveness rule as lock
+    stealing. Per-file stats are footer-only and therefore computed at
+    COMMIT time against the commit-time parent's stats columns, so a
+    parent whose stats set changed mid-flight still gets fully-pruned
+    files.
+    """
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    data_name, pin_path = _pin_data_dir(root)
+    try:
+        # lock-free: the expensive part. Stats are collected later from
+        # parquet footers, so none are requested here.
+        new_files, _, _, n = _write_data_dir(
+            df, root, None, data_name=data_name)
+        fd = _acquire_lock_wait(root, lock_timeout)
+        try:
+            _gc_orphans(root)  # our dir survives via the pin
+            parent = current_version(root)
+            version = (parent or 0) + 1
+            schema = df.schema
+            files = new_files
+            delete_files: dict = {}
+            delete_counts: dict = {}
+            meta_out = dict(meta or {})
+            eff_stats = stats_cols
+            pm = None
+            if parent is not None:
+                pm = _read_manifest(root, parent)
+                _refuse_transformed_parent(pm, "a concurrent append")
+                if eff_stats is None:
+                    eff_stats = _parent_stats_cols(pm, []) or None
+                for k in _DURABLE_WRITER_META:
+                    if k in pm.get("meta", {}) and k not in meta_out:
+                        meta_out[k] = pm["meta"][k]
+            file_stats = _footer_stats(root, data_name, eff_stats)
+            file_rows = {
+                f"{data_name}/{name}": r
+                for name, r in _file_row_counts(
+                    os.path.join(root, data_name)).items()
+            }
+            if pm is not None:
+                (schema, files, file_stats, file_rows,
+                 delete_files, delete_counts) = _merge_append_manifest(
+                    pm, df.schema, new_files, file_stats, file_rows)
+            _publish_manifest(root, version, {
+                "version": version,
+                "parent": parent,
+                "mode": "append",
+                "files": files,
+                "file_stats": file_stats,
+                "file_rows": file_rows,
+                "delete_files": delete_files,
+                "delete_counts": delete_counts,
+                "schema": schema.jsonValue(),
+                "rows_written": n,
+                "committed_at": time.time(),
+                "meta": meta_out,
+            })
+            return version
+        finally:
+            os.close(fd)
+            os.unlink(os.path.join(root, LOCK))
+    finally:
+        _unpin(pin_path)
+
+
 def _file_row_counts(data_dir: str) -> dict[str, int]:
     """Per-file row counts from the parquet footers (metadata only)."""
     import pyarrow.parquet as pq
@@ -446,13 +625,15 @@ def _file_row_counts(data_dir: str) -> dict[str, int]:
 
 
 def _write_data_dir(
-    df: DataFrame, root: str, stats_cols: list[str] | None
+    df: DataFrame, root: str, stats_cols: list[str] | None,
+    data_name: str | None = None,
 ) -> tuple[list[str], dict, dict, int]:
     """Write ``df`` into a fresh uuid data dir under ``root``; returns
     (relative file paths, per-file stats for ``stats_cols``, per-file
     row counts, row count). Shared by the committing writer and the WAP
-    staging writer."""
-    data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+    staging writer. ``data_name`` lets the optimistic appender pick (and
+    GC-pin) the dir before the write starts."""
+    data_name = data_name or f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(root, data_name)
     obs = Observation(f"snap_{uuid.uuid4().hex[:8]}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -2504,11 +2685,14 @@ def list_staged(root: str) -> list[dict]:
         if name.endswith(".json"):
             try:
                 with open(os.path.join(sdir, name)) as f:
-                    out.append(json.load(f))
+                    entry = json.load(f)
             except (OSError, ValueError):
                 # published/aborted between listdir and open, or a
                 # half-written entry — skip, same policy as the GC
                 continue
+            if entry.get("pin_dir"):
+                continue  # optimistic-append pin, not a WAP staging entry
+            out.append(entry)
     return out
 
 
@@ -2530,6 +2714,7 @@ def stage_snapshot(
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
     wap_id: str | None = None,
+    lock_timeout: float = 30.0,
 ) -> str:
     """Write ``df`` durably but INVISIBLY: no committed reader (any
     version, time travel, changes feed) can observe it until
@@ -2538,51 +2723,70 @@ def stage_snapshot(
     an append attaches to whatever the parent is then (pure addition
     rebases cleanly across concurrent commits); an overwrite records
     the parent seen here and refuses to publish if the table moved.
-    Audit the staged view with :func:`read_snapshot_staged`."""
+    Audit the staged view with :func:`read_snapshot_staged`.
+
+    Like :func:`write_snapshot_concurrent`, the data write runs with NO
+    commit lock held (GC-pinned via a `_staged/` pin entry): N stagers
+    run their cluster jobs simultaneously and serialize only on the
+    milliseconds of entry registration. Consequences of deciding
+    uniqueness at REGISTRATION time: a duplicate explicit ``wap_id``
+    still raises, but only after its (wasted, GC-collected) data write;
+    ``parent_at_stage`` and the transformed-parent refusal see the
+    registration-time table; per-file stats are footer-collected then
+    too, against the registration-time parent's stats columns."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
-    os.makedirs(os.path.join(root, STAGED_DIR), exist_ok=True)
     wap_id = wap_id or uuid.uuid4().hex[:12]
     path = _staged_path(root, wap_id)
-    fd = _acquire_lock(root)
+    data_name, pin_path = _pin_data_dir(root)
     try:
-        # uniqueness decided under the lock: an unlocked peek could race
-        # a concurrent stager with the same explicit wap_id and silently
-        # os.replace its entry, orphaning that writer's data
-        if os.path.exists(path):
-            raise ValueError(
-                f"staged entry {wap_id!r} already exists at {root}")
-        _gc_orphans(root)
-        parent = current_version(root)
-        if mode == "append" and parent is not None:
-            pm0 = _read_manifest(root, parent)
-            _refuse_transformed_parent(pm0, "a staged append")
-            if stats_cols is None:
-                # same stats-column inheritance as a direct append
-                stats_cols = _parent_stats_cols(pm0, []) or None
-        new_files, file_stats, file_rows, n = _write_data_dir(
-            df, root, stats_cols)
-        entry = {
-            "wap_id": wap_id,
-            "mode": mode,
-            "new_files": new_files,
-            "file_stats": file_stats,
-            "file_rows": file_rows,
-            "schema": df.schema.jsonValue(),
-            "rows_written": n,
-            "parent_at_stage": parent,
-            "staged_at": time.time(),
-            "meta": dict(meta or {}),
-        }
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.replace(tmp, path)
-        return wap_id
+        new_files, _, _, n = _write_data_dir(
+            df, root, None, data_name=data_name)
+        fd = _acquire_lock_wait(root, lock_timeout)
+        try:
+            # uniqueness decided under the lock: an unlocked peek could
+            # race a concurrent stager with the same explicit wap_id and
+            # silently os.replace its entry, orphaning that writer's data
+            if os.path.exists(path):
+                raise ValueError(
+                    f"staged entry {wap_id!r} already exists at {root}")
+            _gc_orphans(root)
+            parent = current_version(root)
+            if mode == "append" and parent is not None:
+                pm0 = _read_manifest(root, parent)
+                _refuse_transformed_parent(pm0, "a staged append")
+                if stats_cols is None:
+                    # same stats-column inheritance as a direct append
+                    stats_cols = _parent_stats_cols(pm0, []) or None
+            file_stats = _footer_stats(root, data_name, stats_cols)
+            file_rows = {
+                f"{data_name}/{name}": r
+                for name, r in _file_row_counts(
+                    os.path.join(root, data_name)).items()
+            }
+            entry = {
+                "wap_id": wap_id,
+                "mode": mode,
+                "new_files": new_files,
+                "file_stats": file_stats,
+                "file_rows": file_rows,
+                "schema": df.schema.jsonValue(),
+                "rows_written": n,
+                "parent_at_stage": parent,
+                "staged_at": time.time(),
+                "meta": dict(meta or {}),
+            }
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            os.replace(tmp, path)
+            return wap_id
+        finally:
+            os.close(fd)
+            os.unlink(os.path.join(root, LOCK))
     finally:
-        os.close(fd)
-        os.unlink(os.path.join(root, LOCK))
+        _unpin(pin_path)
 
 
 def read_snapshot_staged(spark: SparkSession, root: str, wap_id: str) -> DataFrame:

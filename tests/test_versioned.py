@@ -1999,3 +1999,167 @@ def test_update_where_semantics_pruning_and_layout(spark, tmp_path):
     assert V.read_snapshot_bucket_eq(spark, broot, 21).count() == 0
     with pytest.raises(ValueError, match="internal"):
         V.update_where(spark, broot, {"id": ("==", 1)}, {V.BUCKET_COL: 0})
+
+
+def test_concurrent_append_rebases_and_survives_interleaved_gc(
+    spark, tmp_path, monkeypatch
+):
+    """Optimistic append (lock-free data write): a full pessimistic
+    commit landing BETWEEN the data write and the commit (running its
+    orphan GC) must neither vaporize the pinned half-written dir nor be
+    clobbered — the optimistic commit rebases onto it as parent."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "occ")
+    V.write_snapshot(_df(spark, 0, 10), root, stats_cols=["id"])
+
+    real_wait = V._acquire_lock_wait
+    hits = {"n": 0}
+
+    def interleave(r, timeout):
+        # fires after the optimistic data write, before its commit:
+        # another writer lands a whole append (lock + GC + publish)
+        if hits["n"] == 0:
+            hits["n"] += 1
+            V.write_snapshot(_df(spark, 100, 105), root, mode="append")
+        return real_wait(r, timeout)
+
+    monkeypatch.setattr(V, "_acquire_lock_wait", interleave)
+    v = V.write_snapshot_concurrent(_df(spark, 200, 203), root)
+    assert v == 3  # rebased onto the interloper's v2
+    m = V._read_manifest(root, v)
+    assert m["parent"] == 2 and m["mode"] == "append"
+    got = sorted(
+        r["id"] for r in read_snapshot(spark, root).select("id").collect()
+    )
+    assert got == list(range(0, 10)) + list(range(100, 105)) + [200, 201, 202]
+    # stats inherited from the commit-time parent: the new files carry
+    # id min/max so predicate pruning keeps working
+    new_files = [f for f in m["files"] if f not in
+                 V._read_manifest(root, 2)["files"]]
+    assert new_files and all(
+        "id" in m["file_stats"].get(f, {}) for f in new_files
+    )
+    # pin removed after commit; no stray data dirs beyond the manifest
+    sdir = os.path.join(root, V.STAGED_DIR)
+    assert not [n for n in os.listdir(sdir) if n.startswith("pin-")]
+    live = {f.split("/", 1)[0] for f in m["files"]}
+    on_disk = {n for n in os.listdir(root) if n.startswith(V.DATA_PREFIX)}
+    assert on_disk == live
+
+
+def test_concurrent_append_dead_pin_collected(spark, tmp_path):
+    """A pin whose writer pid is dead is dropped by the next GC and its
+    half-written dir reclaimed; a live pin keeps its dir."""
+    import json as _json
+    import subprocess
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "occ2")
+    V.write_snapshot(_df(spark, 0, 5), root)
+    sdir = os.path.join(root, V.STAGED_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    # dead writer: a real pid that has exited (and been reaped)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_dir = os.path.join(root, f"{V.DATA_PREFIX}deadpin")
+    os.makedirs(dead_dir)
+    with open(os.path.join(sdir, "pin-dead.json"), "w") as f:
+        _json.dump({"pin_dir": os.path.basename(dead_dir),
+                    "pid": proc.pid, "created_at": 0}, f)
+    # live writer (this process)
+    live_dir = os.path.join(root, f"{V.DATA_PREFIX}livepin")
+    os.makedirs(live_dir)
+    with open(os.path.join(sdir, "pin-live.json"), "w") as f:
+        _json.dump({"pin_dir": os.path.basename(live_dir),
+                    "pid": os.getpid(), "created_at": 0}, f)
+
+    V.write_snapshot(_df(spark, 5, 8), root, mode="append")  # runs GC
+    assert not os.path.exists(dead_dir)
+    assert not os.path.exists(os.path.join(sdir, "pin-dead.json"))
+    assert os.path.isdir(live_dir)
+    assert os.path.exists(os.path.join(sdir, "pin-live.json"))
+    # pins are not WAP entries
+    assert V.list_staged(root) == []
+    os.unlink(os.path.join(sdir, "pin-live.json"))
+
+
+def test_concurrent_append_lock_wait_and_timeout(spark, tmp_path):
+    """The commit tail waits for a briefly-held lock instead of failing,
+    and raises a clear timeout when the holder never leaves."""
+    import threading
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "occ3")
+    V.write_snapshot(_df(spark, 0, 4), root)
+    lock_path = os.path.join(root, V.LOCK)
+
+    # hold the lock from a live pid for ~0.4 s, then release
+    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    released = threading.Timer(0.4, lambda: (os.close(fd), os.unlink(lock_path)))
+    released.start()
+    try:
+        v = V.write_snapshot_concurrent(
+            _df(spark, 10, 12), root, lock_timeout=10.0)
+        assert v == 2
+        assert read_snapshot(spark, root).count() == 6
+    finally:
+        released.cancel()
+
+    # a holder that never leaves → timeout error, pin cleaned up
+    fd2 = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd2, str(os.getpid()).encode())
+    try:
+        with pytest.raises(RuntimeError, match="timed out"):
+            V.write_snapshot_concurrent(
+                _df(spark, 20, 22), root, lock_timeout=0.3)
+        sdir = os.path.join(root, V.STAGED_DIR)
+        assert not [n for n in os.listdir(sdir) if n.startswith("pin-")]
+    finally:
+        os.close(fd2)
+        os.unlink(lock_path)
+    # table unchanged by the failed attempt
+    assert current_version(root) == 2
+
+
+def test_concurrent_append_refuses_transformed_parent(spark, tmp_path):
+    """If a bucket/partition-transformed overwrite lands while the
+    optimistic data write is in flight, the commit must refuse (its
+    files lack the layout column) rather than corrupt point lookups."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "occ4")
+    V.write_snapshot_bucketed(
+        _df(spark, 0, 20), root, "id", n_buckets=4)
+    with pytest.raises(ValueError, match="concurrent append"):
+        V.write_snapshot_concurrent(_df(spark, 20, 25), root)
+    assert current_version(root) == 1
+
+
+def test_lock_free_data_writes(spark, tmp_path, monkeypatch):
+    """The optimistic appender AND the WAP stager run their Spark data
+    writes with NO commit lock held — the property that lets N writers'
+    cluster jobs overlap."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "lockfree")
+    V.write_snapshot(_df(spark, 0, 4), root)
+    real = V._write_data_dir
+    lock_seen = []
+
+    def spy(df, r, stats, data_name=None):
+        lock_seen.append(os.path.exists(os.path.join(r, V.LOCK)))
+        return real(df, r, stats, data_name=data_name)
+
+    monkeypatch.setattr(V, "_write_data_dir", spy)
+    V.write_snapshot_concurrent(_df(spark, 4, 6), root)
+    V.stage_snapshot(_df(spark, 6, 8), root, wap_id="lf1")
+    assert lock_seen == [False, False]
+    # and the pessimistic writer still writes under the lock
+    V.write_snapshot(_df(spark, 8, 9), root, mode="append")
+    assert lock_seen == [False, False, True]
+    V.publish_staged(root, "lf1")
+    assert read_snapshot(spark, root).count() == 9
