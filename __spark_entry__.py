@@ -708,6 +708,41 @@ def q_versioned_month_read(spark, sf):
     )
 
 
+def q_versioned_evolution_read(spark, sf):
+    """Iceberg PARTITION EVOLUTION (round 5): the table starts
+    month(o_orderdate)-transformed (even orderkeys), then the spec
+    evolves to day(o_orderdate) for an appended batch (odd orderkeys) —
+    existing files keep their month layout and the manifest records
+    every spec plus a data-dir→spec map, so the pruned read maps the
+    date predicate through EACH file's OWN spec (month files skip at
+    month granularity, day files at day granularity; skip counts and
+    row-op survival asserted in test_versioned.py). The residual filter
+    makes the result exactly the WHERE-scan DuckDB runs."""
+    from decisions_knowledge_graph_data_spark.sources.versioned import (
+        current_version, read_snapshot_transformed, write_snapshot_transformed,
+    )
+    root = _versioned_orders_root(sf) + "_evo"
+    if current_version(root) is None:
+        o = _t(spark, sf, "orders")
+        write_snapshot_transformed(
+            o.filter(F.col("o_orderkey") % 2 == 0), root,
+            ("month", "o_orderdate"), n_files=8)
+        write_snapshot_transformed(
+            o.filter(F.col("o_orderkey") % 2 == 1), root,
+            ("day", "o_orderdate"), mode="append", evolve=True, n_files=8)
+    pruned = read_snapshot_transformed(
+        spark, root, {"o_orderdate": ("between", ("1997-03-05", "1997-06-20"))}
+    )
+    return (
+        pruned.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 def q_versioned_merge_read(spark, sf):
     """Copy-on-write MERGE (Iceberg row-level upsert, round 5): orders
     is committed once per sf-dir, then a deterministic CDC batch merges
@@ -4008,6 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions past the first 50 (local board coverage)
         "pq_topk_lossless": q_pq_topk_lossless,  # ANN family: PQ/ADC, exact mode
         "concurrent_append": q_concurrent_append,  # versioned: optimistic commits
+        "versioned_evolution_read": q_versioned_evolution_read,  # partition evolution
     }
 
 
@@ -5135,6 +5171,19 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
             GROUP BY 1, 2
             ORDER BY o_year, o_orderstatus
+        """,
+        "versioned_evolution_read": """
+            -- partition evolution: month-spec files + day-spec files
+            -- under one manifest, each pruned with its OWN spec — the
+            -- read must still equal the plain WHERE-scan
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1997-03-05'
+                                  AND TIMESTAMP '1997-06-20'
+            GROUP BY 1, 2
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "versioned_month_read": """
             -- the month(ts)-transform pruned read must equal the plain

@@ -399,6 +399,7 @@ def write_snapshot(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
+    data_name: str | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -438,7 +439,7 @@ def write_snapshot(
             stats_cols = _parent_stats_cols(
                 _read_manifest(root, parent), []) or None
         new_files, file_stats, file_rows, n = _write_data_dir(
-            df, root, stats_cols)
+            df, root, stats_cols, data_name=data_name)
         schema = df.schema
         files = new_files
         delete_files: dict = {}
@@ -1304,6 +1305,14 @@ def _transform_value(kind: str, v, w):
     return str(v)[:w]
 
 
+def _pt_dtype(kind: str) -> str:
+    """Spark type of the materialized transform column — evolution may
+    only move between transforms in the same lane (all the date +
+    truncate(int) transforms are ``long``; truncate(str) is ``string``),
+    or the shared ``_pt`` column's type would conflict across files."""
+    return "string" if kind == "truncate_str" else "long"
+
+
 def write_snapshot_transformed(
     df: DataFrame,
     root: str,
@@ -1312,6 +1321,7 @@ def write_snapshot_transformed(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Iceberg partition-transform write for the MONOTONE transforms:
     ``transform`` is ``("year"|"month"|"day", col)`` over a date/
@@ -1350,26 +1360,67 @@ def write_snapshot_transformed(
         if kind not in ("year", "month", "day"):
             raise ValueError(f"unknown transform kind {kind!r}")
     spec = {"kind": kind, "col": col, "w": w}
+    evo_meta: dict = {}
+    evo_data_name: str | None = None
     if mode == "append":
         parent = current_version(root)
         if parent is not None:
-            pspec = _read_manifest(root, parent).get("meta", {}).get(
-                "partition_transform"
-            )
-            if pspec != spec:
+            pm0 = _read_manifest(root, parent)
+            pmeta = pm0.get("meta", {})
+            pspec = pmeta.get("partition_transform")
+            pspecs = pmeta.get("partition_specs")
+            if pspec != spec and not evolve:
                 # mismatched layouts under one manifest would prune the
                 # parent's files with the wrong transform values
                 raise ValueError(
                     f"transformed append requires the parent's transform "
-                    f"to match: parent has {pspec!r}, append wants {spec!r}"
+                    f"to match: parent has {pspec!r}, append wants "
+                    f"{spec!r} (pass evolve=True to change the table's "
+                    f"partition spec going forward — Iceberg partition "
+                    f"evolution: existing files keep their layout and "
+                    f"are pruned with the spec that produced them)"
                 )
+            if pspec is not None and (pspec != spec or pspecs):
+                # partition-evolution bookkeeping: every spec the table
+                # has ever used (index = spec id) plus a data-dir →
+                # spec-id map, so the read prunes each file with ITS
+                # spec. Same-spec appends onto an evolved table go
+                # through here too (the metadata must keep riding).
+                specs_out = [dict(s) for s in (pspecs or [pspec])]
+                for s in specs_out + [spec]:
+                    if _pt_dtype(s["kind"]) != _pt_dtype(spec["kind"]):
+                        raise ValueError(
+                            "partition evolution cannot cross layout-"
+                            f"column types: table has {s!r} "
+                            f"({_pt_dtype(s['kind'])}), append wants "
+                            f"{spec!r} ({_pt_dtype(spec['kind'])})"
+                        )
+                if spec in specs_out:
+                    spec_id = specs_out.index(spec)
+                else:
+                    specs_out.append(dict(spec))
+                    spec_id = len(specs_out) - 1
+                dir_specs = dict(pmeta.get("partition_dir_specs") or {})
+                if not dir_specs:
+                    # previously single-spec parent: all its dirs carry
+                    # the parent spec
+                    pid = specs_out.index(pspec)
+                    for f in pm0["files"]:
+                        dir_specs.setdefault(f.split("/", 1)[0], pid)
+                evo_data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+                dir_specs[evo_data_name] = spec_id
+                evo_meta = {
+                    "partition_specs": specs_out,
+                    "partition_dir_specs": dir_specs,
+                }
     laid_out = df.withColumn(PT_COL, _transform_expr(kind, col, w)).repartitionByRange(
         n_files or 8, PT_COL
     )
     return write_snapshot(
         laid_out, root, mode=mode,
         stats_cols=[PT_COL, *(stats_cols or [])],
-        meta={**(meta or {}), "partition_transform": spec},
+        meta={**(meta or {}), "partition_transform": spec, **evo_meta},
+        data_name=evo_data_name,
     )
 
 
@@ -1392,30 +1443,92 @@ def read_snapshot_transformed(
     ``read_snapshot``."""
     v = _resolve_version(root, version, None)
     m = _read_manifest(root, v)
-    spec = m.get("meta", {}).get("partition_transform")
+    meta = m.get("meta", {})
+    spec = meta.get("partition_transform")
     if not spec:
         raise ValueError(
             f"{root} v{v} was not written with a partition transform"
         )
     _check_predicates(predicates)
-    kind, col, w = spec["kind"], spec["col"], spec.get("w")
-    full = dict(predicates)
-    src = predicates.get(col)
-    if src is not None:
-        op, val = src
-        if op == "between":
-            mapped = ("between", (
-                _transform_value(kind, val[0], w),
-                _transform_value(kind, val[1], w),
-            ))
-        elif op in (">", ">="):
-            mapped = (">=", _transform_value(kind, val, w))
-        elif op in ("<", "<="):
-            mapped = ("<=", _transform_value(kind, val, w))
-        else:  # ==
-            mapped = ("==", _transform_value(kind, val, w))
-        full[PT_COL] = mapped
-    return read_snapshot(spark, root, version=v, predicates=full)
+    if not meta.get("partition_specs"):
+        # single-spec table: one mapped predicate covers every file
+        mapped = _map_through_spec(spec, predicates)
+        full = dict(predicates)
+        if mapped is not None:
+            full[PT_COL] = mapped
+        return read_snapshot(spark, root, version=v, predicates=full)
+    # evolved table: prune each file with the spec that laid it out
+    kept, _ = plan_files_transformed(root, predicates, version=v)
+    df = _scan_files(spark, root, m, kept)
+    df = df.filter(_residual_filter(predicates))
+    return _drop_internal(df, m)
+
+
+def _map_through_spec(spec: dict, predicates: dict):
+    """The predicate on the spec's SOURCE column, mapped to a
+    transform-value predicate — sound because the transforms are
+    monotone and null-preserving (isnull/notnull map verbatim). None if
+    no predicate touches the spec's column."""
+    src = predicates.get(spec["col"])
+    if src is None:
+        return None
+    kind, w = spec["kind"], spec.get("w")
+    op, val = src
+    if op in ("isnull", "notnull"):
+        return (op, val)
+    if op == "between":
+        return ("between", (
+            _transform_value(kind, val[0], w),
+            _transform_value(kind, val[1], w),
+        ))
+    if op in (">", ">="):
+        return (">=", _transform_value(kind, val, w))
+    if op in ("<", "<="):
+        return ("<=", _transform_value(kind, val, w))
+    return ("==", _transform_value(kind, val, w))
+
+
+def plan_files_transformed(
+    root: str, predicates: dict, version: int | None = None,
+) -> tuple[list[str], int]:
+    """(relative files to scan, files skipped) for a transform-pruned
+    read of an EVOLVED table (Iceberg partition evolution): each file is
+    pruned with the partition spec that produced it — the manifest's
+    ``partition_specs`` list (index = spec id) and ``partition_dir_specs``
+    data-dir → spec-id map. Files from dirs with no recorded spec (e.g.
+    a row-op rewrite, whose rows re-materialize under the CURRENT spec
+    but may mix layouts within a file) are never transform-pruned —
+    source-column stats and the residual filter still apply, so reads
+    stay exact, just less pruned."""
+    v = _resolve_version(root, version, None)
+    m = _read_manifest(root, v)
+    meta = m.get("meta", {})
+    specs = meta.get("partition_specs")
+    if not specs:
+        spec = meta.get("partition_transform")
+        if not spec:
+            raise ValueError(
+                f"{root} v{v} was not written with a partition transform")
+        specs = [spec]
+        dir_specs: dict = {f.split("/", 1)[0]: 0 for f in m["files"]}
+    else:
+        dir_specs = meta.get("partition_dir_specs") or {}
+    _check_predicates(predicates)
+    mapped_by_id = {
+        sid: mp for sid, s in enumerate(specs)
+        if (mp := _map_through_spec(s, predicates)) is not None
+    }
+    stats = m.get("file_stats", {})
+    fr = m.get("file_rows", {})
+    kept = []
+    for f in m["files"]:
+        preds = dict(predicates)
+        sid = dir_specs.get(f.split("/", 1)[0])
+        if sid is not None and sid in mapped_by_id:
+            preds[PT_COL] = mapped_by_id[sid]
+        if _file_can_match(stats.get(f), preds, fr.get(f)):
+            kept.append(f)
+    return kept, len(m["files"]) - len(kept)
 
 
 SEMIJOIN_KEY_COL = "_sjk"
@@ -1563,6 +1676,12 @@ def plan_files_semijoin(
 _DURABLE_ROW_OP_META = (
     "batch_id_hwm", "bucket_transform", "partition_transform",
     "mv_src_version",
+    # partition-evolution bookkeeping must survive row ops, or a pruned
+    # read after an update would map EVERY file through the current
+    # spec — wrongly pruning old-spec files. Rewrite dirs are simply
+    # absent from the dir map (their files may mix layouts), which the
+    # evolved read treats as never-transform-prunable: exact, unpruned.
+    "partition_specs", "partition_dir_specs",
 )
 
 

@@ -2163,3 +2163,134 @@ def test_lock_free_data_writes(spark, tmp_path, monkeypatch):
     assert lock_seen == [False, False, True]
     V.publish_staged(root, "lf1")
     assert read_snapshot(spark, root).count() == 9
+
+
+def _dates_df(spark, lo, hi, id_off=0):
+    return spark.range(lo, hi).select(
+        (F.col("id") + id_off).alias("id"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+    )
+
+
+def test_partition_evolution_month_to_day(spark, tmp_path):
+    """Iceberg partition evolution: a table written month(d) evolves to
+    day(d) for new data; old files keep their layout and every read
+    prunes each file with the spec that produced it."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "evo")
+    V.write_snapshot_transformed(
+        _dates_df(spark, 0, 180), root, ("month", "d"), n_files=6)
+    with pytest.raises(ValueError, match="evolve=True"):
+        V.write_snapshot_transformed(
+            _dates_df(spark, 180, 360), root, ("day", "d"), mode="append")
+    V.write_snapshot_transformed(
+        _dates_df(spark, 180, 360), root, ("day", "d"), mode="append",
+        evolve=True, n_files=6)
+
+    m = V._read_manifest(root, V.current_version(root))
+    assert m["meta"]["partition_transform"] == {
+        "kind": "day", "col": "d", "w": None}
+    assert [s["kind"] for s in m["meta"]["partition_specs"]] == [
+        "month", "day"]
+    # every data dir is mapped to a spec
+    dirs = {f.split("/", 1)[0] for f in m["files"]}
+    assert set(m["meta"]["partition_dir_specs"]) >= dirs
+
+    # a bound inside the old-spec range prunes files in BOTH groups and
+    # the result is exactly the WHERE scan (boundary: 2020-03-15 is
+    # mid-month — the month transform must KEEP the whole March file)
+    kept, skipped = V.plan_files_transformed(root, {"d": (">=", "2020-03-15")})
+    assert skipped > 0 and kept
+    got = sorted(
+        r["id"] for r in V.read_snapshot_transformed(
+            spark, root, {"d": (">=", "2020-03-15")}).collect()
+    )
+    assert got == list(range(74, 360))  # 2020-03-15 == day 74
+
+    # same-spec append onto the evolved table keeps the bookkeeping
+    V.write_snapshot_transformed(
+        _dates_df(spark, 360, 400), root, ("day", "d"), mode="append")
+    m2 = V._read_manifest(root, V.current_version(root))
+    assert [s["kind"] for s in m2["meta"]["partition_specs"]] == [
+        "month", "day"]
+    dirs2 = {f.split("/", 1)[0] for f in m2["files"]}
+    assert set(m2["meta"]["partition_dir_specs"]) >= dirs2
+    got2 = V.read_snapshot_transformed(
+        spark, root, {"d": (">=", "2020-12-30")}).count()
+    assert got2 == 400 - 364
+
+    # evolving BACK to an already-known spec reuses its id
+    V.write_snapshot_transformed(
+        _dates_df(spark, 400, 410), root, ("month", "d"), mode="append",
+        evolve=True)
+    m3 = V._read_manifest(root, V.current_version(root))
+    assert len(m3["meta"]["partition_specs"]) == 2
+
+
+def test_partition_evolution_cross_column(spark, tmp_path):
+    """Evolution to a spec on a DIFFERENT column: files whose spec does
+    not involve the predicate column are never transform-pruned (kept,
+    residual-filtered) — exact results, pruning where the layout
+    allows."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "evoc")
+    V.write_snapshot_transformed(
+        _dates_df(spark, 0, 180), root, ("month", "d"), n_files=6)
+    V.write_snapshot_transformed(
+        _dates_df(spark, 0, 1000, id_off=10000), root,
+        ("truncate", 100, "id"), mode="append", evolve=True, n_files=10)
+
+    # date predicate: prunes old-month files, keeps all new files
+    kept_d, skipped_d = V.plan_files_transformed(
+        root, {"d": (">=", "2020-05-01")})
+    assert skipped_d > 0
+    got = V.read_snapshot_transformed(
+        spark, root, {"d": (">=", "2020-05-01")}).count()
+    # old rows with d >= 2020-05-01: days 121..179 (59 rows); new rows
+    # carry d = 2020-01-01 + (0..999) days, of which days 121..999 pass
+    assert got == (180 - 121) + (1000 - 121)
+
+    # id predicate: prunes new truncate files, keeps old files
+    kept_i, skipped_i = V.plan_files_transformed(
+        root, {"id": ("between", (10350, 10449))})
+    assert skipped_i > 0
+    got_i = sorted(
+        r["id"] for r in V.read_snapshot_transformed(
+            spark, root, {"id": ("between", (10350, 10449))}).collect()
+    )
+    assert got_i == list(range(10350, 10450))
+
+    # cross-type evolution refuses (long lane vs string lane)
+    sdf = spark.range(0, 10).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("s"))
+    with pytest.raises(ValueError, match="cross layout-column types"):
+        V.write_snapshot_transformed(
+            sdf, root, ("truncate", 2, "s"), mode="append", evolve=True)
+
+
+def test_partition_evolution_survives_row_ops(spark, tmp_path):
+    """A CoW update on an evolved table must keep the evolution
+    bookkeeping (else old-spec files would be pruned with the new spec
+    and rows would vanish); the rewrite dir itself is simply never
+    transform-pruned."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "evou")
+    V.write_snapshot_transformed(
+        _dates_df(spark, 0, 180), root, ("month", "d"), n_files=6)
+    V.write_snapshot_transformed(
+        _dates_df(spark, 180, 360), root, ("day", "d"), mode="append",
+        evolve=True, n_files=6)
+    V.update_where(
+        spark, root, {"id": ("==", 10)}, {"id": F.lit(100010)})
+    m = V._read_manifest(root, V.current_version(root))
+    assert [s["kind"] for s in m["meta"]["partition_specs"]] == [
+        "month", "day"]
+    got = sorted(
+        r["id"] for r in V.read_snapshot_transformed(
+            spark, root, {"d": (">=", "2020-01-05")}).collect()
+    )
+    assert got == list(range(4, 10)) + list(range(11, 360)) + [100010]
