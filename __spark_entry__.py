@@ -2623,6 +2623,30 @@ def q_pq_topk_lossless(spark, sf):
     ).withColumn("cosine", F.round("cosine", 4))
 
 
+def q_ivfpq_lossless(spark, sf):
+    """IVFADC (IVF × product quantization, the billion-scale ANN
+    architecture) with an ORACLE: lossless residual codebooks + probing
+    every bucket make `p·centroid + ADC(residual codes)` equal
+    brute-force cosine exactly, so the whole composition —
+    k-means train, bucket assignment, residual encode, bucket
+    equi-join, LUT + centroid-term scoring, rank — is verified by the
+    same oracle as embedding_topk. The lossy production config
+    (n_probe < C, 16 codes/subspace, exact-refine rerank) stays
+    recall-gated by pytest."""
+    from decisions_knowledge_graph_data_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    em = _t(spark, sf, "embeddings")
+    probes = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 3)
+    return ivfpq_topk(
+        corpus, probes, "vec_id", "embedding", "probe_id", "probe_vec",
+        k=5, n_centroids=8, n_probe=8, m=4, lossless=True,
+    ).withColumn("cosine", F.round("cosine", 4))
+
+
 def q_kg_triples(spark, sf):
     """Full KG pipeline — extraction, three-path linking (DICT /
     EXACT_ID / SIMILARITY), family fanout with the strict temporal
@@ -4044,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_lossless": q_pq_topk_lossless,  # ANN family: PQ/ADC, exact mode
         "concurrent_append": q_concurrent_append,  # versioned: optimistic commits
         "versioned_evolution_read": q_versioned_evolution_read,  # partition evolution
+        "ivfpq_lossless": q_ivfpq_lossless,  # ANN family: IVFADC composition
     }
 
 
@@ -4611,6 +4636,18 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ivf_topk_full_probe": """
             -- n_probe == n_centroids probes every bucket: IVF must equal
             -- brute force exactly (same oracle as embedding_topk)
+            WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
+                 corpus AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 3)
+            SELECT probe_id, vec_id,
+                   round(list_cosine_similarity(pv::DOUBLE[], cv::DOUBLE[]), 4) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY list_cosine_similarity(pv::DOUBLE[], cv::DOUBLE[]) DESC, vec_id) AS INT) AS rank
+            FROM probes, corpus
+            QUALIFY rank <= 5
+        """,
+        "ivfpq_lossless": """
+            -- lossless IVFADC: p.centroid + ADC(residual) == cosine and
+            -- every bucket probed, so the composition == brute force
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
                  corpus AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 3)
             SELECT probe_id, vec_id,

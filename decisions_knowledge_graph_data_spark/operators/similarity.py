@@ -252,7 +252,7 @@ def ivf_topk(
 
 def train_pq(corpus: DataFrame, vec_col: str, m: int = 4,
              n_codes: int = 16, n_iter: int = 5, seed: str = "pq",
-             lossless: bool = False):
+             lossless: bool = False, normalize: bool = True):
     """Product-quantization codebooks: per-subspace k-means over
     L2-normalized vectors (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011 — public method).
@@ -290,7 +290,8 @@ def train_pq(corpus: DataFrame, vec_col: str, m: int = 4,
         .collect()
     )
     init = np.asarray([r["_v"] for r in init_rows], dtype=np.float64)
-    init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
     d = init.shape[1]
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m}")
@@ -307,9 +308,10 @@ def train_pq(corpus: DataFrame, vec_col: str, m: int = 4,
                 if pdf.empty:
                     continue
                 mat = np.asarray(list(pdf["_v"]), dtype=np.float64)
-                mat /= np.maximum(
-                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-                )
+                if normalize:
+                    mat /= np.maximum(
+                        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                    )
                 out = {"s": [], "cid": [], "n": [], "sm": []}
                 for s in range(m):
                     sub = mat[:, s * w:(s + 1) * w]
@@ -342,7 +344,8 @@ def train_pq(corpus: DataFrame, vec_col: str, m: int = 4,
     return books
 
 
-def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
+def pq_encode(df: DataFrame, vec_col: str, codebooks,
+              normalize: bool = True) -> DataFrame:
     """Add ``pq_codes: array<int>`` (m entries, nearest code per
     subspace of the L2-normalized vector). Pure per-row kernel — one
     BLAS matmul per (batch, subspace), deterministic (first-minimum
@@ -364,7 +367,9 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
             if pdf.empty:
                 continue
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            if normalize:
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             codes = np.empty((mat.shape[0], m), dtype=np.int64)
             for s in range(m):
                 sub = mat[:, s * w:(s + 1) * w]
@@ -491,6 +496,164 @@ def pq_topk(
     )
     wnd2 = Window.partitionBy(probe_key).orderBy(
         F.desc("cosine"), F.col(key_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wnd2))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "cosine", "rank")
+    )
+
+
+def assign_and_residual(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """One kernel pass adding ``centroid_id`` AND the residual
+    ``_res = normalize(vec) − centroid[cid]`` — the quantity IVFADC's
+    product quantizer codes. Per-row pure function, partition-invariant."""
+    import numpy as np
+
+    b = np.asarray(centroids, dtype=np.float64)
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cid = np.argmax(mat @ b.T, axis=1)
+            res = mat - b[cid]
+            out = pdf.copy()
+            out["centroid_id"] = cid.astype("int32")
+            out["_res"] = [r.tolist() for r in res]
+            yield out
+
+    return df.mapInPandas(
+        kernel, in_schema + ", centroid_id int, _res array<double>")
+
+
+def ivfpq_topk(
+    corpus: DataFrame, probes: DataFrame, key_col: str, vec_col: str,
+    probe_key: str, probe_vec: str, k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4, m: int = 4, n_codes: int = 16,
+    refine: int = 1, centroids=None, codebooks=None, train_iter: int = 5,
+    lossless: bool = False,
+) -> DataFrame:
+    """IVF coarse quantizer × PQ residual codes — the IVFADC system
+    (Jégou et al. 2011, the architecture behind billion-scale ANN
+    indexes): the corpus is bucketed by its nearest of C centroids and
+    stores only m small codes of the RESIDUAL ``normalize(v) −
+    centroid``; a probe visits its n_probe nearest buckets (equi-join,
+    never a cross join) and scores candidates as ``p·centroid +
+    ADC(p, residual codes)`` — algebraically ``p·reconstruction``. The
+    two factors compose multiplicatively at 10^9+ vectors: IVF divides
+    the scan by C/n_probe, PQ shrinks the scanned bytes 8–32×, and
+    ``refine`` reranks survivors against full vectors (see pq_topk).
+
+    ``lossless=True`` + ``n_probe == n_centroids``: residual
+    reconstruction is exact and every bucket is probed, so the result
+    EQUALS brute-force top-k — the oracle-checked composition mode
+    (train→assign→residual-encode→bucket-join→LUT+centroid-term→rank
+    all verified at once). At real scale train PQ on a residual sample
+    and pass ``codebooks``/``centroids`` in (train offline, probe
+    forever — same contract as write_ivf_corpus)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_centroids(
+            corpus.select(vec_col), vec_col, n_centroids, n_iter=train_iter)
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    enc_src = assign_and_residual(
+        corpus.select(
+            F.col(key_col).alias("_ck"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ),
+        "_cv", cents,
+    )
+    if codebooks is None:
+        codebooks = train_pq(
+            enc_src.select("_res"), "_res", m=m, n_codes=n_codes,
+            n_iter=train_iter, lossless=lossless, normalize=False,
+        )
+    b = [np.asarray(bk, dtype=np.float64) for bk in codebooks]
+    m = len(b)
+    w = b[0].shape[1]
+    enc = pq_encode(enc_src, "_res", b, normalize=False).select(
+        "_ck", "centroid_id", "pq_codes")
+
+    p_rows = probes.select(probe_key, probe_vec).collect()
+    p_keys = [r[probe_key] for r in p_rows]
+    p_mat = np.asarray([r[probe_vec] for r in p_rows], dtype=np.float64)
+    p_mat /= np.maximum(np.linalg.norm(p_mat, axis=1, keepdims=True), 1e-12)
+    luts = np.stack(
+        [p_mat[:, s * w:(s + 1) * w] @ b[s].T for s in range(m)], axis=1
+    )  # (P, m, n_codes)
+    pc = p_mat @ cents.T  # (P, C): the p·centroid term per bucket
+    p_idx = {pk: j for j, pk in enumerate(p_keys)}
+
+    p_assign = assign_centroids(
+        probes.select(
+            F.col(probe_key).alias("_pk"),
+            F.col(probe_vec).cast("array<double>").alias("_pv"),
+        ),
+        "_pv", cents, n_best=min(n_probe, cents.shape[0]),
+    ).select("_pk", "centroid_id")
+
+    joined = enc.join(F.broadcast(p_assign), "centroid_id")
+    keep = k * max(1, refine)
+    out_schema = f"{probe_key} long, {key_col} long, cosine double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
+            cid = pdf["centroid_id"].to_numpy()
+            pj = np.asarray([p_idx[x] for x in pdf["_pk"]])
+            score = pc[pj, cid]
+            for s in range(m):
+                score = score + luts[pj, s, codes[:, s]]
+            rows = {probe_key: [], key_col: [], "cosine": []}
+            sc = pd.Series(score)
+            for j in np.unique(pj):
+                sel = np.flatnonzero(pj == j)
+                top = min(keep, sel.size)
+                idx = sel[np.argpartition(-score[sel], top - 1)[:top]]
+                for i in idx:
+                    rows[probe_key].append(p_keys[int(j)])
+                    rows[key_col].append(pdf["_ck"].iloc[int(i)])
+                    rows["cosine"].append(round(float(sc.iloc[int(i)]), 6))
+            yield pd.DataFrame(rows)
+
+    partials = joined.mapInPandas(kernel, out_schema)
+    wnd = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
+    ranked = (
+        partials.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= keep)
+    )
+    if refine <= 1:
+        return ranked
+    from .dedup import cosine as _cosine
+
+    cand = ranked.select(probe_key, key_col)
+    pv = probes.select(
+        F.col(probe_key).alias("_rpk"),
+        F.col(probe_vec).cast("array<double>").alias("_rpv"),
+    )
+    rescored = (
+        corpus.select(
+            F.col(key_col).alias("_rck"),
+            F.col(vec_col).cast("array<double>").alias("_rcv"),
+        )
+        .join(F.broadcast(cand), F.col("_rck") == F.col(key_col), "inner")
+        .join(F.broadcast(pv), F.col(probe_key) == F.col("_rpk"))
+        .withColumn("cosine", F.round(_cosine(F.col("_rpv"), F.col("_rcv")), 6))
+    )
+    wnd2 = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
     return (
         rescored.withColumn("rank", F.row_number().over(wnd2))
         .filter(F.col("rank") <= k)

@@ -509,3 +509,58 @@ def test_decontaminate_plan_is_broadcast_no_explode_shuffle(spark):
                          ngram_words=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_lossless_full_probe_equals_brute_force(vec_df):
+    """IVFADC composition exactness: lossless residual codebooks +
+    probing every bucket must reproduce brute-force top-k — verifying
+    train→assign→residual-encode→bucket-join→(p·centroid + ADC)→rank
+    in one equality."""
+    from decisions_knowledge_graph_data_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    probes = vec_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = vec_df.filter(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, probes, "vec_id", "embedding",
+                             "probe_id", "probe_vec", k=5).toPandas()
+    got = ivfpq_topk(corpus, probes, "vec_id", "embedding", "probe_id",
+                     "probe_vec", k=5, n_centroids=8, n_probe=8, m=4,
+                     lossless=True).toPandas()
+    assert set(
+        zip(exact["probe_id"], exact["vec_id"], exact["rank"])
+    ) == set(zip(got["probe_id"], got["vec_id"], got["rank"]))
+    ec = {(r.probe_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    for r in got.itertuples():
+        assert abs(ec[(r.probe_id, r.vec_id)] - round(r.cosine, 6)) < 2e-6
+
+
+def test_ivfpq_lossy_recall_with_refine(vec_df):
+    """Production IVFADC config (8 buckets, 6 probed, m=8×16 codes on
+    residuals, refine=4 rerank): recall@5 ≥ 0.9 vs brute force, planted
+    twin at rank 1, deterministic across invocations."""
+    from decisions_knowledge_graph_data_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    probes = vec_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = vec_df.filter(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, probes, "vec_id", "embedding",
+                             "probe_id", "probe_vec", k=5).toPandas()
+    got = ivfpq_topk(corpus, probes, "vec_id", "embedding", "probe_id",
+                     "probe_vec", k=5, n_centroids=8, n_probe=6, m=8,
+                     n_codes=16, refine=4).toPandas()
+    e = set(zip(exact["probe_id"], exact["vec_id"]))
+    a = set(zip(got["probe_id"], got["vec_id"]))
+    assert len(a & e) / len(e) >= 0.9, f"IVFPQ recall {len(a & e)}/{len(e)}"
+    top1 = got[got["rank"] == 1].set_index("probe_id")["vec_id"]
+    for i in range(3):
+        assert top1[i] == 100 + i
+    again = ivfpq_topk(corpus, probes, "vec_id", "embedding", "probe_id",
+                       "probe_vec", k=5, n_centroids=8, n_probe=6, m=8,
+                       n_codes=16, refine=4).toPandas()
+    assert a == set(zip(again["probe_id"], again["vec_id"]))
