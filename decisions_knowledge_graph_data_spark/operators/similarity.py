@@ -68,27 +68,42 @@ def brute_force_topk_np(
     p_keys = [r[probe_key] for r in p_rows]
     p_mat = np.asarray([r[probe_vec] for r in p_rows], dtype=np.float64)
     p_mat /= np.maximum(np.linalg.norm(p_mat, axis=1, keepdims=True), 1e-12)
+    dims = p_mat.shape[1]
 
     out_schema = f"{probe_key} long, {key_col} long, cosine double"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def kernel(batches):
+        # mapInArrow: the vector column reaches numpy via a zero-copy
+        # flatten+reshape instead of a per-row Python list conversion —
+        # the marshalling was 3+ s per million rows, ~100x the Arrow
+        # path, and dominated the scan (round-5 measurement).
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            c_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            c_mat = flat.astype(np.float64, copy=False).reshape(
+                rb.num_rows, dims)
+            c_mat = c_mat / np.maximum(
+                np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12)
+            keys = rb.column(0).to_numpy()
             sims = c_mat @ p_mat.T  # (batch, probes)
-            rows = {probe_key: [], key_col: [], "cosine": []}
             top = min(k, sims.shape[0])
+            pks, cks, cos = [], [], []
             for j, pk in enumerate(p_keys):
                 idx = np.argpartition(-sims[:, j], top - 1)[:top]
-                for i in idx:
-                    rows[probe_key].append(pk)
-                    rows[key_col].append(pdf[key_col].iloc[int(i)])
-                    rows["cosine"].append(round(float(sims[i, j]), 6))
-            yield pd.DataFrame(rows)
+                pks.append(np.full(top, pk, dtype=np.int64))
+                cks.append(keys[idx])
+                cos.append(np.round(sims[idx, j], 6))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(pks)),
+                 pa.array(np.concatenate(cks).astype(np.int64)),
+                 pa.array(np.concatenate(cos))],
+                names=[probe_key, key_col, "cosine"],
+            )
 
-    partials = corpus.select(key_col, vec_col).mapInPandas(kernel, schema=out_schema)
+    partials = corpus.select(key_col, vec_col).mapInArrow(kernel, out_schema)
     w = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -448,27 +463,39 @@ def pq_topk(
     keep = k * max(1, refine)
 
     def kernel(batches):
-        import pandas as pd
+        # mapInArrow + per-probe 1-D LUT gathers: the Arrow path skips
+        # the per-row list conversion (3+ s per million rows), and a
+        # (probe, subspace) loop of 1-D gathers beats the 2-D
+        # per-subspace gather ~2.5x (each 256-entry LUT row stays in
+        # cache) — measured in round 5; this is what makes the
+        # compressed scan actually bandwidth-proportional.
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
-            # gather per subspace, sum: (batch, probes)
-            sims = np.zeros((codes.shape[0], len(p_keys)))
-            for s in range(m):
-                sims += luts[:, s, :][:, codes[:, s]].T
-            rows = {probe_key: [], key_col: [], "cosine": []}
-            top = min(keep, sims.shape[0])
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            codes = flat.astype(np.int64, copy=False).reshape(
+                rb.num_rows, m)
+            keys = rb.column(0).to_numpy()
+            top = min(keep, rb.num_rows)
+            pks, cks, cos = [], [], []
             for j, pk in enumerate(p_keys):
-                idx = np.argpartition(-sims[:, j], top - 1)[:top]
-                for i in idx:
-                    rows[probe_key].append(pk)
-                    rows[key_col].append(pdf["_ck"].iloc[int(i)])
-                    rows["cosine"].append(round(float(sims[i, j]), 6))
-            yield pd.DataFrame(rows)
+                acc = luts[j, 0][codes[:, 0]]
+                for s in range(1, m):
+                    acc = acc + luts[j, s][codes[:, s]]
+                idx = np.argpartition(-acc, top - 1)[:top]
+                pks.append(np.full(top, pk, dtype=np.int64))
+                cks.append(keys[idx])
+                cos.append(np.round(acc[idx], 6))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(pks)),
+                 pa.array(np.concatenate(cks).astype(np.int64)),
+                 pa.array(np.concatenate(cos))],
+                names=[probe_key, key_col, "cosine"],
+            )
 
-    partials = enc.mapInPandas(kernel, out_schema)
+    partials = enc.mapInArrow(kernel, out_schema)
     wnd = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
     ranked = (
         partials.withColumn("rank", F.row_number().over(wnd))
@@ -591,7 +618,6 @@ def ivfpq_topk(
         [p_mat[:, s * w:(s + 1) * w] @ b[s].T for s in range(m)], axis=1
     )  # (P, m, n_codes)
     pc = p_mat @ cents.T  # (P, C): the p·centroid term per bucket
-    p_idx = {pk: j for j, pk in enumerate(p_keys)}
 
     p_assign = assign_centroids(
         probes.select(
@@ -601,35 +627,48 @@ def ivfpq_topk(
         "_pv", cents, n_best=min(n_probe, cents.shape[0]),
     ).select("_pk", "centroid_id")
 
-    joined = enc.join(F.broadcast(p_assign), "centroid_id")
+    joined = enc.join(F.broadcast(p_assign), "centroid_id").select(
+        "_ck", "pq_codes", "centroid_id", "_pk")
     keep = k * max(1, refine)
     out_schema = f"{probe_key} long, {key_col} long, cosine double"
 
     def kernel(batches):
-        import pandas as pd
+        # same Arrow + per-probe-gather recipe as pq_topk (see there)
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
-            cid = pdf["centroid_id"].to_numpy()
-            pj = np.asarray([p_idx[x] for x in pdf["_pk"]])
-            score = pc[pj, cid]
-            for s in range(m):
-                score = score + luts[pj, s, codes[:, s]]
-            rows = {probe_key: [], key_col: [], "cosine": []}
-            sc = pd.Series(score)
-            for j in np.unique(pj):
-                sel = np.flatnonzero(pj == j)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            codes = flat.astype(np.int64, copy=False).reshape(
+                rb.num_rows, m)
+            keys = rb.column(0).to_numpy()
+            cid = rb.column(2).to_numpy()
+            pk_col = rb.column(3).to_numpy()
+            pks, cks, cos = [], [], []
+            for j, pk in enumerate(p_keys):
+                sel = np.flatnonzero(pk_col == pk)
+                if sel.size == 0:
+                    continue
+                sub = codes[sel]
+                acc = pc[j, cid[sel]] + luts[j, 0][sub[:, 0]]
+                for s in range(1, m):
+                    acc = acc + luts[j, s][sub[:, s]]
                 top = min(keep, sel.size)
-                idx = sel[np.argpartition(-score[sel], top - 1)[:top]]
-                for i in idx:
-                    rows[probe_key].append(p_keys[int(j)])
-                    rows[key_col].append(pdf["_ck"].iloc[int(i)])
-                    rows["cosine"].append(round(float(sc.iloc[int(i)]), 6))
-            yield pd.DataFrame(rows)
+                idx = np.argpartition(-acc, top - 1)[:top]
+                pks.append(np.full(top, pk, dtype=np.int64))
+                cks.append(keys[sel][idx])
+                cos.append(np.round(acc[idx], 6))
+            if not pks:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(pks)),
+                 pa.array(np.concatenate(cks).astype(np.int64)),
+                 pa.array(np.concatenate(cos))],
+                names=[probe_key, key_col, "cosine"],
+            )
 
-    partials = joined.mapInPandas(kernel, out_schema)
+    partials = joined.mapInArrow(kernel, out_schema)
     wnd = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
     ranked = (
         partials.withColumn("rank", F.row_number().over(wnd))

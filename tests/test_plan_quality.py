@@ -530,3 +530,38 @@ def test_mor_read_plan_shapes(spark, tmp_path):
         "BroadcastExchange", ""), plan2
     # results identical on both plan shapes
     assert V.read_snapshot(spark, root).count() == 19_990
+
+
+def test_pq_and_ivfpq_plans_broadcast_only(spark):
+    """The PQ/IVFADC candidate paths must never plan a cartesian or
+    sort-merge join: the IVFADC bucket join broadcasts the probe
+    fan-out, and the refine rerank broadcasts both the candidate set
+    and the probe vectors — the corpus side stays a straight scan in
+    every stage."""
+    from decisions_knowledge_graph_data_spark.operators.similarity import (
+        ivfpq_topk, pq_topk,
+    )
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(8)])
+        for i in range(64)
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    pq = pq_topk(corpus.filter(F.col("vec_id") >= 2), probes, "vec_id",
+                 "embedding", "probe_id", "probe_vec", k=3, m=4, n_codes=8,
+                 train_iter=1, refine=4)
+    plan = _plan(pq)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the refine candidate semi-prune
+    assert pq.count() > 0
+
+    ivfpq = ivfpq_topk(corpus.filter(F.col("vec_id") >= 2), probes,
+                       "vec_id", "embedding", "probe_id", "probe_vec",
+                       k=3, n_centroids=4, n_probe=2, m=4, n_codes=8,
+                       train_iter=1, refine=4)
+    plan2 = _plan(ivfpq)
+    assert "CartesianProduct" not in plan2 and "SortMergeJoin" not in plan2
+    assert "BroadcastHashJoin" in plan2  # bucket join + refine joins
+    assert ivfpq.count() > 0
