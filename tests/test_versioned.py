@@ -2294,3 +2294,47 @@ def test_partition_evolution_survives_row_ops(spark, tmp_path):
             spark, root, {"d": (">=", "2020-01-05")}).collect()
     )
     assert got == list(range(4, 10)) + list(range(11, 360)) + [100010]
+
+
+def test_concurrent_append_refuses_evolved_parent(spark, tmp_path):
+    """The optimistic appender's transformed-parent refusal covers
+    EVOLVED tables too — its files would carry no layout column and no
+    spec-map entry would mark them, silently breaking transform
+    pruning."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "occevo")
+    V.write_snapshot_transformed(
+        _dates_df(spark, 0, 60), root, ("month", "d"), n_files=2)
+    V.write_snapshot_transformed(
+        _dates_df(spark, 60, 120), root, ("day", "d"), mode="append",
+        evolve=True, n_files=2)
+    with pytest.raises(ValueError, match="layout column"):
+        V.write_snapshot_concurrent(_dates_df(spark, 120, 130), root)
+    assert V.current_version(root) == 2
+
+
+def test_partition_evolution_with_mor_delete(spark, tmp_path):
+    """A merge-on-read position delete on an evolved table: the delete
+    attachment rides the untouched data files (dir spec map intact), so
+    the transform-pruned read stays row-exact minus the deleted rows."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "evomor")
+    V.write_snapshot_transformed(
+        _dates_df(spark, 0, 120), root, ("month", "d"), n_files=4)
+    V.write_snapshot_transformed(
+        _dates_df(spark, 120, 240), root, ("day", "d"), mode="append",
+        evolve=True, n_files=4)
+    V.delete_where_mor(spark, root, {"id": ("between", (50, 59))})
+    m = V._read_manifest(root, V.current_version(root))
+    assert [s["kind"] for s in m["meta"]["partition_specs"]] == [
+        "month", "day"]
+    got = sorted(
+        r["id"] for r in V.read_snapshot_transformed(
+            spark, root, {"d": (">=", "2020-02-10")}).collect()
+    )
+    # day 40 == 2020-02-10; ids 50-59 deleted
+    assert got == list(range(40, 50)) + list(range(60, 240))
+    kept, skipped = V.plan_files_transformed(root, {"d": (">=", "2020-06-01")})
+    assert skipped > 0
