@@ -111,6 +111,36 @@ def brute_force_topk_np(
     )
 
 
+def _exact_refine(ranked, corpus, probes, key_col, vec_col,
+                  probe_key, probe_vec, k):
+    """Shared rerank tail for pq_topk / ivfpq_topk: rescore the ADC
+    candidate set against FULL-precision vectors (a corpus scan pruned
+    by a broadcast hash join on the tiny candidate set) and rank the
+    final top-k by exact cosine. One definition — the broadcast gates,
+    rounding and tie-break live here only (round-5 review: two
+    hand-kept copies)."""
+    cand = ranked.select(probe_key, key_col)
+    pv = probes.select(
+        F.col(probe_key).alias("_rpk"),
+        F.col(probe_vec).cast("array<double>").alias("_rpv"),
+    )
+    rescored = (
+        corpus.select(
+            F.col(key_col).alias("_rck"),
+            F.col(vec_col).cast("array<double>").alias("_rcv"),
+        )
+        .join(F.broadcast(cand), F.col("_rck") == F.col(key_col), "inner")
+        .join(F.broadcast(pv), F.col(probe_key) == F.col("_rpk"))
+        .withColumn("cosine", F.round(cosine(F.col("_rpv"), F.col("_rcv")), 6))
+    )
+    wnd = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "cosine", "rank")
+    )
+
+
 def train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
                     n_iter: int = 5, seed: str = "ivf"):
     """Distributed spherical k-means (Lloyd's) for the IVF index — the
@@ -503,31 +533,8 @@ def pq_topk(
     )
     if refine <= 1:
         return ranked
-    from .dedup import cosine as _cosine
-
-    cand = ranked.select(probe_key, key_col)
-    pv = probes.select(
-        F.col(probe_key).alias("_rpk"),
-        F.col(probe_vec).cast("array<double>").alias("_rpv"),
-    )
-    rescored = (
-        corpus.select(
-            F.col(key_col).alias("_rck"),
-            F.col(vec_col).cast("array<double>").alias("_rcv"),
-        )
-        .join(
-            F.broadcast(cand), F.col("_rck") == F.col(key_col), "inner"
-        )
-        .join(F.broadcast(pv), F.col(probe_key) == F.col("_rpk"))
-        .withColumn("cosine", F.round(_cosine(F.col("_rpv"), F.col("_rcv")), 6))
-    )
-    wnd2 = Window.partitionBy(probe_key).orderBy(
-        F.desc("cosine"), F.col(key_col))
-    return (
-        rescored.withColumn("rank", F.row_number().over(wnd2))
-        .filter(F.col("rank") <= k)
-        .select(probe_key, key_col, "cosine", "rank")
-    )
+    return _exact_refine(ranked, corpus, probes, key_col, vec_col,
+                         probe_key, probe_vec, k)
 
 
 def assign_and_residual(df: DataFrame, vec_col: str, centroids) -> DataFrame:
@@ -676,28 +683,8 @@ def ivfpq_topk(
     )
     if refine <= 1:
         return ranked
-    from .dedup import cosine as _cosine
-
-    cand = ranked.select(probe_key, key_col)
-    pv = probes.select(
-        F.col(probe_key).alias("_rpk"),
-        F.col(probe_vec).cast("array<double>").alias("_rpv"),
-    )
-    rescored = (
-        corpus.select(
-            F.col(key_col).alias("_rck"),
-            F.col(vec_col).cast("array<double>").alias("_rcv"),
-        )
-        .join(F.broadcast(cand), F.col("_rck") == F.col(key_col), "inner")
-        .join(F.broadcast(pv), F.col(probe_key) == F.col("_rpk"))
-        .withColumn("cosine", F.round(_cosine(F.col("_rpv"), F.col("_rcv")), 6))
-    )
-    wnd2 = Window.partitionBy(probe_key).orderBy(F.desc("cosine"), F.col(key_col))
-    return (
-        rescored.withColumn("rank", F.row_number().over(wnd2))
-        .filter(F.col("rank") <= k)
-        .select(probe_key, key_col, "cosine", "rank")
-    )
+    return _exact_refine(ranked, corpus, probes, key_col, vec_col,
+                         probe_key, probe_vec, k)
 
 
 def write_ivf_corpus(corpus: DataFrame, table: str, key_col: str,

@@ -248,8 +248,22 @@ def _acquire_lock(root: str) -> int:
     the holder's pid; if that process is gone (SIGKILL/OOM mid-commit —
     the `finally` unlink never ran), the lock is stolen and commit
     proceeds (the dead writer's half-commit is invisible by the pointer
-    rule and GC'd). A live holder still raises."""
+    rule and GC'd). A live holder still raises.
+
+    Stealing is serialized behind a dedicated steal mutex: with
+    ``_acquire_lock_wait`` polling every 50 ms, several waiters
+    routinely observe the same dead holder, and an unguarded
+    read-pid-then-unlink would let waiter B unlink waiter A's FRESH
+    lock (read before A re-created it) — two writers would then both
+    hold the commit lock and the second pointer swap would silently
+    clobber the first's append (round-5 review finding). Under the
+    mutex the CURRENT holder pid is re-read before unlinking, so only
+    a still-dead holder is ever stolen; losers of the mutex see plain
+    contention. The mutex itself is held for microseconds (no Spark
+    work inside), so its own staleness path is the same dead-pid
+    unlink — acceptable at that window size."""
     lock_path = os.path.join(root, LOCK)
+    steal_path = lock_path + ".steal"
     for attempt in (0, 1):
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -267,11 +281,50 @@ def _acquire_lock(root: str) -> int:
                     f"another writer (pid {holder}) holds {lock_path}; "
                     "versioned tables are single-writer"
                 ) from None
-            # holder is dead: steal the stale lock and retry once
+            # holder is dead: steal under the steal mutex, then retry
             try:
-                os.unlink(lock_path)
-            except FileNotFoundError:
-                pass
+                sfd = os.open(
+                    steal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # another stealer is mid-steal: if IT died too, clear
+                # its microsecond-window mutex; either way report
+                # contention — the wait loop (or the caller) retries
+                try:
+                    with open(steal_path) as f:
+                        spid = int(f.read().strip() or "-1")
+                except (OSError, ValueError):
+                    spid = -1
+                if not _pid_alive(spid):
+                    try:
+                        os.unlink(steal_path)
+                    except FileNotFoundError:
+                        pass
+                raise RuntimeError(
+                    f"another writer is stealing {lock_path}; retry"
+                ) from None
+            try:
+                os.write(sfd, str(os.getpid()).encode())
+                # re-read the CURRENT holder under the mutex: only a
+                # still-dead holder may be unlinked (a fresh lock from
+                # a faster stealer must survive)
+                try:
+                    with open(lock_path) as f:
+                        holder_now = int(f.read().strip() or "-1")
+                except FileNotFoundError:
+                    holder_now = None  # already stolen+released
+                except (OSError, ValueError):
+                    holder_now = -1  # unreadable: conservative, no steal
+                if holder_now is not None and not _pid_alive(holder_now):
+                    try:
+                        os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
+            finally:
+                os.close(sfd)
+                try:
+                    os.unlink(steal_path)
+                except FileNotFoundError:
+                    pass
     raise AssertionError("unreachable")
 
 
@@ -344,6 +397,15 @@ def _gc_orphans(root: str) -> None:
     entries' dirs are live (see _staged_live_dirs)."""
     # _branch_meta_root/_branch_names are defined later in this module —
     # resolved at call time, like every module-level name
+    # snapshot the data-dir candidates BEFORE any pin is read: a
+    # lock-free writer pins FIRST and creates its dir SECOND, so any
+    # dir in this early listing either has its pin already on disk
+    # (read below → live) or is genuinely orphaned. Listing after the
+    # pin read would race a writer that pins+writes mid-GC — its
+    # in-flight dir would be judged against a stale live set and
+    # destroyed (round-5 review finding).
+    gc_candidates = [
+        n for n in os.listdir(root) if n.startswith(DATA_PREFIX)]
     meta_roots = [root] + [_branch_meta_root(root, n) for n in _branch_names(root)]
     for mr in meta_roots:
         ptr = current_version(mr) or 0
@@ -371,8 +433,8 @@ def _gc_orphans(root: str) -> None:
     live_dirs = _staged_live_dirs(root)
     for mr in meta_roots:
         _manifest_live_dirs(mr, live_dirs)
-    for name in os.listdir(root):
-        if name.startswith(DATA_PREFIX) and name not in live_dirs:
+    for name in gc_candidates:
+        if name not in live_dirs:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
@@ -400,6 +462,7 @@ def write_snapshot(
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
     data_name: str | None = None,
+    meta_fn=None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -430,14 +493,21 @@ def write_snapshot(
         _gc_orphans(root)
         parent = current_version(root)
         version = (parent or 0) + 1
-        if stats_cols is None and mode == "append" and parent is not None:
+        pm = _read_manifest(root, parent) if parent is not None else None
+        # meta_fn runs UNDER the commit lock with the true parent
+        # manifest — the hook for metadata that must be derived from
+        # the commit-time parent (partition-evolution bookkeeping; a
+        # pre-lock computation would race concurrent commits) and for
+        # guards that must see the frozen parent. It runs BEFORE the
+        # data write so a refusing guard aborts cheaply.
+        hook_meta = meta_fn(pm) if meta_fn is not None else {}
+        if stats_cols is None and mode == "append" and pm is not None:
             # appends inherit the parent's stats columns by default —
             # otherwise a forgetful append silently degrades file
             # pruning and metadata-only aggregation for its files (the
             # same inheritance row ops already apply); an explicit
             # stats_cols still wins
-            stats_cols = _parent_stats_cols(
-                _read_manifest(root, parent), []) or None
+            stats_cols = _parent_stats_cols(pm, []) or None
         new_files, file_stats, file_rows, n = _write_data_dir(
             df, root, stats_cols, data_name=data_name)
         schema = df.schema
@@ -445,8 +515,8 @@ def write_snapshot(
         delete_files: dict = {}
         delete_counts: dict = {}
         meta_out = dict(meta or {})
+        meta_out.update(hook_meta)
         if parent is not None:
-            pm = _read_manifest(root, parent)
             # the streaming batch-id high-water mark rides EVERY commit
             # (append, overwrite, row ops): it must stay on the NEWEST
             # manifest — that is what makes it immune to
@@ -507,6 +577,17 @@ def _unpin(pin_path: str) -> None:
         os.unlink(pin_path)
     except FileNotFoundError:
         pass
+
+
+def _footer_rows(root: str, data_name: str) -> dict:
+    """Per-file row counts for an already-written data dir, keyed by the
+    manifest-relative path — the one definition of the path-prefix
+    convention the lock-free committers share."""
+    return {
+        f"{data_name}/{name}": r
+        for name, r in _file_row_counts(
+            os.path.join(root, data_name)).items()
+    }
 
 
 def _footer_stats(root: str, data_name: str, stats_cols) -> dict:
@@ -583,11 +664,7 @@ def write_snapshot_concurrent(
                     if k in pm.get("meta", {}) and k not in meta_out:
                         meta_out[k] = pm["meta"][k]
             file_stats = _footer_stats(root, data_name, eff_stats)
-            file_rows = {
-                f"{data_name}/{name}": r
-                for name, r in _file_row_counts(
-                    os.path.join(root, data_name)).items()
-            }
+            file_rows = _footer_rows(root, data_name)
             if pm is not None:
                 (schema, files, file_stats, file_rows,
                  delete_files, delete_counts) = _merge_append_manifest(
@@ -1360,15 +1437,39 @@ def write_snapshot_transformed(
         if kind not in ("year", "month", "day"):
             raise ValueError(f"unknown transform kind {kind!r}")
     spec = {"kind": kind, "col": col, "w": w}
-    evo_meta: dict = {}
     evo_data_name: str | None = None
+    hook = None
     if mode == "append":
-        parent = current_version(root)
-        if parent is not None:
-            pm0 = _read_manifest(root, parent)
-            pmeta = pm0.get("meta", {})
+        # the spec guard + evolution bookkeeping run UNDER the commit
+        # lock (write_snapshot's meta_fn), against the COMMIT-TIME
+        # parent — a pre-lock parent read would race concurrent
+        # transformed appends: the loser could publish a newest
+        # manifest with stale or missing spec metadata and reads would
+        # silently misprune (round-5 review finding). The data dir is
+        # pre-named so the dir→spec map can include it.
+        evo_data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+
+        def hook(pm, _dn=evo_data_name):
+            if pm is None:
+                if evolve:
+                    raise ValueError(
+                        "partition evolution requires an existing "
+                        "transformed parent (genesis appends record "
+                        "their spec without evolve)")
+                return {}
+            pmeta = pm.get("meta", {})
             pspec = pmeta.get("partition_transform")
             pspecs = pmeta.get("partition_specs")
+            if evolve and pspec is None:
+                # an evolving append onto a plain or bucketed table
+                # would commit parent files with NO layout column under
+                # a transform spec — transformed reads would residual-
+                # filter their NULL _pt and silently drop every parent
+                # row (round-5 review finding)
+                raise ValueError(
+                    "partition evolution requires a transformed parent: "
+                    "this table has no partition_transform (plain and "
+                    "bucket-transformed tables cannot evolve)")
             if pspec != spec and not evolve:
                 # mismatched layouts under one manifest would prune the
                 # parent's files with the wrong transform values
@@ -1380,47 +1481,48 @@ def write_snapshot_transformed(
                     f"evolution: existing files keep their layout and "
                     f"are pruned with the spec that produced them)"
                 )
-            if pspec is not None and (pspec != spec or pspecs):
-                # partition-evolution bookkeeping: every spec the table
-                # has ever used (index = spec id) plus a data-dir →
-                # spec-id map, so the read prunes each file with ITS
-                # spec. Same-spec appends onto an evolved table go
-                # through here too (the metadata must keep riding).
-                specs_out = [dict(s) for s in (pspecs or [pspec])]
-                for s in specs_out + [spec]:
-                    if _pt_dtype(s["kind"]) != _pt_dtype(spec["kind"]):
-                        raise ValueError(
-                            "partition evolution cannot cross layout-"
-                            f"column types: table has {s!r} "
-                            f"({_pt_dtype(s['kind'])}), append wants "
-                            f"{spec!r} ({_pt_dtype(spec['kind'])})"
-                        )
-                if spec in specs_out:
-                    spec_id = specs_out.index(spec)
-                else:
-                    specs_out.append(dict(spec))
-                    spec_id = len(specs_out) - 1
-                dir_specs = dict(pmeta.get("partition_dir_specs") or {})
-                if not dir_specs:
-                    # previously single-spec parent: all its dirs carry
-                    # the parent spec
-                    pid = specs_out.index(pspec)
-                    for f in pm0["files"]:
-                        dir_specs.setdefault(f.split("/", 1)[0], pid)
-                evo_data_name = f"{DATA_PREFIX}{uuid.uuid4().hex[:12]}"
-                dir_specs[evo_data_name] = spec_id
-                evo_meta = {
-                    "partition_specs": specs_out,
-                    "partition_dir_specs": dir_specs,
-                }
+            if pspec is None or (pspec == spec and not pspecs):
+                return {}
+            # partition-evolution bookkeeping: every spec the table
+            # has ever used (index = spec id) plus a data-dir →
+            # spec-id map, so the read prunes each file with ITS
+            # spec. Same-spec appends onto an evolved table go
+            # through here too (the metadata must keep riding).
+            specs_out = [dict(s) for s in (pspecs or [pspec])]
+            for s in specs_out + [spec]:
+                if _pt_dtype(s["kind"]) != _pt_dtype(spec["kind"]):
+                    raise ValueError(
+                        "partition evolution cannot cross layout-"
+                        f"column types: table has {s!r} "
+                        f"({_pt_dtype(s['kind'])}), append wants "
+                        f"{spec!r} ({_pt_dtype(spec['kind'])})"
+                    )
+            if spec in specs_out:
+                spec_id = specs_out.index(spec)
+            else:
+                specs_out.append(dict(spec))
+                spec_id = len(specs_out) - 1
+            dir_specs = dict(pmeta.get("partition_dir_specs") or {})
+            if not dir_specs:
+                # previously single-spec parent: all its dirs carry
+                # the parent spec
+                pid = specs_out.index(pspec)
+                for f in pm["files"]:
+                    dir_specs.setdefault(f.split("/", 1)[0], pid)
+            dir_specs[_dn] = spec_id
+            return {
+                "partition_specs": specs_out,
+                "partition_dir_specs": dir_specs,
+            }
     laid_out = df.withColumn(PT_COL, _transform_expr(kind, col, w)).repartitionByRange(
         n_files or 8, PT_COL
     )
     return write_snapshot(
         laid_out, root, mode=mode,
         stats_cols=[PT_COL, *(stats_cols or [])],
-        meta={**(meta or {}), "partition_transform": spec, **evo_meta},
+        meta={**(meta or {}), "partition_transform": spec},
         data_name=evo_data_name,
+        meta_fn=hook,
     )
 
 
@@ -2742,6 +2844,11 @@ def expire_versions(root: str, keep_last: int) -> dict:
         # the tag is deleted
         drop = [v for v in committed[:-keep_last] if v not in tagged]
         keep = [v for v in committed if v not in drop]
+        # dir candidates BEFORE the pin read — same pin-then-write
+        # ordering argument as _gc_orphans (lock-free writers run their
+        # data writes while expire holds the commit lock)
+        expire_candidates = [
+            n for n in sorted(os.listdir(root)) if n.startswith(DATA_PREFIX)]
         live_dirs = _staged_live_dirs(root)
         for v in keep:
             m = _read_manifest(root, v)
@@ -2757,8 +2864,8 @@ def expire_versions(root: str, keep_last: int) -> dict:
         for v in drop:
             os.unlink(_manifest_path(root, v))
         removed = []
-        for name in sorted(os.listdir(root)):
-            if name.startswith(DATA_PREFIX) and name not in live_dirs:
+        for name in expire_candidates:
+            if name not in live_dirs:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
                 removed.append(name)
         return {"expired_versions": drop, "removed_dirs": removed}
@@ -2879,11 +2986,7 @@ def stage_snapshot(
                     # same stats-column inheritance as a direct append
                     stats_cols = _parent_stats_cols(pm0, []) or None
             file_stats = _footer_stats(root, data_name, stats_cols)
-            file_rows = {
-                f"{data_name}/{name}": r
-                for name, r in _file_row_counts(
-                    os.path.join(root, data_name)).items()
-            }
+            file_rows = _footer_rows(root, data_name)
             entry = {
                 "wap_id": wap_id,
                 "mode": mode,

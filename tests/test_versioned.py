@@ -2338,3 +2338,63 @@ def test_partition_evolution_with_mor_delete(spark, tmp_path):
     assert got == list(range(40, 50)) + list(range(60, 240))
     kept, skipped = V.plan_files_transformed(root, {"d": (">=", "2020-06-01")})
     assert skipped > 0
+
+
+def test_evolve_requires_transformed_parent(spark, tmp_path):
+    """evolve=True must not bypass the transformed-append guard onto a
+    plain (or bucketed) parent: parent files have no _pt column, so a
+    transform spec over them would silently drop every parent row from
+    predicated transformed reads (round-5 review finding)."""
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    plain = str(tmp_path / "plain")
+    V.write_snapshot(_df(spark, 0, 10), plain)
+    with pytest.raises(ValueError, match="requires a transformed parent"):
+        V.write_snapshot_transformed(
+            _dates_df(spark, 0, 10), plain, ("month", "d"),
+            mode="append", evolve=True)
+    assert V.current_version(plain) == 1
+
+    bucketed = str(tmp_path / "bkt")
+    V.write_snapshot_bucketed(_df(spark, 0, 20), bucketed, "id", 4)
+    with pytest.raises(ValueError, match="requires a transformed parent"):
+        V.write_snapshot_transformed(
+            _dates_df(spark, 0, 10), bucketed, ("month", "d"),
+            mode="append", evolve=True)
+    assert V.current_version(bucketed) == 1
+
+
+def test_lock_steal_is_serialized(spark, tmp_path):
+    """Stealing a dead writer's lock goes through the steal mutex: a
+    concurrent stealer reports contention instead of unlinking (which
+    could destroy a FRESH lock), and a dead stealer's mutex is cleared."""
+    import subprocess
+
+    import decisions_knowledge_graph_data_spark.sources.versioned as V
+
+    root = str(tmp_path / "steal")
+    V.write_snapshot(_df(spark, 0, 4), root)
+    lock = os.path.join(root, V.LOCK)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(lock, "w") as f:
+        f.write(str(proc.pid))  # dead holder
+
+    # a live concurrent stealer holds the mutex → contention, lock kept
+    with open(lock + ".steal", "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="stealing"):
+        V._acquire_lock(root)
+    assert os.path.exists(lock)
+    os.unlink(lock + ".steal")
+
+    # a DEAD stealer's mutex is cleared; the caller retries and wins
+    with open(lock + ".steal", "w") as f:
+        f.write(str(proc.pid))
+    with pytest.raises(RuntimeError, match="stealing"):
+        V._acquire_lock(root)
+    assert not os.path.exists(lock + ".steal")
+    fd = V._acquire_lock(root)  # dead holder stolen under the mutex
+    os.close(fd)
+    os.unlink(lock)
+    assert V.write_snapshot(_df(spark, 4, 6), root, mode="append") == 2
