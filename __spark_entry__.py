@@ -17,8 +17,43 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+# Text/array-heavy tables whose driver-generated files hold a single
+# parquet row group: Spark can split such a file into byte ranges but
+# only the range containing the row group produces rows, so every
+# per-row kernel downstream (shingling, token explodes, regex scans,
+# Arrow kernels) runs on ONE core of the cluster. The standard fix for
+# an unsplittable input (spark_optimization_guide §2.5, "Input skew") is
+# to repartition right after the read — a one-off shuffle of the small
+# raw bytes that buys full-cluster parallelism for everything above it.
+# Gated on total file size: a production-sized table (≥ one
+# maxPartitionBytes of data) already fans out and skips the spread.
+# ``events`` is deliberately NOT spread: its queries go straight into
+# key-partitioned windows/aggregations (their first exchange does the
+# fan-out), so a spread there is a pure extra shuffle — measured +0.6 s
+# on sessionize at sf1.0.
+_SPREAD_TABLES = {"documents", "embeddings"}
+_SPREAD_MAX_BYTES = 128 * 1024 * 1024
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name in _SPREAD_TABLES:
+        try:
+            size = (
+                sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(path)
+                else os.path.getsize(path)
+            )
+        except OSError:
+            size = None
+        if size is not None and size < _SPREAD_MAX_BYTES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # --------------------------------------------------------------------- entry
@@ -43,16 +78,19 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit("placed").alias("pred"),
         F.concat(F.lit("ORD-"), "o_orderkey").alias("obj"),
     )
-    contains = lineitem.select(
+    # key-pair dedup before string minting (same rewrite as
+    # q_kg_star_triples: injective ids, constant pred → identical rows,
+    # narrower dedup shuffle)
+    contains = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().select(
         F.concat(F.lit("ORD-"), "l_orderkey").alias("subj"),
         F.lit("contains").alias("pred"),
         F.concat(F.lit("PART-"), "l_partkey").alias("obj"),
-    ).dropDuplicates(["subj", "pred", "obj"])
-    supplies = lineitem.select(
+    )
+    supplies = lineitem.select("l_suppkey", "l_partkey").dropDuplicates().select(
         F.concat(F.lit("SUPP-"), "l_suppkey").alias("subj"),
         F.lit("supplies").alias("pred"),
         F.concat(F.lit("PART-"), "l_partkey").alias("obj"),
-    ).dropDuplicates(["subj", "pred", "obj"])
+    )
     located = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
         F.concat(F.lit("CUST-"), "c_custkey").alias("subj"),
         F.lit("located_in").alias("pred"),
@@ -101,12 +139,26 @@ def q_top_orders(spark, sf):
 
 
 def q_top1_per_group(spark, sf):
+    # top-1 via max_by over an ordering struct instead of a
+    # row_number window: (o_totalprice DESC, o_orderkey ASC) ==
+    # max of (o_totalprice, -o_orderkey) lexicographically — the same
+    # deterministic winner, computed as a hash aggregation with
+    # map-side partial combine (no per-partition sort of the full
+    # table, and only one pre-combined struct per group crosses the
+    # exchange; guide §2.3 "aggregate before you shuffle").
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    best = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("_nk")),
+    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+        o.groupBy("o_custkey")
+        .agg(best.alias("_best"))
+        .select(
+            "o_custkey",
+            F.col("_best.o_orderkey").alias("o_orderkey"),
+            F.round("_best.o_totalprice", 2).alias("top_price"),
+        )
     )
 
 
@@ -2344,16 +2396,22 @@ def q_kg_star_triples(spark, sf):
         F.lit("placed").alias("pred"),
         F.concat(F.lit("ORD-"), "o_orderkey").alias("obj"),
     )
-    contains = lineitem.select(
+    # dedup on the integer key pair BEFORE minting the node-id strings:
+    # subj/obj are injective functions of (l_orderkey, l_partkey) with a
+    # constant pred, so the result set is identical while the dedup
+    # exchange carries 2 longs per row instead of 3 concat strings
+    # (guide §2.3 "narrower types": ~16 B vs ~45 B per shuffled row, and
+    # the map-side partial agg dedups the cheap representation too).
+    contains = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().select(
         F.concat(F.lit("ORD-"), "l_orderkey").alias("subj"),
         F.lit("contains").alias("pred"),
         F.concat(F.lit("PART-"), "l_partkey").alias("obj"),
-    ).dropDuplicates(["subj", "pred", "obj"])
-    supplies = lineitem.select(
+    )
+    supplies = lineitem.select("l_suppkey", "l_partkey").dropDuplicates().select(
         F.concat(F.lit("SUPP-"), "l_suppkey").alias("subj"),
         F.lit("supplies").alias("pred"),
         F.concat(F.lit("PART-"), "l_partkey").alias("obj"),
-    ).dropDuplicates(["subj", "pred", "obj"])
+    )
     located = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
         F.concat(F.lit("CUST-"), "c_custkey").alias("subj"),
         F.lit("located_in").alias("pred"),

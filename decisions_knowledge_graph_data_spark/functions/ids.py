@@ -16,6 +16,7 @@ import hashlib
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from .barriers import lazy_checkpoint
 
 
 def doc_uid(repo: Column, path: Column, commit: Column) -> Column:
@@ -95,7 +96,7 @@ def ranked_prefix(
         df.repartitionByRange(num_partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     out_schema = StructType(
         ranged.schema.fields + [StructField("_local", LongType())]

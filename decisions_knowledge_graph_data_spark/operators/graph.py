@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.barriers import lazy_checkpoint
 
 
 def min_label_propagation(
@@ -60,10 +61,8 @@ def min_label_propagation(
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     sym = e.unionAll(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    sym = sym.localCheckpoint(eager=False)
-    nodes = sym.select(F.col("_s").alias("node")).distinct().localCheckpoint(
-        eager=False
-    )
+    sym = sym.transform(lazy_checkpoint)
+    nodes = sym.select(F.col("_s").alias("node")).distinct().transform(lazy_checkpoint)
     lab = nodes.withColumn("label", F.col("node"))
     for _ in range(iterations):
         nbr_min = (
@@ -80,7 +79,7 @@ def min_label_propagation(
                     F.col("label"), F.coalesce(F.col("_mn"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
     return lab
 
@@ -103,11 +102,11 @@ def pagerank(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     deg = e.groupBy("_src").agg(F.count("*").cast("double").alias("_deg"))
     # (src, dst, outdeg) — computed once, reused every iteration
-    ed = e.join(deg, "_src").localCheckpoint(eager=False)
+    ed = e.join(deg, "_src").transform(lazy_checkpoint)
 
     pr = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(iterations):
@@ -129,7 +128,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
     return pr
 
@@ -175,7 +174,7 @@ def bfs_levels(
         .filter(F.col("node").isNotNull())
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -185,9 +184,9 @@ def bfs_levels(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt).transform(lazy_checkpoint)
         frontier = nxt
     return visited
 
@@ -233,7 +232,7 @@ def sssp_bounded(
         .filter(F.col("node").isNotNull())
         .distinct()
         .withColumn("cost", F.lit(0).cast("long"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     for _ in range(rounds):
         relax = (
@@ -247,7 +246,7 @@ def sssp_bounded(
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
     return dist
 
@@ -277,7 +276,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         edges.filter(a != b)
         .select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
         .distinct()
-        .localCheckpoint(eager=False)  # reused by the degree agg + both joins
+        .transform(lazy_checkpoint)  # reused by the degree agg + both joins
     )
     deg = (
         und.select(F.col("_a").alias("node"))
@@ -293,7 +292,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
         F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
         F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
-    ).localCheckpoint(eager=False)  # feeds the wedge join twice + closing
+    ).transform(lazy_checkpoint)  # feeds the wedge join twice + closing
     e1 = oriented.select(
         F.col("_u"), F.col("_v").alias("_w1"), F.col("_dv").alias("_d1"))
     e2 = oriented.select(

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_name
+from ..functions.barriers import lazy_checkpoint
 
 N_HASHES = 32
 # 8 bands × 4 rows: collision probability 1-(1-j^4)^8 ≈ 0.985 at j=0.8,
@@ -89,7 +90,7 @@ def _with_lsh(df: DataFrame, text_col: str) -> DataFrame:
     barrier instead of a materialization.
     """
     out = df.withColumn("_sh", shingles(F.col(text_col)))
-    out = out.localCheckpoint(eager=False)
+    out = out.transform(lazy_checkpoint)
     out = out.withColumn("_bands", band_hashes(minhash_signature(F.col("_sh"))))
     return out.select(
         *df.columns, "_sh", F.posexplode("_bands").alias("band_pos", "band_hash")
@@ -352,7 +353,7 @@ def link_rule_mentions(
         )
         # materialized once: the size-gate action below and the fan-back
         # join both read it (lazy checkpoint, ContextCleaner-released)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     # STRICT temporal cutoff: the reference candidate query uses
     # `dossier date < decisionDate` (mapping/steps.ts:452-454) — an entity

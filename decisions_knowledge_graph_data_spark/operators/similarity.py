@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from .dedup import cosine
 
 
+#: train_pq(lossless=True) driver-collect cap (round-5 ADVICE): the
+#: mode is for oracles/equivalence tests; above this it would OOM the
+#: driver and go quadratic in pq_encode.
+PQ_LOSSLESS_MAX_ROWS = 100_000
+
+
 def brute_force_topk(
     corpus: DataFrame, probes: DataFrame, key_col: str, vec_col: str,
     probe_key: str, probe_vec: str, k: int = 10,
@@ -83,6 +89,10 @@ def brute_force_topk_np(
             if rb.num_rows == 0:
                 continue
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if flat.size != rb.num_rows * dims:
+                raise ValueError(
+                    f"ragged/null vector column: {flat.size} values for "
+                    f"{rb.num_rows} rows x {dims} dims")
             c_mat = flat.astype(np.float64, copy=False).reshape(
                 rb.num_rows, dims)
             c_mat = c_mat / np.maximum(
@@ -328,6 +338,17 @@ def train_pq(corpus: DataFrame, vec_col: str, m: int = 4,
     vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if lossless:
         n_codes = vecs.count()
+        # lossless mode collects the WHOLE corpus as codebook rows and
+        # pq_encode then does O(N) argmax per row per subspace — it is
+        # the oracle/equivalence-test mode only. Fail loudly instead of
+        # stalling the driver on a production-sized corpus (round-5
+        # ADVICE).
+        if n_codes > PQ_LOSSLESS_MAX_ROWS:
+            raise ValueError(
+                f"train_pq(lossless=True) is a test/oracle mode: corpus has "
+                f"{n_codes} rows > cap {PQ_LOSSLESS_MAX_ROWS}; train a real "
+                f"codebook (lossless=False) for production corpora"
+            )
         n_iter = 0
     init_rows = (
         vecs.orderBy(F.xxhash64(F.col("_v"), F.lit(seed)))
@@ -505,6 +526,10 @@ def pq_topk(
             if rb.num_rows == 0:
                 continue
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if flat.size != rb.num_rows * m:
+                raise ValueError(
+                    f"ragged/null code column: {flat.size} values for "
+                    f"{rb.num_rows} rows x {m} subspaces")
             codes = flat.astype(np.int64, copy=False).reshape(
                 rb.num_rows, m)
             keys = rb.column(0).to_numpy()
@@ -647,6 +672,10 @@ def ivfpq_topk(
             if rb.num_rows == 0:
                 continue
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if flat.size != rb.num_rows * m:
+                raise ValueError(
+                    f"ragged/null code column: {flat.size} values for "
+                    f"{rb.num_rows} rows x {m} subspaces")
             codes = flat.astype(np.int64, copy=False).reshape(
                 rb.num_rows, m)
             keys = rb.column(0).to_numpy()

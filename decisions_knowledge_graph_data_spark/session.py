@@ -47,6 +47,17 @@ def get_spark(
         # 128 MiB scan splits: at 100 TB this yields ~800k well-sized input
         # partitions instead of a handful of giant ones.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # ContextCleaner periodic GC (default 30 MIN): dropped
+        # localCheckpoint/broadcast blocks are only freed after a driver
+        # GC notices their RDDs are unreferenced — a session running many
+        # checkpoint-bearing queries back to back accumulates blocks and
+        # progressively degrades (measured round 6: monotonically growing
+        # per-run times for an identical query). 30 s bounds the
+        # accumulation window; parameterised for cluster deployments.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -334,6 +334,17 @@ def test_ivf_topk_recall(vec_df):
     assert a == set(zip(again["probe_id"], again["vec_id"]))
 
 
+def test_pq_lossless_cap_raises(vec_df, monkeypatch):
+    """train_pq(lossless=True) collects the whole corpus to the driver —
+    the round-5 ADVICE guard must refuse a corpus above the cap instead
+    of stalling/OOMing the driver."""
+    import decisions_knowledge_graph_data_spark.operators.similarity as S
+
+    monkeypatch.setattr(S, "PQ_LOSSLESS_MAX_ROWS", 5)
+    with pytest.raises(ValueError, match="lossless"):
+        S.train_pq(vec_df, "embedding", m=4, lossless=True)
+
+
 def test_pq_topk_lossless_equals_brute_force(vec_df):
     """PQ with lossless codebooks (one code per corpus subvector) must
     reconstruct exactly, so ADC top-k == brute-force top-k — the PQ
