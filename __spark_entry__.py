@@ -124,15 +124,24 @@ def q_pricing_summary(spark, sf):
 
 
 def q_top_orders(spark, sf):
+    # aggregate lineitem by l_orderkey BEFORE joining the customer
+    # filter: revenue per order is independent of the customer
+    # predicate (grouping key == join key), so pre-aggregation is
+    # result-identical while the join carries one pre-combined row per
+    # order instead of every lineitem (guide §2.3 "aggregate before you
+    # shuffle" — the map-side combine replaces a lineitem-sized join
+    # input). round(2) stays AFTER the full per-order sum, as before.
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
     return (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey")
+        .join(rev, "o_orderkey")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )

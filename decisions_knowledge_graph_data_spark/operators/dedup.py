@@ -132,12 +132,19 @@ def oph_minhash_bands(df: DataFrame | None, key_col: str = "", text_col: str = "
 
 
 def _bands_from_hash_stream(exploded: DataFrame, n_hashes: int,
-                            n_bands: int) -> DataFrame:
+                            n_bands: int,
+                            with_band_array: bool = False) -> DataFrame:
     """OPH band core over a (_k, _h) hashed-shingle stream — shared by
     the text path (``oph_minhash_bands``) and the signature-store path
     (``build_signature_store`` / ``incremental_dedup``), which bands
     from already-hashed shingle sets so both sides of an incremental
-    join produce bit-identical band hashes."""
+    join produce bit-identical band hashes.
+
+    ``with_band_array=True`` additionally carries each key's FULL band
+    vector (``_ba``) on every exploded row — the payload for the
+    emit-from-first-shared-band trick in ``minhash_dup_pairs`` (an
+    n_bands-long array per row; the persisted signature-store schema
+    keeps the default narrow shape)."""
     exploded = exploded.withColumn("_b", F.pmod("_h", F.lit(n_hashes)))
     sig = exploded.groupBy("_k").agg(
         *[
@@ -154,6 +161,10 @@ def _bands_from_hash_stream(exploded: DataFrame, n_hashes: int,
     bands = F.array(*[
         F.hash(F.slice(sig_arr, b * rows + 1, rows), F.lit(b)) for b in range(n_bands)
     ])
+    if with_band_array:
+        return sig.select("_k", bands.alias("_ba")).select(
+            "_k", "_ba", F.posexplode("_ba").alias("band_pos", "band_hash")
+        )
     return sig.select("_k", F.posexplode(bands).alias("band_pos", "band_hash"))
 
 
@@ -187,19 +198,38 @@ def minhash_dup_pairs(
     (the key_a/key_b renames sit below the exchanges, so canonical
     plans differ and ReuseExchange never fires — measured as 2× the
     banding cost; round-6 plan diff: 4 hash-agg exchanges → 1).
+
+    Pair uniqueness uses emit-from-first-shared-band instead of a
+    ``dropDuplicates`` exchange: every banded row carries its key's
+    full band vector, and a joined pair is kept only when the join's
+    ``band_pos`` is the FIRST position where the two vectors agree —
+    each unique pair survives exactly once, by construction, from a
+    per-row 8-element comparison. The removed dedup was an exchange of
+    EVERY band collision (8.68M 16-byte keys at sf1.0 for 2544 final
+    pairs) — the single largest shuffle in the operator.
     """
     base = hashed_shingle_sets(df, key_col, text_col, shingle_words)
     banded = _bands_from_hash_stream(
-        base.select("_k", F.explode("_hs").alias("_h")), n_hashes=32, n_bands=8
+        base.select("_k", F.explode("_hs").alias("_h")), n_hashes=32, n_bands=8,
+        with_band_array=True,
     ).transform(lazy_checkpoint)
 
-    a = banded.select(F.col("_k").alias("key_a"), "band_pos", "band_hash")
-    b = banded.select(F.col("_k").alias("key_b"), "band_pos", "band_hash")
+    a = banded.select(F.col("_k").alias("key_a"), F.col("_ba").alias("_baa"),
+                      "band_pos", "band_hash")
+    b = banded.select(F.col("_k").alias("key_b"), F.col("_ba").alias("_bab"),
+                      "band_pos", "band_hash")
+    # first index where the two band vectors agree — a coalesce of 8
+    # scalar comparisons (no array allocation; also keeps zip_with as
+    # the exclusive plan signature of shingle recompute, which
+    # test_minhash_single_shingle_pass locks to zero)
+    first_shared = F.coalesce(*[
+        F.when(F.col("_baa")[i] == F.col("_bab")[i], F.lit(i)) for i in range(8)
+    ])
     pairs = (
         a.join(b, ["band_pos", "band_hash"])
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("band_pos") == first_shared)
         .select("key_a", "key_b")
-        .dropDuplicates(["key_a", "key_b"])
     )
     sha = base.select(F.col("_k").alias("key_a"), F.col("_hs").alias("_sha"))
     shb = base.select(F.col("_k").alias("key_b"), F.col("_hs").alias("_shb"))

@@ -133,6 +133,28 @@ def test_ngram_doc_freq_cap_kills_hub_keeps_recall(spark, text_df):
     assert capped_rows == exact_rows
 
 
+def test_spread_noop_on_wide_input(spark):
+    """_spread must be the identity (no extra exchange) when the input
+    already has >= defaultParallelism partitions — the production-scale
+    case; the repartition exists only for unsplittable small scans."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import _spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, numPartitions=target)
+    assert _spread(wide) is wide
+
+
+def test_spread_parallelizes_narrow_input(spark):
+    """A 1-partition input fans out to defaultParallelism with the row
+    set unchanged."""
+    from decisions_knowledge_graph_data_spark.operators.dedup import _spread
+
+    narrow = spark.range(0, 100, 1, numPartitions=1)
+    out = _spread(narrow)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+
 def test_ngram_prefix_filter_is_lossless(spark, text_df):
     """Prefix filtering (AllPairs/ppjoin) must be EXACTLY lossless: the
     rarest-first prefix index generates a strict subset of candidates,
