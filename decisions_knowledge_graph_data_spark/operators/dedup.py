@@ -231,14 +231,26 @@ def minhash_dup_pairs(
         .filter(F.col("band_pos") == first_shared)
         .select("key_a", "key_b")
     )
-    sha = base.select(F.col("_k").alias("key_a"), F.col("_hs").alias("_sha"))
-    shb = base.select(F.col("_k").alias("key_b"), F.col("_hs").alias("_shb"))
-    jac = F.size(F.array_intersect("_sha", "_shb")) / F.greatest(
-        F.size(F.array_union("_sha", "_shb")), F.lit(1)
-    )
+    # verify: |A∪B| = |A| + |B| − |A∩B| for distinct arrays, so the
+    # union hash-set build is replaced by integer arithmetic — the
+    # intersect is the only per-pair set operation (bit-identical
+    # jaccard: same integer operands, same division). The size
+    # pre-filter is implied by the final predicate (J ≤ min/max, so
+    # J ≥ t ⟹ min/max ≥ t) and skips the intersect for pairs that
+    # cannot pass — sound, removes no survivor.
+    sha = base.select(F.col("_k").alias("key_a"), F.col("_hs").alias("_sha"),
+                      F.size("_hs").alias("_na"))
+    shb = base.select(F.col("_k").alias("key_b"), F.col("_hs").alias("_shb"),
+                      F.size("_hs").alias("_nb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = F.col("_i") / F.greatest(F.col("_na") + F.col("_nb") - F.col("_i"), F.lit(1))
     return (
         pairs.join(sha, "key_a")
         .join(shb, "key_b")
+        .filter(
+            F.least("_na", "_nb") >= jaccard_threshold * F.greatest("_na", "_nb")
+        )
+        .withColumn("_i", inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
@@ -584,12 +596,15 @@ def ngram_jaccard_pairs(
     )
     sha = base.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"))
     shb = base.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"))
-    jac = F.size(F.array_intersect("_sha", "_shb")) / F.greatest(
-        F.size(F.array_union("_sha", "_shb")), F.lit(1)
-    )
+    # arithmetic union size (same identity as minhash_dup_pairs)
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    na, nb = F.size("_sha"), F.size("_shb")
+    jac = F.col("_i") / F.greatest(na + nb - F.col("_i"), F.lit(1))
     return (
         pairs.join(sha, "key_a")
         .join(shb, "key_b")
+        .filter(F.least(na, nb) >= threshold * F.greatest(na, nb))
+        .withColumn("_i", inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("key_a", "key_b", "jaccard")
@@ -1155,12 +1170,17 @@ def incremental_dedup(spark, batch_df: DataFrame, key_col: str,
     # duplicated store rows can never double-emit a pair.
     sh_store = sh_store.dropDuplicates(["key_stored"])
     sha = hs_new.select(F.col("_k").alias("key_new"), F.col("_hs").alias("_sha"))
-    jac = F.size(F.array_intersect("_sha", "_shb")) / F.greatest(
-        F.size(F.array_union("_sha", "_shb")), F.lit(1)
-    )
+    # |A∪B| = |A|+|B|−|A∩B| (distinct arrays): one set operation per
+    # pair instead of two, bit-identical jaccard (same minhash_dup_pairs
+    # rewrite; the size pre-filter is implied by J ≥ t)
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    na, nb = F.size("_sha"), F.size("_shb")
+    jac = F.col("_i") / F.greatest(na + nb - F.col("_i"), F.lit(1))
     return (
         cand.join(sha, "key_new")
         .join(sh_store, "key_stored")
+        .filter(F.least(na, nb) >= jaccard_threshold * F.greatest(na, nb))
+        .withColumn("_i", inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("key_new", "key_stored", "jaccard")
