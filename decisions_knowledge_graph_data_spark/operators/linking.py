@@ -251,6 +251,13 @@ def link_rule_mentions(
     array expressions. A hub title in 30% of all docs costs one scoring
     row and one broadcast-map entry.
     """
+    # checkpoint: three consumers (dict fast path, exact-id fast path
+    # via the anti-join remainder, similarity input) otherwise EACH
+    # rescan the mentions source and re-run the two regexp_extracts +
+    # normalize over every RULE mention — at 20M docs that is 26M rows
+    # regex'd three times. One serialized materialization, three cheap
+    # reads (round 6; the barrier is mention-sized but narrow: 7 small
+    # columns, no join/window on it).
     rules = (
         mentions.filter(F.col("mention_kind") == "RULE")
         .withColumn(
@@ -263,6 +270,7 @@ def link_rule_mentions(
         .withColumn("name_norm", normalize_name(F.col("surface_title")))
         .select("doc_id", "lang", "rule_seq", "rule_num", "surface_title",
                 "name_norm", "doc_date")
+        .transform(lazy_checkpoint)
     )
 
     out_cols = ["doc_id", "lang", "rule_seq", "rule_num", "surface_title",
