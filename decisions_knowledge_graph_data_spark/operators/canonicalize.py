@@ -120,11 +120,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         # its source) — one materialization serves both reads
         .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
-    if strategy == "local" or (
-        strategy == "auto" and e.limit(LOCAL_CC_THRESHOLD).count() < LOCAL_CC_THRESHOLD
-    ):
+    if strategy == "local":
         pairs = [(r["src"], r["dst"]) for r in e.collect()]
         return _local_cc(edges.sparkSession, pairs)
+    if strategy == "auto":
+        # one job decides AND fetches: collecting up to the threshold
+        # either yields the complete edge set (use it locally) or proves
+        # the graph is big (fall through) — the separate count probe was
+        # a second full pass over the edge lineage
+        head = e.limit(LOCAL_CC_THRESHOLD).collect()
+        if len(head) < LOCAL_CC_THRESHOLD:
+            return _local_cc(
+                edges.sparkSession, [(r["src"], r["dst"]) for r in head]
+            )
 
     e = e.localCheckpoint(storageLevel=CKPT_LEVEL)
     prev = _fingerprint(e)
@@ -168,7 +176,18 @@ def registry_dup_edges(registry: DataFrame, score_gate: int = 80,
 
 def canonical_map(registry: DataFrame) -> DataFrame:
     """(entity_ref, canonical_id) for every registry entity — canonical id =
-    min id of its duplicate component; singletons map to themselves."""
+    min id of its duplicate component; singletons map to themselves.
+
+    The result is EAGERLY materialized (registry-sized — dictionary
+    scale: one row per registry entity): building it already runs Spark
+    jobs (the similarity self-join probe + CC), and every consumer
+    broadcasts it (``apply_canonical``), so leaving the
+    similarity-join/CC lineage lazy makes each consuming job re-plan and
+    re-broadcast that whole subtree — measured round 6 as ~1.9 s of the
+    triples-phase union job at the 60k-doc bench corpus for a 105-row
+    map. One tiny checkpoint job here, every downstream broadcast reads
+    the materialized rows.
+    """
     comps = connected_components(registry_dup_edges(registry))
     return (
         registry.select(F.col("entity_id").alias("entity_ref"))
@@ -177,6 +196,7 @@ def canonical_map(registry: DataFrame) -> DataFrame:
             "entity_ref",
             F.coalesce(F.col("component"), F.col("entity_ref")).alias("canonical_id"),
         )
+        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     )
 
 

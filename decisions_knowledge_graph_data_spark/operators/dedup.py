@@ -556,10 +556,18 @@ def ngram_jaccard_pairs(
             .withColumn("_rn", F.row_number().over(w))
         )
         plen = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        # checkpoint: the ranked prefix index (frequency agg + per-doc
+        # ranking window) otherwise re-runs for BOTH self-join sides —
+        # the same renames-below-the-exchange ReuseExchange gap as the
+        # minhash banding (round-6; measured 2× the ranking cost). The
+        # materialized payload is the PRUNED index (≤ prefix length per
+        # doc), strictly smaller than the full inverted index the
+        # exhaustive mode already shuffles.
         inv = (
             ranked.join(sizes, "_k")
             .filter(F.col("_rn") <= plen)
             .select("_k", "shingle")
+            .transform(lazy_checkpoint)
         )
     a = inv.select(F.col("_k").alias("key_a"), "shingle")
     b = inv.select(F.col("_k").alias("key_b"), "shingle")
