@@ -178,16 +178,19 @@ def canonical_map(registry: DataFrame) -> DataFrame:
     """(entity_ref, canonical_id) for every registry entity — canonical id =
     min id of its duplicate component; singletons map to themselves.
 
-    The result is EAGERLY materialized (registry-sized — dictionary
-    scale: one row per registry entity): building it already runs Spark
-    jobs (the similarity self-join probe + CC), and every consumer
-    broadcasts it (``apply_canonical``), so leaving the
-    similarity-join/CC lineage lazy makes each consuming job re-plan and
-    re-broadcast that whole subtree — measured round 6 as ~1.9 s of the
-    triples-phase union job at the 60k-doc bench corpus for a 105-row
-    map. One tiny checkpoint job here, every downstream broadcast reads
-    the materialized rows.
-    """
+    Deliberately NOT eagerly materialized (round-6 A/B): the similarity
+    self-join part of the lineage stays lazy and is re-evaluated inside
+    each consumer's broadcast build, which LOOKS wasteful when a
+    consumer is timed in isolation (2.1 s for the applies-provision
+    branch alone at the 60k-doc corpus) — but broadcast builds run on
+    separate threads and overlap the consuming job's scan work, so in
+    the real pipeline composition the lazy form is FASTER: an
+    interleaved A/B of kg_end_to_end (4 reps each, same session)
+    measured eager-checkpoint canon phases of 0.9-1.1 s (the serial
+    materialization job) against lazy 0.46-0.6 s, with NO offsetting
+    triples-phase gain. The CC part is already effectively materialized
+    (the local path returns a driver-built DataFrame; the distributed
+    path ends on a checkpoint)."""
     comps = connected_components(registry_dup_edges(registry))
     return (
         registry.select(F.col("entity_id").alias("entity_ref"))
@@ -196,7 +199,6 @@ def canonical_map(registry: DataFrame) -> DataFrame:
             "entity_ref",
             F.coalesce(F.col("component"), F.col("entity_ref")).alias("canonical_id"),
         )
-        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     )
 
 

@@ -39,6 +39,27 @@ def test_cc_chain(spark, strategy):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_cc_auto_single_probe_matches_both_paths(spark, monkeypatch):
+    """The auto strategy's one-job decide-and-fetch (round 6): below the
+    threshold the collected head IS the full edge set (local result);
+    when the probe overflows, the distributed path must produce the same
+    components."""
+    import decisions_knowledge_graph_data_spark.operators.canonicalize as cz
+
+    edges_df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    exp = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    got = {r["node"]: r["component"]
+           for r in cz.connected_components(edges_df, strategy="auto").collect()}
+    assert got == exp
+    # shrink the threshold so the auto probe overflows -> distributed
+    monkeypatch.setattr(cz, "LOCAL_CC_THRESHOLD", 2)
+    got2 = {r["node"]: r["component"]
+            for r in cz.connected_components(edges_df, strategy="auto").collect()}
+    assert got2 == exp
+
+
 def test_cc_random_graph_matches_union_find(spark):
     import hashlib
 
