@@ -533,10 +533,22 @@ def ngram_jaccard_pairs(
     common shingle is capped can be missed. Verification always scores
     the FULL shingle sets, so reported jaccard values are exact in every
     mode. None (default) = off.
+
+    Round-6: the operator works in the HASHED shingle domain
+    (``hashed_shingle_sets`` — 8-byte xxhash64 per distinct shingle, the
+    minhash/signature-store representation): the inverted-index join
+    key is a long instead of a ~30-char string (narrower shuffle,
+    cheaper join probes) and the capped/prefix verify intersects long
+    arrays. Jaccard equals the string-shingle value absent per-pair
+    xxhash64 collisions (~|union|²/2⁶⁴ — the argument the driver-green
+    ``minhash_dups``/``incremental_dedup`` already lock); the prefix
+    ordering's tie-break moves from string to hash order, which stays a
+    consistent global order, so the prefix theorem (and therefore the
+    output) is unchanged — equality-tested against exhaustive mode.
     """
-    base = shingled_docs(df, key_col, text_col, shingle_words)
-    sizes = base.select("_k", F.size("_sh").alias("_n"))
-    inv = base.select("_k", F.explode("_sh").alias("shingle"))
+    base = hashed_shingle_sets(df, key_col, text_col, shingle_words)
+    sizes = base.select("_k", F.size("_hs").alias("_n"))
+    inv = base.select("_k", F.explode("_hs").alias("shingle"))
     if max_doc_freq_frac is not None:
         n_docs = base.count()
         cap = max(1, int(n_docs * max_doc_freq_frac))
@@ -602,8 +614,8 @@ def ngram_jaccard_pairs(
         .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
-    sha = base.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"))
-    shb = base.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"))
+    sha = base.select(F.col("_k").alias("key_a"), F.col("_hs").alias("_sha"))
+    shb = base.select(F.col("_k").alias("key_b"), F.col("_hs").alias("_shb"))
     # arithmetic union size (same identity as minhash_dup_pairs)
     inter = F.size(F.array_intersect("_sha", "_shb"))
     na, nb = F.size("_sha"), F.size("_shb")
@@ -643,10 +655,14 @@ def containment_pairs(
     produce. Verification then scores the FULL shingle sets (array
     join-back), so reported containment values stay exact; pairs whose
     every common shingle is capped can be missed. None (default) = off.
+
+    Round-6: hashed shingle domain, like ``ngram_jaccard_pairs`` — long
+    index keys and long verify arrays; containment values equal the
+    string form under the same negligible-collision argument.
     """
-    base = shingled_docs(df, key_col, text_col, shingle_words)
-    sizes = base.select("_k", F.size("_sh").alias("_n"))
-    inv = base.select("_k", F.explode("_sh").alias("shingle"))
+    base = hashed_shingle_sets(df, key_col, text_col, shingle_words)
+    sizes = base.select("_k", F.size("_hs").alias("_n"))
+    inv = base.select("_k", F.explode("_hs").alias("shingle"))
     if max_doc_freq_frac is None:
         a = inv.select(F.col("_k").alias("key_a"), "shingle")
         b = inv.select(F.col("_k").alias("key_b"), "shingle")
@@ -690,8 +706,8 @@ def containment_pairs(
         .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
-    sha = base.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"))
-    shb = base.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"))
+    sha = base.select(F.col("_k").alias("key_a"), F.col("_hs").alias("_sha"))
+    shb = base.select(F.col("_k").alias("key_b"), F.col("_hs").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     return (
         pairs.join(sha, "key_a")
